@@ -1,0 +1,16 @@
+"""Analytics operator surface.
+
+Importing this package pulls in every operator module so their queries land in
+the shared registry (:mod:`csv_parquet_s3_spark.operators.registry`).
+"""
+
+from csv_parquet_s3_spark.operators import (  # noqa: F401
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    textstats,
+)
+from csv_parquet_s3_spark.operators.registry import ORACLES, QUERIES
+
+__all__ = ["QUERIES", "ORACLES"]

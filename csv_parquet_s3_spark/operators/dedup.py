@@ -1,0 +1,298 @@
+"""Deduplication operators over the ``documents`` / ``events`` tables.
+
+Training-data-pipeline dedup, Spark-first:
+
+- exact dedup: hash-groupBy (one shuffle on the content hash);
+- keep-first dedup: window ``row_number() == 1`` (one shuffle on the key);
+- MinHash + LSH near-dup candidate pairs: shingle → per-permutation min-hash
+  → band buckets → bucket self-join → Jaccard verification. All hashing uses
+  ``md5`` over strings with lexicographic MIN, so the DuckDB oracle can run
+  the *identical* scheme (portable across engines, no engine-specific hash);
+- SimHash signatures: per-bit majority vote over token hashes, again via the
+  portable md5 trick.
+
+Scale notes: every step is a groupBy/join on bounded keys — the LSH band
+join only materializes pairs that share a bucket (the classic inverted-index
+shape), never the O(n²) cross product. Shingle explosion is linear in corpus
+token count. At 100 TB the band-bucket join is the only potentially skewed
+step (a hot bucket = a pile of boilerplate dups); AQE skew-join handles it,
+and ``NUM_PERMS``/``BAND_SIZE`` tune the candidate volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from csv_parquet_s3_spark.operators.registry import register
+from csv_parquet_s3_spark.sources.tables import load_table
+
+NUM_PERMS = 12
+BAND_SIZE = 3  # → 4 bands; LSH threshold ≈ (1/4)^(1/3) ≈ 0.63
+JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = 16
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup by content hash.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact_documents",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep the smallest doc_id.
+
+    Hashing first means the shuffle key is a fixed-width digest, not the full
+    document text — at 100 TB that is the difference between shuffling ~32
+    bytes/row and shuffling the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Keep-first dedup via window row_number.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_keep_first_events",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts FROM (
+        SELECT event_id, user_id, event_type, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ) t WHERE rn = 1
+    """,
+)
+def dedup_keep_first_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the earliest event per (user_id, event_type) — window keep-first."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.select("event_id", "user_id", "event_type", "ts", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared shingle/minhash plumbing (word 3-gram shingles).
+# ---------------------------------------------------------------------------
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) with distinct word-3-gram shingles per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(0, size(toks)-3),"
+                " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
+            )
+        ).alias("shingle"),
+    )
+
+
+# DuckDB mirror of _shingles (1-based list indexing; range(a,b) is [a,b)).
+_ORACLE_SHINGLES = """
+    shingled AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ),
+    shingles AS (
+        SELECT DISTINCT doc_id, s AS shingle
+        FROM shingled, UNNEST(list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS t(s)
+    )
+"""
+
+
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, bucket): LSH band buckets from md5-string minhash."""
+    sh = _shingles(spark, sf_dir)
+    perms = spark.range(NUM_PERMS).select(F.col("id").alias("p"))
+    hashes = (
+        sh.crossJoin(F.broadcast(perms))
+        .groupBy("doc_id", "p")
+        .agg(
+            F.min(
+                F.md5(
+                    F.concat_ws(":", F.col("p").cast("string"), F.col("shingle")).cast(
+                        "binary"
+                    )
+                )
+            ).alias("mh")
+        )
+    )
+    return (
+        hashes.groupBy("doc_id", (F.col("p") / BAND_SIZE).cast("bigint").alias("band"))
+        .agg(
+            F.expr(
+                "md5(CAST(concat_ws(',', transform(array_sort(collect_list(struct(p, mh))),"
+                " s -> s.mh)) AS BINARY))"
+            ).alias("bucket")
+        )
+    )
+
+
+_ORACLE_BANDS = f"""
+    hashes AS (
+        SELECT doc_id, p, MIN(md5(CAST(p AS VARCHAR) || ':' || shingle)) AS mh
+        FROM shingles, UNNEST(range(0, {NUM_PERMS})) AS perms(p)
+        GROUP BY doc_id, p
+    ),
+    bands AS (
+        SELECT doc_id, CAST(p // {BAND_SIZE} AS BIGINT) AS band,
+               md5(string_agg(mh, ',' ORDER BY p)) AS bucket
+        FROM hashes GROUP BY doc_id, CAST(p // {BAND_SIZE} AS BIGINT)
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-duplicate pairs, Jaccard-verified.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_ORACLE_SHINGLES},
+    {_ORACLE_BANDS},
+    candidates AS (
+        SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_id_a, c.doc_id_b, COUNT(*) AS n_common
+        FROM candidates c
+        JOIN shingles sa ON sa.doc_id = c.doc_id_a
+        JOIN shingles sb ON sb.doc_id = c.doc_id_b AND sb.shingle = sa.shingle
+        GROUP BY c.doc_id_a, c.doc_id_b
+    )
+    SELECT i.doc_id_a, i.doc_id_b,
+           CAST(ROUND(CAST(i.n_common AS DOUBLE)
+                      / (za.n + zb.n - i.n_common), 6) AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_id_a
+    JOIN sizes zb ON zb.doc_id = i.doc_id_b
+    WHERE CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common)
+          >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs: MinHash signatures → LSH band buckets → Jaccard verify.
+
+    Only documents sharing an LSH bucket are ever paired, so the join volume
+    tracks the true near-dup density instead of n².
+    """
+    sh = _shingles(spark, sf_dir).cache()
+    bands = _minhash_bands(spark, sf_dir)
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
+    inter = (
+        candidates.join(sa, "doc_id_a")
+        .join(sb, ["doc_id_b", "shingle"])  # equi-join on (doc, shingle) → intersection rows
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n").alias("n_b"))
+    jacc = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        inter.join(za, "doc_id_a")
+        .join(zb, "doc_id_b")
+        .filter(jacc >= JACCARD_THRESHOLD)
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(jacc, 6).cast("double").alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash signatures (portable bit derivation via md5 first hex digit).
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_simhash_signatures",
+    oracle=f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, t AS token
+        FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+    ),
+    bits AS (
+        SELECT doc_id, b,
+               CASE WHEN SUM(CASE WHEN substr(md5(token || '|' || CAST(b AS VARCHAR)), 1, 1)
+                                       IN ('8','9','a','b','c','d','e','f')
+                                  THEN 1 ELSE -1 END) >= 0
+                    THEN '1' ELSE '0' END AS bit
+        FROM toks, UNNEST(range(0, {SIMHASH_BITS})) AS r(b)
+        GROUP BY doc_id, b
+    )
+    SELECT doc_id, string_agg(bit, '' ORDER BY b) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document SimHash bit signature (majority vote of token-hash bits).
+
+    Near-dup grouping is then an equality (or small-Hamming-ball) grouping on
+    the signature — a plain shuffle on a 16-char key at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    )
+    bitsrc = toks.crossJoin(
+        F.broadcast(spark.range(SIMHASH_BITS).select(F.col("id").alias("b")))
+    )
+    vote = F.when(
+        F.substring(
+            F.md5(
+                F.concat_ws("|", F.col("token"), F.col("b").cast("string")).cast("binary")
+            ),
+            1,
+            1,
+        ).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    bits = (
+        bitsrc.groupBy("doc_id", "b")
+        .agg(F.sum(vote).alias("s"))
+        .select(
+            "doc_id",
+            "b",
+            F.when(F.col("s") >= 0, F.lit("1")).otherwise(F.lit("0")).alias("bit"),
+        )
+    )
+    return bits.groupBy("doc_id").agg(
+        F.expr(
+            "concat_ws('', transform(array_sort(collect_list(struct(b, bit))), s -> s.bit))"
+        ).alias("simhash")
+    )

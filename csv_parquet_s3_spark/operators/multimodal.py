@@ -1,0 +1,160 @@
+"""Multimodal column handling: opaque ``binary`` payloads + typed metadata.
+
+The container has no image/audio codecs, so the *decode* step is stubbed
+(``NotImplementedError`` behind an import-try), but everything Spark-side is
+real and tested: the binary column schema, the metadata struct, Arrow-batched
+``mapInPandas`` feature extraction with a declared output schema, and the
+partitioning story (payload rows never shuffle; features are computed
+map-side).
+
+``documents.text`` stands in for the raw media bytes via ``encode(...)`` —
+at 100 TB the payload column would be parquet binary chunks and the identical
+plan applies.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from csv_parquet_s3_spark.operators.registry import register
+from csv_parquet_s3_spark.sources.tables import load_table
+
+FRAME_BYTES = 256  # synthetic "frame" granularity for the sampling stub
+
+
+def attach_payload(docs: DataFrame) -> DataFrame:
+    """Model documents as multimodal rows: binary payload + metadata struct."""
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.length(payload).alias("n_bytes"),
+            F.lit("text/plain").alias("mime"),
+            F.col("lang").alias("lang"),
+        ).alias("meta"),
+    )
+
+
+@register(
+    "mm_payload_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           sha256(text) AS checksum,
+           CAST(CEIL(CAST(octet_length(encode(text)) AS DOUBLE) / {FRAME_BYTES})
+                AS BIGINT) AS n_frames,
+           'text/plain' AS mime
+    FROM documents
+    """,
+)
+def mm_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over opaque binary payloads: size, checksum, frame count.
+
+    Pure projection — at scale this is a map-only pass over the payload
+    column with zero shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    n_bytes = F.length(payload).cast("int")
+    return docs.select(
+        "doc_id",
+        n_bytes.alias("n_bytes"),
+        F.sha2(payload, 256).alias("checksum"),
+        F.ceil(n_bytes.cast("double") / FRAME_BYTES).cast("bigint").alias("n_frames"),
+        F.lit("text/plain").alias("mime"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-batched feature extraction (mapInPandas).
+# ---------------------------------------------------------------------------
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("byte_histogram", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+N_HIST_BUCKETS = 8
+
+
+def _byte_histogram_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-batch feature extraction: normalized byte histogram of the payload.
+
+    This is the real shape of a media featurizer: Arrow batch in → vectorized
+    numpy work → fixed-width feature vector out. A codec-backed extractor
+    (image decode, audio resample) slots into the same function body.
+    """
+    import numpy as np
+
+    for pdf in batches:
+        feats = []
+        for payload in pdf["payload"]:
+            arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+            if arr.size == 0:
+                feats.append([0.0] * N_HIST_BUCKETS)
+                continue
+            hist, _ = np.histogram(arr, bins=N_HIST_BUCKETS, range=(0, 256))
+            feats.append((hist / arr.size).round(6).tolist())
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pdf["payload"].map(len).astype("int32"),
+                "byte_histogram": feats,
+            }
+        )
+
+
+def extract_byte_features(docs_with_payload: DataFrame) -> DataFrame:
+    """Distributed featurization: mapInPandas over the payload column."""
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        _byte_histogram_batches, schema=FEATURE_SCHEMA
+    )
+
+
+@register("mm_byte_histogram_features")  # non-SQL-expressible → rows-only check
+def mm_byte_histogram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_byte_features(attach_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# Codec-backed decode stubs (libs not in this container).
+# ---------------------------------------------------------------------------
+def decode_image(payload: bytes) -> "object":
+    """Decode an image payload. STUB: Pillow/OpenCV are not installed here.
+
+    The Spark-side plumbing (binary column → mapInPandas → struct features)
+    is exercised by :func:`extract_byte_features`; a real deployment replaces
+    the histogram body with ``PIL.Image.open(io.BytesIO(payload))``.
+    """
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - container has no Pillow
+        raise NotImplementedError(
+            "image decode requires Pillow; install it on the cluster and swap "
+            "the featurizer body (see multimodal.py docstring)"
+        ) from exc
+    import io
+
+    from PIL import Image
+
+    return Image.open(io.BytesIO(payload))
+
+
+def sample_frames(payload: bytes, every: int = FRAME_BYTES) -> list[bytes]:
+    """Deterministic fake frame sampler: fixed-stride byte windows.
+
+    Stands in for video frame extraction (no codecs in this container); the
+    batching/partitioning contract is identical for a real ffmpeg-backed
+    sampler.
+    """
+    return [payload[i : i + every] for i in range(0, len(payload), every)]

@@ -1,0 +1,216 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``, dim 64).
+
+Two strategies, both pure built-in expressions (JVM-side, no Python UDF):
+
+- brute-force cosine top-k: broadcast the (small) query set, score every
+  (query, vector) pair with ``zip_with``/``aggregate``, keep top-k per query
+  with a window. At 100 TB the scored side stays partition-parallel — the
+  only shuffle is the final per-query top-k, bounded by k × |queries|.
+- IVF-style partition-pruned top-k: restrict each search to the query's
+  coarse cluster (the ``label`` column stands in for a trained IVF coarse
+  quantizer), cutting the scored volume by the cluster fan-out.
+
+All element arithmetic is cast to DOUBLE first and summed in array order, so
+the DuckDB oracle (``list_transform``/``list_sum`` — also sequential) computes
+bit-identical dot products; cosines are rounded to 6 digits and the ordering
+key is the *rounded* value with vec_id tie-break, keeping top-k deterministic
+across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from csv_parquet_s3_spark.operators.registry import register
+from csv_parquet_s3_spark.sources.tables import load_table
+
+N_QUERIES = 5  # vec_id < 5 are the "query" vectors
+TOP_K = 10
+
+
+def _with_norm(df: DataFrame) -> DataFrame:
+    """Add a precomputed L2 norm column (sequential double accumulation)."""
+    vd = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    norm = F.sqrt(
+        F.aggregate(
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return df.withColumn("vd", vd).withColumn("norm", norm)
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+# Shared DuckDB fragments: sequential double dot product + norm over a FLOAT[].
+_ORACLE_DOT = (
+    "list_sum(list_transform(range(1, len({a}) + 1),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_ORACLE_NORM = (
+    "sqrt(list_sum(list_transform(range(1, len({v}) + 1),"
+    " i -> CAST({v}[i] AS DOUBLE) * CAST({v}[i] AS DOUBLE))))"
+)
+
+
+@register(
+    "sim_cosine_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv,
+               {_ORACLE_NORM.format(v='embedding')} AS qnorm
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id, e.label,
+               CAST(ROUND({_ORACLE_DOT.format(a='q.qv', b='e.embedding')}
+                    / (q.qnorm * {_ORACLE_NORM.format(v='e.embedding')}), 6) AS DOUBLE)
+                 AS cos_sim
+        FROM q, embeddings e
+        WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, label, cos_sim, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored
+    ) t WHERE rn <= {TOP_K}
+    """,
+)
+def sim_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × all vectors → window top-k."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vd").alias("qv"),
+            F.col("norm").alias("qnorm"),
+        )
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.round(_dot(F.col("qv"), F.col("vd")) / (F.col("qnorm") * F.col("norm")), 6)
+            .cast("double")
+            .alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return scored.select("*", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= TOP_K
+    )
+
+
+@register(
+    "sim_cosine_topk_ivf_label",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS qlabel, embedding AS qv,
+               {_ORACLE_NORM.format(v='embedding')} AS qnorm
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               CAST(ROUND({_ORACLE_DOT.format(a='q.qv', b='e.embedding')}
+                    / (q.qnorm * {_ORACLE_NORM.format(v='e.embedding')}), 6) AS DOUBLE)
+                 AS cos_sim
+        FROM q JOIN embeddings e ON e.label = q.qlabel
+        WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cos_sim, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored
+    ) t WHERE rn <= {TOP_K}
+    """,
+)
+def sim_cosine_topk_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style pruned search: only score vectors in the query's cluster.
+
+    With an n-way coarse quantizer this scores ~1/n of the corpus per query —
+    the scale path when brute force stops being affordable.
+    """
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("qlabel"),
+            F.col("vd").alias("qv"),
+            F.col("norm").alias("qnorm"),
+        )
+    )
+    scored = (
+        emb.join(F.broadcast(q), emb.label == q.qlabel)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(_dot(F.col("qv"), F.col("vd")) / (F.col("qnorm") * F.col("norm")), 6)
+            .cast("double")
+            .alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return scored.select("*", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= TOP_K
+    )
+
+
+@register(
+    "sim_label_centroid_distance",
+    oracle="""
+    WITH elems AS (
+        SELECT label, vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+    ),
+    centroids AS (
+        SELECT label, dim,
+               CAST(SUM(x) AS DOUBLE) / COUNT(*) AS c
+        FROM elems GROUP BY label, dim
+    )
+    SELECT e.label,
+           CAST(ROUND(SQRT(SUM((e.x - c.c) * (e.x - c.c))) , 4) AS DOUBLE) AS rms_spread,
+           COUNT(DISTINCT e.vec_id) AS n_vectors
+    FROM elems e JOIN centroids c ON e.label = c.label AND e.dim = c.dim
+    GROUP BY e.label
+    """,
+)
+def sim_label_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster centroid + spread — the IVF "train" step's inner loop.
+
+    posexplode → per-(label, dim) mean is the distributed centroid update:
+    one shuffle keyed by (label, dim), no driver-side vectors.
+
+    NOTE: the sum over (x - c)² aggregates doubles in engine order, so this
+    is rounded to 4 digits (spread is O(100)) — see registry determinism rules.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "label",
+        "vec_id",
+        F.posexplode(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")).alias(
+            "dim", "x"
+        ),
+    )
+    centroids = elems.groupBy("label", "dim").agg(
+        (F.sum("x").cast("double") / F.count("*")).alias("c")
+    )
+    return (
+        elems.join(centroids, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.round(F.sqrt(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))), 4)
+            .cast("double")
+            .alias("rms_spread"),
+            F.countDistinct("vec_id").alias("n_vectors"),
+        )
+    )

@@ -1,0 +1,162 @@
+"""Text analysis over the ``documents`` table: token counting, quality
+scoring, language-ID heuristics, fingerprinting, corpus statistics.
+
+All operators are single-pass array/string expressions (whole-stage codegen,
+no Python) — per-document features never shuffle, and corpus-level rollups
+shuffle only their small grouping keys. That shape is what keeps these
+linear-scan cheap at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from csv_parquet_s3_spark.operators.registry import register
+from csv_parquet_s3_spark.sources.tables import load_table
+
+STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "text_token_counts",
+    oracle="""
+    SELECT t AS token, COUNT(*) AS n
+    FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+    GROUP BY t
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency, top 20 — explode + count + top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@register(
+    "text_doc_stats",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks
+               FROM documents)
+    SELECT doc_id, lang,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+           CAST(ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                      / len(toks), 6) AS DOUBLE) AS avg_token_len,
+           CAST(ROUND(LN(1 + n_chars)
+                      * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)), 6)
+                AS DOUBLE) AS quality_score
+    FROM t
+    """,
+)
+def text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: token counts, type/token ratio score."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", "n_chars", F.split("text", " ").alias("toks"))
+    n_tokens = F.size("toks")
+    n_distinct = F.size(F.array_distinct("toks"))
+    sum_len = F.aggregate(
+        F.expr("transform(toks, x -> length(x))"), F.lit(0), lambda a, x: a + x
+    )
+    return t.select(
+        "doc_id",
+        "lang",
+        n_tokens.cast("int").alias("n_tokens"),
+        n_distinct.cast("int").alias("n_distinct_tokens"),
+        F.round(sum_len.cast("double") / n_tokens, 6)
+        .cast("double")
+        .alias("avg_token_len"),
+        F.round(
+            F.log(F.lit(1) + F.col("n_chars")) * (n_distinct.cast("double") / n_tokens), 6
+        )
+        .cast("double")
+        .alias("quality_score"),
+    )
+
+
+@register(
+    "text_langid_heuristic",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id, lang,
+           CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS INT) AS stop_hits,
+           CASE WHEN CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+                     / len(toks) >= 0.05
+                THEN 'en' ELSE 'unk' END AS predicted_lang
+    FROM t
+    """,
+)
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language-ID heuristic (n-gram-free baseline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", F.split("text", " ").alias("toks"))
+    stop_arr = ", ".join(f"'{w}'" for w in STOPWORDS)
+    hits = F.size(F.expr(f"filter(toks, x -> x IN ({stop_arr}))"))
+    return t.select(
+        "doc_id",
+        "lang",
+        hits.cast("int").alias("stop_hits"),
+        F.when(hits.cast("double") / F.size("toks") >= 0.05, F.lit("en"))
+        .otherwise(F.lit("unk"))
+        .alias("predicted_lang"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+             AS fingerprint,
+           CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_word_tokens
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive document fingerprint (sorted-vocabulary hash) plus a
+    regex tokenizer count (BPE-ish pre-tokenization proxy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ").cast(
+                "binary"
+            )
+        ).alias("fingerprint"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+', 0)"))
+        .cast("int")
+        .alias("n_word_tokens"),
+    )
+
+
+@register(
+    "text_lang_distribution",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS DOUBLE)
+             AS avg_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def text_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition rollup by (lang, source)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.sum("n_chars").cast("double") / F.count("*"), 6)
+        .cast("double")
+        .alias("avg_chars"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )

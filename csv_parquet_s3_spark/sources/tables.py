@@ -1,0 +1,65 @@
+"""Parquet table catalog for the driver's synthetic star schema.
+
+A "table" is a directory-or-file of Parquet, mirroring the reference's
+dataset-as-directory-of-files model (SURVEY.md §1.1, ``Main.java:34-37``).
+Reads go through ``spark.read.parquet`` so Catalyst gets filter pushdown and
+column pruning for free; at 100 TB each table is just a bigger directory with
+the same code path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should broadcast in joins rather than shuffle.
+# At TPC-H-like scale region/nation are constant-size and supplier/part/customer
+# grow ~linearly but remain << lineitem; only the constant-size ones are safe
+# to force-broadcast at 100 TB.
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark has no type for.
+        # Read the raw int64 nanos (legacy conf) and integer-divide to micros
+        # — exact, matching DuckDB's nanos→micros truncation on read.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+            )
+        return df
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register each table as a temp view so ``spark.sql`` queries can run."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

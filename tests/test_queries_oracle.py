@@ -1,0 +1,27 @@
+"""Differential test: every registered query with an oracle must match DuckDB
+at the smoke scale factor — the local mirror of the driver's t2 check."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_CORRECTNESS
+from tests.oracle_compare import compare
+
+
+def _cases():
+    from csv_parquet_s3_spark.operators import ORACLES, QUERIES
+
+    return [(name, QUERIES[name], ORACLES.get(name)) for name in sorted(QUERIES)]
+
+
+@pytest.mark.parametrize("name,fn,oracle", _cases(), ids=[c[0] for c in _cases()])
+def test_query_matches_oracle(spark, duck, name, fn, oracle):
+    df = fn(spark, SF_CORRECTNESS)
+    if oracle is None:
+        # rows-only check, mirroring the driver's weaker path
+        n = df.count()
+        assert n >= 0
+        return
+    ok, msg = compare(df, duck.sql(oracle))
+    assert ok, f"{name}: {msg}"
