@@ -1,0 +1,79 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Per-query timing measures full plan execution: the result is consumed with a
+count-style action (``df.count()`` would let Catalyst prune aggregates, so we
+use ``df.foreach-free collect of agg(count)`` via ``df.toLocalIterator`` —
+no: we materialize with ``df.write.format("noop")``, Spark's sink that
+executes the whole plan without writing, exactly what a benchmark wants).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if REPO_DIR not in sys.path:
+    sys.path.insert(0, REPO_DIR)
+
+# Headline set: one per operator family, weighted toward the scale-relevant
+# shapes (fact-fact joins, windows, LSH, vector search).
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_top_unshipped",
+    "q05_regional_revenue",
+    "q06_forecast_revenue",
+    "q10_top_customers",
+    "q_window_running_revenue",
+    "q_rollup_revenue",
+    "q_events_sessionize",
+    "dedup_exact_documents",
+    "dedup_minhash_lsh_pairs",
+    "sim_cosine_topk_bruteforce",
+    "text_token_counts",
+    "mm_payload_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from csv_parquet_s3_spark.operators import QUERIES
+    from csv_parquet_s3_spark.session import get_spark
+
+    spark = get_spark(app_name="csv_parquet_s3_spark_bench")
+    sf_label = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    # Warm up JVM/codegen/file-listing once so the first timed query is not
+    # charged for session initialization (standard bench hygiene).
+    from csv_parquet_s3_spark.sources.tables import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf_label) if sf_label.replace(".", "").isdigit() else sf_label,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -118,32 +118,29 @@ _ORACLE_SHINGLES = """
 """
 
 
-def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, band, bucket): LSH band buckets from md5-string minhash."""
-    sh = _shingles(spark, sf_dir)
-    perms = spark.range(NUM_PERMS).select(F.col("id").alias("p"))
-    hashes = (
-        sh.crossJoin(F.broadcast(perms))
-        .groupBy("doc_id", "p")
-        .agg(
-            F.min(
-                F.md5(
-                    F.concat_ws(":", F.col("p").cast("string"), F.col("shingle")).cast(
-                        "binary"
-                    )
-                )
-            ).alias("mh")
-        )
-    )
-    return (
-        hashes.groupBy("doc_id", (F.col("p") / BAND_SIZE).cast("bigint").alias("band"))
-        .agg(
-            F.expr(
-                "md5(CAST(concat_ws(',', transform(array_sort(collect_list(struct(p, mh))),"
-                " s -> s.mh)) AS BINARY))"
-            ).alias("bucket")
-        )
-    )
+def _minhash_bands(spark: SparkSession, sf_dir: str, shingles: DataFrame | None = None) -> DataFrame:
+    """(doc_id, band, bucket): LSH band buckets from md5-string minhash.
+
+    All ``NUM_PERMS`` min-hashes are computed in ONE aggregation pass (one
+    MIN column per permutation) instead of exploding shingles × perms — same
+    values as the per-permutation formulation the oracle uses, 12× less
+    shuffled data.
+    """
+    sh = shingles if shingles is not None else _shingles(spark, sf_dir)
+    sig_aggs = [
+        F.expr(f"min(md5(cast(concat('{p}:', shingle) as binary)))").alias(f"mh{p}")
+        for p in range(NUM_PERMS)
+    ]
+    sig = sh.groupBy("doc_id").agg(*sig_aggs)
+    n_bands = NUM_PERMS // BAND_SIZE
+    band_hashes = [
+        f"md5(cast(concat_ws(',', {', '.join(f'mh{p}' for p in range(b * BAND_SIZE, (b + 1) * BAND_SIZE))}) as binary))"
+        for b in range(n_bands)
+    ]
+    return sig.select(
+        "doc_id",
+        F.posexplode(F.expr(f"array({', '.join(band_hashes)})")).alias("band_i", "bucket"),
+    ).select("doc_id", F.col("band_i").cast("bigint").alias("band"), "bucket")
 
 
 _ORACLE_BANDS = f"""
@@ -198,7 +195,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tracks the true near-dup density instead of n².
     """
     sh = _shingles(spark, sf_dir).cache()
-    bands = _minhash_bands(spark, sf_dir)
+    bands = _minhash_bands(spark, sf_dir, shingles=sh)
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
         a.join(
