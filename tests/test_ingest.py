@@ -1,0 +1,176 @@
+"""Round-trip ingest tests: the executable spec of the reference's type
+semantics (SURVEY.md §1.2 value table, FIXTURES.md F1/F2 edge cases)."""
+
+from __future__ import annotations
+
+import datetime
+import json
+from decimal import Decimal
+
+import pytest
+
+from csv_parquet_s3_spark.ingest import (
+    IngestError,
+    check_strict,
+    convert_csv_dir,
+    convert_csv_to_parquet,
+    parse_csv,
+)
+from csv_parquet_s3_spark.schema import load_schema, parse_schema, to_struct_type
+
+MINI_SCHEMA = {
+    "name": "mini",
+    "fields": [
+        {"name": "id", "type": "INT32", "repetition": "REQUIRED"},
+        {"name": "name", "type": "BINARY", "logicalType": "STRING"},
+        {"name": "age", "type": "INT32"},
+    ],
+}
+
+F1_SCHEMA = {
+    "name": "record",
+    "fields": [
+        {"name": "id", "type": "INT32", "repetition": "REQUIRED"},
+        {"name": "name", "type": "BINARY", "logicalType": "STRING"},
+        {"name": "amount", "type": "BINARY", "logicalType": "DECIMAL", "precision": 10, "scale": 2},
+        {"name": "birth_date", "type": "INT32", "logicalType": "DATE"},
+        {"name": "large_count", "type": "INT64"},
+        {"name": "event_timestamp", "type": "INT64", "logicalType": "TIMESTAMP_MICROS"},
+        {"name": "total", "type": "BINARY", "logicalType": "DECIMAL", "precision": 38, "scale": 2},
+    ],
+}
+
+
+@pytest.fixture
+def f1_specs():
+    return parse_schema(F1_SCHEMA)
+
+
+def _write_csv(path, rows, header="id,name,amount,birth_date,large_count,event_timestamp,total"):
+    path.write_text(header + "\n" + "\n".join(rows) + "\n")
+
+
+def test_schema_loader_types_and_nullability(tmp_path):
+    p = tmp_path / "schema.json"
+    p.write_text(json.dumps(F1_SCHEMA))
+    specs = load_schema(str(p))
+    st = to_struct_type(specs)
+    assert [f.dataType.simpleString() for f in st.fields] == [
+        "int", "string", "decimal(10,2)", "date", "bigint", "timestamp_ntz", "decimal(38,2)",
+    ]
+    assert st["id"].nullable is False and st["name"].nullable is True
+
+
+def test_schema_loader_rejects_unknown_physical():
+    with pytest.raises(ValueError, match="Unsupported type"):
+        parse_schema({"fields": [{"name": "x", "type": "FLOAT"}]})
+
+
+def test_schema_loader_warns_unknown_logical_and_bad_repetition(caplog):
+    specs = parse_schema(
+        {"fields": [{"name": "x", "type": "BINARY", "logicalType": "JSON",
+                     "repetition": "REPEATED"}]}
+    )
+    assert specs[0].logical is None and specs[0].required is False
+
+
+def test_roundtrip_value_semantics(spark, tmp_path, f1_specs):
+    """Mirror of the reference round-trip test (CsvToParquetConverterTest)."""
+    csv_dir, out_dir = tmp_path / "csv", tmp_path / "out"
+    csv_dir.mkdir()
+    _write_csv(
+        csv_dir / "sample.csv",
+        [
+            # nanos timestamp → truncated to micros; decimal rescale HALF_UP
+            "1,Alice,1234.565,1990-01-01,1000000,2023-01-01 12:00:00.123456789,987654.328",
+            # empty cells → null; 3-digit fraction
+            "2,,,,,2023-02-01 13:00:00.123,",
+            # short row → trailing nulls; no-fraction timestamp was col 6
+            "3,Bob,55.5,2000-02-29",
+        ],
+    )
+    report = convert_csv_to_parquet(spark, str(csv_dir), str(out_dir), specs=f1_specs)
+    assert report.failed == {} and len(report.converted) == 1
+    assert report.converted[0].endswith("sample.parquet")
+    rows = {r.id: r for r in spark.read.parquet(report.converted[0]).collect()}
+    r1 = rows[1]
+    assert r1.name == "Alice"
+    assert r1.amount == Decimal("1234.57")  # HALF_UP rescale to 2
+    assert r1.birth_date == datetime.date(1990, 1, 1)
+    assert r1.large_count == 1000000
+    assert r1.event_timestamp == datetime.datetime(2023, 1, 1, 12, 0, 0, 123456)  # nanos→micros
+    assert r1.total == Decimal("987654.33")
+    r2 = rows[2]
+    assert r2.name is None and r2.amount is None and r2.birth_date is None
+    assert r2.event_timestamp == datetime.datetime(2023, 2, 1, 13, 0, 0, 123000)
+    r3 = rows[3]
+    assert r3.amount == Decimal("55.50") and r3.event_timestamp is None and r3.total is None
+
+
+def test_bad_decimal_is_lenient_null(spark, tmp_path, f1_specs):
+    csv_dir = tmp_path / "csv"
+    csv_dir.mkdir()
+    _write_csv(csv_dir / "a.csv", ["1,x,not_a_number,,,,abc"])
+    df, _ = parse_csv(spark, str(csv_dir / "a.csv"), f1_specs)
+    row = df.collect()[0]
+    assert row.amount is None and row.total is None  # lenient, no error
+
+
+@pytest.mark.parametrize(
+    "row,field",
+    [
+        ("notint,x,,,,,", "id"),  # bad INT32
+        ("1,x,,bad-date,,,", "birth_date"),  # bad DATE
+        ("1,x,,,12.5,,", "large_count"),  # bad INT64
+        ("1,x,,,,2023-13-45 99:00:00,", "event_timestamp"),  # bad TIMESTAMP
+        ("99999999999,x,,,,,", "id"),  # int overflow
+        (" 1,x,,,,,", "id"),  # whitespace-padded int (parseInt throws)
+    ],
+)
+def test_strict_fields_fail_the_file(spark, tmp_path, f1_specs, row, field):
+    csv_dir = tmp_path / "csv"
+    csv_dir.mkdir()
+    _write_csv(csv_dir / "bad.csv", [row])
+    with pytest.raises(IngestError, match=field):
+        check_strict(spark, str(csv_dir / "bad.csv"), f1_specs)
+
+
+def test_per_file_isolation(spark, tmp_path, f1_specs):
+    """One bad file doesn't stop siblings (CsvToParquetConverter.java:115-117)."""
+    csv_dir, out_dir = tmp_path / "csv", tmp_path / "out"
+    csv_dir.mkdir()
+    _write_csv(csv_dir / "good.csv", ["1,ok,1.0,2020-01-01,5,2023-01-01 00:00:00,2.0"])
+    _write_csv(csv_dir / "bad.csv", ["oops,x,,,,,"])
+    report = convert_csv_to_parquet(spark, str(csv_dir), str(out_dir), specs=f1_specs)
+    assert [p.split("/")[-1] for p in report.converted] == ["good.parquet"]
+    assert list(report.failed) == [str(csv_dir / "bad.csv")]
+
+
+def test_quoted_fields_and_positional_binding(spark, tmp_path):
+    """RFC-4180 quoting; header names are ignored (positional binding)."""
+    specs = parse_schema(MINI_SCHEMA)
+    csv_dir = tmp_path / "csv"
+    csv_dir.mkdir()
+    (csv_dir / "m.csv").write_text(
+        'completely,wrong,header\n1,"Smith, Jr.",40\n2,"say ""hi""",\n'
+    )
+    df, _ = parse_csv(spark, str(csv_dir / "m.csv"), specs)
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].name == "Smith, Jr." and rows[1].age == 40
+    assert rows[2].name == 'say "hi"' and rows[2].age is None
+
+
+def test_empty_dir_raises(spark, tmp_path, f1_specs):
+    (tmp_path / "empty").mkdir()
+    with pytest.raises(FileNotFoundError, match="No CSV files"):
+        convert_csv_to_parquet(spark, str(tmp_path / "empty"), str(tmp_path / "o"), specs=f1_specs)
+
+
+def test_bulk_dir_conversion(spark, tmp_path, f1_specs):
+    csv_dir, out_dir = tmp_path / "csv", tmp_path / "bulk_out"
+    csv_dir.mkdir()
+    for i in range(3):
+        _write_csv(csv_dir / f"f{i}.csv", [f"{i},n{i},1.5,2020-01-01,{i},2023-01-01 00:00:00,9.99"])
+    df = convert_csv_dir(spark, str(csv_dir), str(out_dir), specs=f1_specs)
+    assert df.count() == 3
+    assert {r.id for r in df.select("id").collect()} == {0, 1, 2}
