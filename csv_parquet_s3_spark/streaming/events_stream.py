@@ -1,0 +1,61 @@
+"""Streaming event analytics: watermarked tumbling windows and session
+windows over an event stream.
+
+Batch-equivalent semantics to the ``q_events_hourly`` / ``q_events_sessionize``
+operators (operators/relational.py): on a bounded input drained with
+``availableNow``, the streaming aggregation produces the same rows as the
+batch groupBy — which is exactly how the tests pin it.
+
+Scale notes: state is keyed by (window, event_type) / (user, session) and
+bounded by the watermark — late events beyond 30 minutes are dropped rather
+than growing state forever. That watermark bound is what makes this runnable
+indefinitely on a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hourly_event_rollup(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Tumbling 1-hour windows per event_type: count + value sum.
+
+    Works on both a streaming DataFrame (readStream + watermark bounds the
+    state) and a batch DataFrame (window() is the same expression).
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr("CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_window_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based session windows per user (native session_window operator).
+
+    The streaming-native equivalent of the lag/cumsum sessionization in
+    ``q_events_sessionize``: sessions close after ``gap`` of silence.
+    """
+    src = events.withWatermark("ts", gap) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("sw"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("user_id"),
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

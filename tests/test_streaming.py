@@ -1,0 +1,110 @@
+"""Streaming tests: availableNow drains pinned against batch equivalents."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from csv_parquet_s3_spark.schema import parse_schema
+from csv_parquet_s3_spark.sources.tables import load_table
+from csv_parquet_s3_spark.streaming.events_stream import (
+    hourly_event_rollup,
+    session_window_counts,
+)
+from csv_parquet_s3_spark.streaming.ingest_stream import stream_csv_to_parquet
+
+SF = "/root/testdata/sf0.001"
+
+MINI = parse_schema(
+    {
+        "fields": [
+            {"name": "id", "type": "INT32", "repetition": "REQUIRED"},
+            {"name": "name", "type": "BINARY", "logicalType": "STRING"},
+            {"name": "amount", "type": "BINARY", "logicalType": "DECIMAL", "precision": 10, "scale": 2},
+        ]
+    }
+)
+
+
+def test_stream_csv_to_parquet_drains_and_types(spark, tmp_path):
+    csv_dir = tmp_path / "in"
+    csv_dir.mkdir()
+    (csv_dir / "a.csv").write_text("h1,h2,h3\n1,x,1.005\n2,y,\n")
+    (csv_dir / "b.csv").write_text("h1,h2,h3\n3,z,7\n")
+    q = stream_csv_to_parquet(
+        spark, str(csv_dir), str(tmp_path / "out"), str(tmp_path / "ckpt"), MINI
+    )
+    q.awaitTermination(120)
+    df = spark.read.parquet(str(tmp_path / "out"))
+    rows = {r.id: r for r in df.collect()}
+    assert len(rows) == 3
+    assert str(rows[1].amount) == "1.01" and rows[2].amount is None  # typed + null
+
+    # exactly-once: a second availableNow run sees no new files, adds nothing
+    q2 = stream_csv_to_parquet(
+        spark, str(csv_dir), str(tmp_path / "out"), str(tmp_path / "ckpt"), MINI
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 3
+
+    # a newly arriving file IS picked up incrementally
+    (csv_dir / "c.csv").write_text("h1,h2,h3\n4,w,2.5\n")
+    q3 = stream_csv_to_parquet(
+        spark, str(csv_dir), str(tmp_path / "out"), str(tmp_path / "ckpt"), MINI
+    )
+    q3.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 4
+
+
+def _drain_to_memory(df, name: str):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_streaming_hourly_rollup_matches_batch(spark, tmp_path):
+    batch_events = load_table(spark, SF, "events")
+    # stage micros-converted events so the stream source sees a supported type
+    staged = str(tmp_path / "events_us")
+    batch_events.write.parquet(staged)
+
+    stream = spark.readStream.schema(spark.read.parquet(staged).schema).parquet(staged)
+    _drain_to_memory(hourly_event_rollup(stream), "hourly_out")
+    got = {
+        (str(r.hour_start), r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM hourly_out").collect()
+    }
+    want = {
+        (str(r.hour_start), r.event_type): (r.n_events, r.total_value)
+        for r in hourly_event_rollup(spark.read.parquet(staged)).collect()
+    }
+    assert got == want and len(want) > 10
+
+
+def test_streaming_session_windows_match_batch(spark, tmp_path):
+    staged = str(tmp_path / "events_us")
+    load_table(spark, SF, "events").write.parquet(staged)
+    stream = spark.readStream.schema(spark.read.parquet(staged).schema).parquet(staged)
+    _drain_to_memory(session_window_counts(stream), "sessions_out")
+    got = spark.sql("SELECT * FROM sessions_out")
+    want = session_window_counts(spark.read.parquet(staged))
+    assert got.count() == want.count() > 0
+    assert got.select(F.sum("n_events")).first()[0] == want.select(F.sum("n_events")).first()[0]
+    # session count per user matches the lag/cumsum batch sessionizer
+    from csv_parquet_s3_spark.operators.relational import q_events_sessionize
+
+    batch_sessions = {
+        r.user_id: r.n_sessions for r in q_events_sessionize(spark, SF).collect()
+    }
+    stream_sessions = {
+        r.user_id: r.cnt
+        for r in got.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert stream_sessions == batch_sessions
