@@ -5,8 +5,10 @@ the shared registry (:mod:`csv_parquet_s3_spark.operators.registry`).
 """
 
 from csv_parquet_s3_spark.operators import (  # noqa: F401
+    advanced,
     dedup,
     multimodal,
+    outer_json,
     relational,
     similarity,
     textstats,

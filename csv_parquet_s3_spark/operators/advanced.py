@@ -1,0 +1,181 @@
+"""Operators Spark lacks natively, built as compositions of built-ins:
+as-of join, range join (bucketized), exact quantiles, approximate sketches.
+
+As-of join strategy (the distributed classic): union-tag both sides, one
+window pass per key ordered by time carrying the last left-side value
+forward (``last(..., ignorenulls=True)``), then keep right-side rows. One
+shuffle on the join key, no per-group pandas, no driver materialization —
+this is the shape that survives 100 TB (vs ``merge_asof`` per group, which
+needs whole groups in memory).
+
+Range join strategy: align the range dimension to a bucket width, turn the
+band lookup into a computed-key equi-join against a broadcast dimension —
+O(n) instead of the O(n·bands) nested-loop a naive theta join produces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from csv_parquet_s3_spark.operators.registry import register
+from csv_parquet_s3_spark.sources.tables import load_table
+
+BAND_WIDTH = 250
+
+
+# ---------------------------------------------------------------------------
+# As-of join: each error event ↔ the user's most recent purchase at-or-before.
+# ---------------------------------------------------------------------------
+@register(
+    "q_asof_error_to_purchase",
+    oracle="""
+    WITH errors AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+    purchases AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT e.event_id, e.user_id, e.ts,
+           p.ts AS last_purchase_ts,
+           epoch_us(e.ts) - epoch_us(p.ts) AS gap_us
+    FROM errors e ASOF LEFT JOIN purchases p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def q_asof_error_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via union-tag + forward-fill window (DuckDB oracle: ASOF JOIN)."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("is_right")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_right"),
+    )
+    # purchases sort before errors at equal ts → "at-or-before" includes ties
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_right")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tagged = purchases.unionByName(errors).withColumn(
+        "last_purchase_ts",
+        F.last(F.when(F.col("is_right") == 0, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return (
+        tagged.filter(F.col("is_right") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "last_purchase_ts",
+            (F.unix_micros("ts") - F.unix_micros("last_purchase_ts")).alias("gap_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range join: parts ↔ price bands, bucketized to a computed-key equi-join.
+# ---------------------------------------------------------------------------
+@register(
+    "q_range_join_price_bands",
+    oracle=f"""
+    WITH bands AS (
+        SELECT CAST(i AS INT) AS band_id,
+               i * {BAND_WIDTH} AS lo, (i + 1) * {BAND_WIDTH} AS hi,
+               'band_' || CAST(CAST(i AS INT) AS VARCHAR) AS band_label
+        FROM range(0, 40) t(i)
+    )
+    SELECT p_partkey, p_retailprice, band_label, COUNT(*) OVER (PARTITION BY band_label) AS n_in_band
+    FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+    """,
+)
+def q_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join executed as a bucketized equi-join on the computed band key.
+
+    The oracle states the semantics as a theta join; the Spark plan computes
+    ``floor(price / width)`` and equi-joins the broadcast band dimension —
+    same result, linear cost.
+    """
+    part = load_table(spark, sf_dir, "part")
+    bands = spark.range(0, 40).select(
+        F.col("id").cast("int").alias("band_id"),
+        (F.col("id") * BAND_WIDTH).alias("lo"),
+        ((F.col("id") + 1) * BAND_WIDTH).alias("hi"),
+        F.concat(F.lit("band_"), F.col("id").cast("int").cast("string")).alias("band_label"),
+    )
+    keyed = part.withColumn(
+        "band_id", F.floor(F.col("p_retailprice") / BAND_WIDTH).cast("int")
+    )
+    joined = keyed.join(F.broadcast(bands), "band_id").filter(
+        (F.col("p_retailprice") >= F.col("lo")) & (F.col("p_retailprice") < F.col("hi"))
+    )
+    return joined.select(
+        "p_partkey",
+        "p_retailprice",
+        "band_label",
+        F.count("*").over(W.partitionBy("band_label")).alias("n_in_band"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact quantiles (interpolated), per group.
+# ---------------------------------------------------------------------------
+@register(
+    "q_order_value_quantiles",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(ROUND(quantile_cont(o_totalprice, 0.5), 6) AS DOUBLE) AS median_value,
+           CAST(ROUND(quantile_cont(o_totalprice, 0.9), 6) AS DOUBLE) AS p90_value,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_value,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_value
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_order_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).cast("double").alias("median_value"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).cast("double").alias("p90_value"),
+        F.min("o_totalprice").cast("double").alias("min_value"),
+        F.max("o_totalprice").cast("double").alias("max_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate sketches: engine-specific estimates → rows-only check.
+# ---------------------------------------------------------------------------
+@register("q_approx_sketches")  # no oracle: HLL/quantile-sketch estimates differ per engine
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) and percentile_approx at scale-friendly
+    constant memory — the 100 TB substitutes for exact distinct/quantiles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "q_grouping_sets_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS gross,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+)
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (same SQL text runs on both engines)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS gross,
+               COUNT(*) AS n_rows
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """
+    )

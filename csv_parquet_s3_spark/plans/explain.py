@@ -1,0 +1,59 @@
+"""Physical-plan inspection helpers: the `.explain("formatted")` feedback
+loop used to keep every headline query scale-shaped.
+
+What "good" looks like (SURVEY.md §4.2 / the 100 TB design point):
+
+- ``PushedFilters`` non-empty on filtered Parquet scans;
+- ``ReadSchema`` pruned to the referenced columns, not the full table;
+- constant-size dims joined via ``BroadcastHashJoin``, not sort-merge;
+- few ``Exchange`` nodes (each is a shuffle), none avoidable;
+- wide ``WholeStageCodegen`` spans (expressions stayed JVM-side).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@dataclass
+class PlanStats:
+    n_exchanges: int
+    n_broadcast_joins: int
+    n_sortmerge_joins: int
+    n_scans: int
+    scans_with_pushed_filters: int
+    read_schemas: list[str]
+    plan: str
+
+    def summary(self) -> str:
+        return (
+            f"exchanges={self.n_exchanges} bhj={self.n_broadcast_joins} "
+            f"smj={self.n_sortmerge_joins} scans={self.n_scans} "
+            f"pushed={self.scans_with_pushed_filters}"
+        )
+
+
+def analyze(df: DataFrame) -> PlanStats:
+    plan = formatted_plan(df)
+    read_schemas = re.findall(r"ReadSchema: (.+)", plan)
+    pushed = [
+        m for m in re.findall(r"PushedFilters: \[(.*?)\]", plan) if m.strip()
+    ]
+    return PlanStats(
+        n_exchanges=len(re.findall(r"\bExchange\b", plan)),
+        n_broadcast_joins=len(re.findall(r"BroadcastHashJoin", plan)),
+        n_sortmerge_joins=len(re.findall(r"SortMergeJoin", plan)),
+        n_scans=len(re.findall(r"Scan parquet", plan)),
+        scans_with_pushed_filters=len(pushed),
+        read_schemas=read_schemas,
+        plan=plan,
+    )
