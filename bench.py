@@ -33,7 +33,9 @@ HEADLINE = [
     "q_events_sessionize",
     "dedup_exact_documents",
     "dedup_minhash_lsh_pairs",
+    "dedup_embedding_cosine_pairs",
     "sim_cosine_topk_bruteforce",
+    "q_asof_error_to_purchase",
     "text_token_counts",
     "mm_payload_stats",
 ]

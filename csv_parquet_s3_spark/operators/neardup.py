@@ -1,0 +1,179 @@
+"""Near-duplicate detection beyond MinHash: embedding-cosine pairs and
+blocked n-gram Jaccard — the remaining dedup modalities of a training-data
+pipeline.
+
+Both are *blocked* pair generators: candidate pairs come only from within a
+blocking key (coarse cluster label / (lang, length-bucket)), so pair volume
+is Σ block² instead of n² — the standard scale pattern. Blocks shuffle on
+their key; AQE skew-join covers a hot block.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from csv_parquet_s3_spark.operators.registry import register
+from csv_parquet_s3_spark.sources.tables import load_table
+
+COSINE_DUP_THRESHOLD = 0.35
+JACCARD_THRESHOLD = 0.4
+MAX_VEC_ID = 1000  # bound the oracle's pair volume at sf0.01
+LEN_BUCKET = 100
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (label-blocked).
+# ---------------------------------------------------------------------------
+_DOT = (
+    "list_sum(list_transform(range(1, len({a}) + 1),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_NORM = (
+    "sqrt(list_sum(list_transform(range(1, len({v}) + 1),"
+    " i -> CAST({v}[i] AS DOUBLE) * CAST({v}[i] AS DOUBLE))))"
+)
+
+
+@register(
+    "dedup_embedding_cosine_pairs",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding, {_NORM.format(v='embedding')} AS nrm
+        FROM embeddings WHERE vec_id < {MAX_VEC_ID}
+    )
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.label,
+           CAST(ROUND({_DOT.format(a='a.embedding', b='b.embedding')}
+                / (a.nrm * b.nrm), 6) AS DOUBLE) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm)
+          >= {COSINE_DUP_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs: cosine ≥ threshold within a coarse cluster.
+
+    The label column stands in for an ANN partitioner (IVF cell / LSH
+    bucket); pairs are only scored inside a block.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < MAX_VEC_ID)
+    vd = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    norm = F.sqrt(
+        F.aggregate(
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    e = emb.select("vec_id", "label", vd.alias("vd"), norm.alias("nrm"))
+    a = e.select(
+        F.col("vec_id").alias("vec_id_a"), "label",
+        F.col("vd").alias("vd_a"), F.col("nrm").alias("nrm_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("label").alias("label_b"),
+        F.col("vd").alias("vd_b"), F.col("nrm").alias("nrm_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("vd_a"), F.col("vd_b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    cos = dot / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_id_a") < F.col("vec_id_b")))
+        .filter(cos >= COSINE_DUP_THRESHOLD)
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            "label",
+            F.round(cos, 6).cast("double").alias("cos_sim"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocked n-gram Jaccard pairs via shingle inverted index.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_ngram_jaccard_blocked",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, lang, CAST(n_chars // {LEN_BUCKET} AS BIGINT) AS lb,
+               string_split(text, ' ') AS toks
+        FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ),
+    shingles AS (
+        SELECT DISTINCT doc_id, lang, lb, s AS shingle
+        FROM docs, UNNEST(list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS t(s)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_common
+        FROM shingles a
+        JOIN shingles b ON a.shingle = b.shingle AND a.lang = b.lang
+                        AND a.lb = b.lb AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_id_a, i.doc_id_b,
+           CAST(ROUND(CAST(i.n_common AS DOUBLE)
+                      / (za.n + zb.n - i.n_common), 6) AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_id_a
+    JOIN sizes zb ON zb.doc_id = i.doc_id_b
+    WHERE CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dups via inverted-index join, blocked by
+    (lang, length-bucket): only docs sharing a shingle inside a block ever
+    meet, so cost tracks shared-content density, not n²."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(f"CAST(n_chars DIV {LEN_BUCKET} AS BIGINT)").alias("lb"),
+        F.split("text", " ").alias("toks"),
+    ).filter(F.size("toks") >= 3)
+    shingles = toks.select(
+        "doc_id",
+        "lang",
+        "lb",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(0, size(toks)-3),"
+                " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
+            )
+        ).alias("shingle"),
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = shingles.select(
+        F.col("doc_id").alias("doc_id_a"), "lang", "lb", "shingle"
+    )
+    b = shingles.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("lb").alias("lb_b"),
+        F.col("shingle").alias("shingle_b"),
+    )
+    inter = (
+        a.join(
+            b,
+            (F.col("shingle") == F.col("shingle_b"))
+            & (F.col("lang") == F.col("lang_b"))
+            & (F.col("lb") == F.col("lb_b"))
+            & (F.col("doc_id_a") < F.col("doc_id_b")),
+        )
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n").alias("n_b"))
+    jacc = F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        inter.join(za, "doc_id_a")
+        .join(zb, "doc_id_b")
+        .filter(jacc >= JACCARD_THRESHOLD)
+        .select("doc_id_a", "doc_id_b", F.round(jacc, 6).cast("double").alias("jaccard"))
+    )
