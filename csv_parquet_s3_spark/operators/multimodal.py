@@ -86,37 +86,41 @@ FEATURE_SCHEMA = T.StructType(
 N_HIST_BUCKETS = 8
 
 
-def _byte_histogram_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Per-batch feature extraction: normalized byte histogram of the payload.
-
-    This is the real shape of a media featurizer: Arrow batch in → vectorized
-    numpy work → fixed-width feature vector out. A codec-backed extractor
-    (image decode, audio resample) slots into the same function body.
-    """
-    import numpy as np
-
-    for pdf in batches:
-        feats = []
-        for payload in pdf["payload"]:
-            arr = np.frombuffer(bytes(payload), dtype=np.uint8)
-            if arr.size == 0:
-                feats.append([0.0] * N_HIST_BUCKETS)
-                continue
-            hist, _ = np.histogram(arr, bins=N_HIST_BUCKETS, range=(0, 256))
-            feats.append((hist / arr.size).round(6).tolist())
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "n_bytes": pdf["payload"].map(len).astype("int32"),
-                "byte_histogram": feats,
-            }
-        )
-
-
 def extract_byte_features(docs_with_payload: DataFrame) -> DataFrame:
-    """Distributed featurization: mapInPandas over the payload column."""
+    """Distributed featurization: mapInPandas over the payload column.
+
+    The batch function is a nested closure ON PURPOSE: cloudpickle then
+    serializes it by value, so Spark's Python workers don't need this
+    package on their PYTHONPATH (the driver may import us by file path).
+    The body is the real shape of a media featurizer: Arrow batch in →
+    vectorized numpy work → fixed-width feature vector out; a codec-backed
+    extractor (image decode, audio resample) slots into the same body.
+    """
+    n_buckets = N_HIST_BUCKETS
+
+    def byte_histogram_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if arr.size == 0:
+                    feats.append([0.0] * n_buckets)
+                    continue
+                hist, _ = np.histogram(arr, bins=n_buckets, range=(0, 256))
+                feats.append((hist / arr.size).round(6).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int32"),
+                    "byte_histogram": feats,
+                }
+            )
+
     return docs_with_payload.select("doc_id", "payload").mapInPandas(
-        _byte_histogram_batches, schema=FEATURE_SCHEMA
+        byte_histogram_batches, schema=FEATURE_SCHEMA
     )
 
 
@@ -124,6 +128,49 @@ def extract_byte_features(docs_with_payload: DataFrame) -> DataFrame:
 def mm_byte_histogram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return extract_byte_features(attach_payload(docs))
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_bytes", T.IntegerType(), False),
+        T.StructField("frame_checksum", T.StringType(), False),
+    ]
+)
+
+
+@register("mm_frame_samples")  # 1→N mapInPandas explode → rows-only check
+def mm_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads: the 1-row→N-frames mapInPandas
+    shape a video pipeline uses (deterministic byte-window stand-in for
+    codec-backed frame extraction). Nested closure → pickled by value, no
+    package import needed on workers."""
+    docs = load_table(spark, sf_dir, "documents")
+    stride = FRAME_BYTES
+
+    def sample_frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_checksum": []
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                frames = [data[i : i + stride] for i in range(0, len(data), stride)]
+                for idx, frame in enumerate(frames):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_bytes"].append(len(frame))
+                    out["frame_checksum"].append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(out)
+
+    return attach_payload(docs).select("doc_id", "payload").mapInPandas(
+        sample_frame_batches, schema=FRAME_SCHEMA
+    )
 
 
 # ---------------------------------------------------------------------------

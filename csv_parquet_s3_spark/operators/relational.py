@@ -274,16 +274,17 @@ def q_semi_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @register(
-    "q_anti_customers_without_orders",
+    "q_anti_customers_without_open_orders",
     oracle="""
     SELECT c_custkey, c_name, c_acctbal
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
     """,
 )
-def q_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_anti_customers_without_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
     return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_acctbal"
     )

@@ -23,5 +23,9 @@ def test_query_matches_oracle(spark, duck, name, fn, oracle):
         n = df.count()
         assert n >= 0
         return
-    ok, msg = compare(df, duck.sql(oracle))
+    rel = duck.sql(oracle)
+    ok, msg = compare(df, rel)
     assert ok, f"{name}: {msg}"
+    # 0-row agreement is a trivial (vacuous) match — every oracle query must
+    # exercise real rows at the test SF, or the check proves nothing.
+    assert len(rel.df()) > 0, f"{name}: oracle returns 0 rows — vacuous check"
