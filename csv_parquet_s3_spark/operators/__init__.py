@@ -13,6 +13,7 @@ from csv_parquet_s3_spark.operators import (  # noqa: F401
     relational,
     similarity,
     textstats,
+    tpch_ext,
 )
 from csv_parquet_s3_spark.operators.registry import ORACLES, QUERIES
 

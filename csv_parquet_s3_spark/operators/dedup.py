@@ -193,9 +193,37 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Only documents sharing an LSH bucket are ever paired, so the join volume
     tracks the true near-dup density instead of n².
+
+    Verification joins each candidate pair against a per-document *shingle
+    set array* (``collect_set`` → ``array_intersect``) instead of re-joining
+    the exploded (doc, shingle) table twice: two narrow joins on doc_id and
+    zero extra shuffles of shingle rows. A document's shingle set is bounded
+    by its length, so the array row stays small at any corpus scale.
     """
-    sh = _shingles(spark, sf_dir).cache()
-    bands = _minhash_bands(spark, sf_dir, shingles=sh)
+    sh = _shingles(spark, sf_dir)
+    # ONE aggregation pass produces the whole per-document signature row:
+    # all NUM_PERMS min-hashes + the shingle set + its size. The result is
+    # doc-level (one row per document) — the table a production LSH pipeline
+    # would materialize to storage; persisting it here means the shingle
+    # explode+shuffle runs exactly once for banding AND verification.
+    sig_aggs = [
+        F.expr(f"min(md5(cast(concat('{p}:', shingle) as binary)))").alias(f"mh{p}")
+        for p in range(NUM_PERMS)
+    ]
+    shingle_sets = (
+        sh.groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sset"), F.count("*").alias("n"), *sig_aggs)
+        .persist()
+    )
+    n_bands = NUM_PERMS // BAND_SIZE
+    band_hashes = [
+        f"md5(cast(concat_ws(',', {', '.join(f'mh{p}' for p in range(b * BAND_SIZE, (b + 1) * BAND_SIZE))}) as binary))"
+        for b in range(n_bands)
+    ]
+    bands = shingle_sets.select(
+        "doc_id",
+        F.posexplode(F.expr(f"array({', '.join(band_hashes)})")).alias("band_i", "bucket"),
+    ).select("doc_id", F.col("band_i").cast("bigint").alias("band"), "bucket")
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
         a.join(
@@ -207,22 +235,16 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
-    inter = (
-        candidates.join(sa, "doc_id_a")
-        .join(sb, ["doc_id_b", "shingle"])  # equi-join on (doc, shingle) → intersection rows
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count("*").alias("n_common"))
+    za = shingle_sets.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("sset").alias("sset_a"), F.col("n").alias("n_a")
     )
-    za = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n").alias("n_a"))
-    zb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n").alias("n_b"))
-    jacc = F.col("n_common").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    zb = shingle_sets.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("sset").alias("sset_b"), F.col("n").alias("n_b")
     )
+    n_common = F.size(F.array_intersect("sset_a", "sset_b"))
+    jacc = n_common.cast("double") / (F.col("n_a") + F.col("n_b") - n_common)
     return (
-        inter.join(za, "doc_id_a")
+        candidates.join(za, "doc_id_a")
         .join(zb, "doc_id_b")
         .filter(jacc >= JACCARD_THRESHOLD)
         .select(
