@@ -31,6 +31,11 @@ HEADLINE = [
     "q_window_running_revenue",
     "q_rollup_revenue",
     "q_events_sessionize",
+    "q07_nation_trade_volume",
+    "q09_profit_by_nation_year",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q_events_trailing_hour",
     "dedup_exact_documents",
     "dedup_minhash_lsh_pairs",
     "dedup_embedding_cosine_pairs",

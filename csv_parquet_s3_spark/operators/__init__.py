@@ -11,6 +11,7 @@ from csv_parquet_s3_spark.operators import (  # noqa: F401
     neardup,
     outer_json,
     relational,
+    reshape,
     similarity,
     textstats,
     tpch_ext,
