@@ -165,6 +165,124 @@ def sim_cosine_topk_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+K_LISTS = 8  # IVF coarse lists (seed centroids = vec_id N_QUERIES..N_QUERIES+7)
+N_PROBE = 3  # lists probed per query
+
+
+@register(
+    "sim_cosine_topk_ivf_probe",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id - {N_QUERIES} AS list_id, embedding AS cv,
+               {_ORACLE_NORM.format(v='embedding')} AS cnorm
+        FROM embeddings
+        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + K_LISTS}
+    ),
+    assign AS (
+        SELECT vec_id, label, embedding, norm, list_id FROM (
+            SELECT e.vec_id, e.label, e.embedding, list_id,
+                   {_ORACLE_NORM.format(v='e.embedding')} AS norm,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY CAST(ROUND({_ORACLE_DOT.format(a='e.embedding', b='c.cv')}
+                                / ({_ORACLE_NORM.format(v='e.embedding')} * c.cnorm), 6)
+                                AS DOUBLE) DESC, list_id) AS rn
+            FROM embeddings e, cent c
+        ) t WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, list_id FROM (
+            SELECT q.vec_id AS query_id, c.list_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY CAST(ROUND({_ORACLE_DOT.format(a='q.embedding', b='c.cv')}
+                                / ({_ORACLE_NORM.format(v='q.embedding')} * c.cnorm), 6)
+                                AS DOUBLE) DESC, list_id) AS rn
+            FROM embeddings q, cent c WHERE q.vec_id < {N_QUERIES}
+        ) t WHERE rn <= {N_PROBE}
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id, a.list_id,
+               CAST(ROUND({_ORACLE_DOT.format(a='q.embedding', b='a.embedding')}
+                    / ({_ORACLE_NORM.format(v='q.embedding')} * a.norm), 6) AS DOUBLE)
+                 AS cos_sim
+        FROM probes p
+        JOIN assign a ON a.list_id = p.list_id
+        JOIN embeddings q ON q.vec_id = p.query_id
+        WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, list_id, cos_sim, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored
+    ) t WHERE rn <= {TOP_K}
+    """,
+)
+def sim_cosine_topk_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True IVF ANN: seed centroids → nearest-centroid inverted lists →
+    nprobe-pruned top-k.
+
+    The coarse quantizer is K deterministic seed vectors (a k-means init —
+    portable so the oracle can replay it; a trained quantizer slots in
+    without changing the dataflow). Index build = one broadcast cross join
+    (corpus × K centroids, map-side) + one argmin; search scores only the
+    NPROBE/K fraction of the corpus whose lists the query probes. At 100 TB
+    the inverted lists are the partition key — each query's work is bounded
+    by its probed lists, never the full corpus.
+    """
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    cent = (
+        emb.filter(
+            (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + K_LISTS)
+        )
+        .select(
+            (F.col("vec_id") - N_QUERIES).alias("list_id"),
+            F.col("vd").alias("cv"),
+            F.col("norm").alias("cnorm"),
+        )
+    )
+    cent_sim = F.round(
+        _dot(F.col("vd"), F.col("cv")) / (F.col("norm") * F.col("cnorm")), 6
+    ).cast("double")
+    w_assign = W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("list_id"))
+    assign = (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("csim", cent_sim)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "vd", "norm", "list_id")
+    )
+    probes = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cent))
+        .withColumn("csim", cent_sim)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= N_PROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vd").alias("qv"),
+            F.col("norm").alias("qnorm"),
+            "list_id",
+        )
+    )
+    scored = (
+        assign.join(F.broadcast(probes), "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "list_id",
+            F.round(_dot(F.col("qv"), F.col("vd")) / (F.col("qnorm") * F.col("norm")), 6)
+            .cast("double")
+            .alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return scored.select("*", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= TOP_K
+    )
+
+
 @register(
     "sim_label_centroid_distance",
     oracle="""
