@@ -168,14 +168,21 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS (same SQL text runs on both engines)."""
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    """Explicit GROUPING SETS, two-phase: the fact aggregates to its base
+    grain first (map-side combine), then the Expand for the grouping sets
+    runs over the |groups|-row pre-aggregate instead of the whole fact
+    (lossless because SUM/COUNT re-aggregate; keys non-null here)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.expr("SUM(CAST(l_extendedprice AS DECIMAL(12,2)))").alias("_gross"),
+        F.count("*").alias("_n"),
+    ).createOrReplaceTempView("lineitem_gs_base")
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
-               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS gross,
-               COUNT(*) AS n_rows
-        FROM lineitem_gs
+               CAST(ROUND(SUM(_gross), 2) AS DOUBLE) AS gross,
+               SUM(_n) AS n_rows
+        FROM lineitem_gs_base
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
         """
     )

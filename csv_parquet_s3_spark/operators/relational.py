@@ -389,9 +389,18 @@ def q_window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase rollup: aggregate to the base grain first (map-side combine
+    shrinks the shuffle to one row per group), then rollup the tiny result —
+    the Expand runs over |groups| rows, not the whole fact. Equivalent
+    because SUM/COUNT re-aggregate losslessly (keys are non-null here; a
+    NULL-keyed input would need grouping_id to disambiguate)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.expr(money_sum(REVENUE, "revenue")), F.count("*").alias("n_rows")
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.expr(f"SUM({REVENUE})").alias("_rev"), F.count("*").alias("_n")
+    )
+    return base.rollup("l_returnflag", "l_linestatus").agg(
+        F.expr("CAST(ROUND(SUM(_rev), 2) AS DOUBLE)").alias("revenue"),
+        F.sum("_n").alias("n_rows"),
     )
 
 
@@ -405,10 +414,15 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_cube_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase cube (see q_rollup_revenue): base-grain aggregate first,
+    cube the |groups|-row result."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.cube("o_orderstatus", "o_orderpriority").agg(
-        F.expr(money_sum(DEC_TOTALPRICE, "total_value")),
-        F.count("*").alias("n_orders"),
+    base = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.expr(f"SUM({DEC_TOTALPRICE})").alias("_tot"), F.count("*").alias("_n")
+    )
+    return base.cube("o_orderstatus", "o_orderpriority").agg(
+        F.expr("CAST(ROUND(SUM(_tot), 2) AS DOUBLE)").alias("total_value"),
+        F.sum("_n").alias("n_orders"),
     )
 
 
