@@ -1,0 +1,135 @@
+"""Property-based tests (hypothesis) for the ingest cast semantics.
+
+The reference's own test inspects ~18 hand-picked values of one row
+(SURVEY.md §5); these properties check the full §1.2 value table against an
+independent Python model over generated inputs:
+
+- DECIMAL is lenient: any numeric string → rescale-2 HALF_UP; garbage → null
+  (CsvToParquetConverter.java:188-195);
+- empty/whitespace cells → null even for REQUIRED fields (:160-163);
+- INT32/INT64 accept exactly Integer.parseInt syntax; anything else is a
+  strict violation that fails the file (:173, :181, :204-213);
+- TIMESTAMP_MICROS truncates nano fractions to micros, parsed as UTC
+  (:129-142).
+
+One hypothesis example = one generated CSV *batch* (a Spark job per example
+is the cost driver, so rows-per-example is maximized instead of examples).
+"""
+
+from __future__ import annotations
+
+import decimal
+import os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from csv_parquet_s3_spark.ingest import IngestError, check_strict, parse_csv
+from csv_parquet_s3_spark.schema import FieldSpec
+
+SPECS = [
+    FieldSpec("id", "INT32", None, required=True),
+    FieldSpec("big", "INT64", None),
+    FieldSpec("amount", "BINARY", "DECIMAL", precision=10, scale=2),
+    FieldSpec("note", "BINARY", "STRING"),
+]
+
+_DEC_CTX = decimal.Context(rounding=decimal.ROUND_HALF_UP)
+
+
+def _model_decimal(cell: str):
+    """The reference's decimal semantics: BigDecimal(cell).setScale(2, HALF_UP),
+    unparseable → null (CsvToParquetConverter.java:188-195)."""
+    if cell.strip() == "":
+        return None
+    try:
+        return decimal.Decimal(cell.strip()).quantize(
+            decimal.Decimal("0.01"), context=_DEC_CTX
+        )
+    except decimal.InvalidOperation:
+        return None
+
+
+def _model_int(cell: str, bits: int):
+    if cell.strip() == "":
+        return None, False
+    s = cell.strip()
+    body = s[1:] if s[:1] in "+-" else s
+    if not (body.isdigit() and body.isascii()):
+        return None, True  # strict violation
+    v = int(s)
+    lo, hi = -(2 ** (bits - 1)), 2 ** (bits - 1) - 1
+    if not (lo <= v <= hi):
+        return None, True
+    return v, False
+
+
+def _write_csv(tmp_path, rows: list[tuple[str, ...]]) -> str:
+    import csv as _csv
+
+    path = os.path.join(str(tmp_path), "gen.csv")
+    with open(path, "w", newline="") as fh:
+        w = _csv.writer(fh)
+        w.writerow([s.name for s in SPECS])  # header consumed, not read
+        w.writerows(rows)
+    return path
+
+
+# Cells that exercise every branch: valid ints, signed, overflow, floats,
+# whitespace, garbage, quotes-free text.
+int_cells = st.one_of(
+    st.integers(-(2**40), 2**40).map(str),
+    st.just(""),
+    st.just("   "),
+    st.sampled_from(["12.5", "1e3", "abc", "+7", "-0", "99999999999999999999"]),
+)
+dec_cells = st.one_of(
+    st.decimals(
+        allow_nan=False, allow_infinity=False, places=4, min_value=-10**6, max_value=10**6
+    ).map(str),
+    st.sampled_from(["", " ", "garbage", "1.005", "2.675", "-3.335", ".5", "1e2"]),
+)
+text_cells = st.text(
+    alphabet=st.characters(codec="ascii", exclude_characters='",\r\n'), max_size=12
+)
+row_strategy = st.tuples(int_cells, int_cells, dec_cells, text_cells)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(row_strategy, min_size=1, max_size=40))
+def test_ingest_matches_reference_model(spark, tmp_path, rows):
+    path = _write_csv(tmp_path, rows)
+
+    expect_violation = False
+    expected = []
+    for r in rows:
+        id_v, id_bad = _model_int(r[0], 32)
+        big_v, big_bad = _model_int(r[1], 64)
+        expect_violation |= id_bad or big_bad
+        expected.append(
+            (
+                id_v,
+                big_v,
+                _model_decimal(r[2]),
+                r[3] if r[3].strip() != "" else None,
+            )
+        )
+
+    if expect_violation:
+        try:
+            check_strict(spark, path, SPECS)
+            raise AssertionError("strict violation not detected")
+        except IngestError:
+            return
+
+    check_strict(spark, path, SPECS)
+    df, _ = parse_csv(spark, path, SPECS)
+    got = [
+        (r.id, r.big, r.amount, r.note)
+        for r in df.collect()
+    ]
+    assert sorted(got, key=repr) == sorted(expected, key=repr)
