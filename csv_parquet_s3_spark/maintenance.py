@@ -1,0 +1,88 @@
+"""Dataset maintenance: small-file compaction and sorted rewrite.
+
+The small-files problem is the dominant operational failure of
+directory-of-parquet datasets at scale (every file is a task + a NameNode/
+object-store entry; 100 TB of 1 MiB files is 100M scheduler rounds). The
+reference's only maintenance op is the purge (SURVEY.md O13-O22,
+`src/SQL/AutoPurge.sql`); compaction is its natural sibling for an engine
+whose ingest (streaming especially) produces per-trigger files.
+
+Both ops follow the purge module's atomicity pattern: write to a staging
+directory, then swap — readers never observe a half-compacted dataset.
+
+Scale notes: compaction is one distributed read → repartition → write; the
+file-count target derives from dataset bytes, not row counts, so the same
+call works at any SF. The sorted rewrite additionally clusters rows so
+parquet row-group min/max stats become selective (data skipping) — the
+object-store-native stand-in for indexes.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from csv_parquet_s3_spark.session import PARQUET_BLOCK_SIZE
+
+DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024  # one row group per file
+
+
+def dataset_bytes(path: str) -> int:
+    """Total bytes of the parquet parts under ``path`` (local filesystems;
+    on s3a:// use the FileSystem API via spark._jvm the same way)."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith("."):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def parquet_file_count(path: str) -> int:
+    return sum(
+        1
+        for _root, _dirs, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet") and not f.startswith(".")
+    )
+
+
+def _atomic_swap(staging: str, final: str) -> None:
+    backup = final + "._old-" + uuid.uuid4().hex[:8]
+    os.rename(final, backup)
+    os.rename(staging, final)
+    shutil.rmtree(backup)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    sort_by: list[str] | None = None,
+) -> int:
+    """Rewrite ``path`` into ``ceil(bytes/target)`` files; returns new count.
+
+    With ``sort_by``, rows are range-partitioned then sorted within files on
+    those columns, so every output file covers a narrow key range and parquet
+    footer min/max stats prune file scans for key predicates.
+    """
+    n_files = max(1, -(-dataset_bytes(path) // target_file_bytes))
+    df: DataFrame = spark.read.parquet(path)
+    if sort_by:
+        df = df.repartitionByRange(n_files, *[F.col(c) for c in sort_by])
+        df = df.sortWithinPartitions(*sort_by)
+    else:
+        df = df.coalesce(n_files) if n_files < df.rdd.getNumPartitions() else df.repartition(n_files)
+    staging = path.rstrip("/") + "._compact-" + uuid.uuid4().hex[:8]
+    (
+        df.write.mode("overwrite")
+        .option("compression", "snappy")
+        .option("parquet.block.size", str(PARQUET_BLOCK_SIZE))
+        .parquet(staging)
+    )
+    _atomic_swap(staging, path)
+    return parquet_file_count(path)

@@ -6,6 +6,7 @@ the shared registry (:mod:`csv_parquet_s3_spark.operators.registry`).
 
 from csv_parquet_s3_spark.operators import (  # noqa: F401
     advanced,
+    components,
     dedup,
     multimodal,
     neardup,

@@ -1,0 +1,63 @@
+"""Compaction: file-count reduction, data fidelity, atomic swap, sorted
+rewrite with selective row-group stats."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from csv_parquet_s3_spark.maintenance import compact, parquet_file_count
+
+
+def _fragmented_dataset(spark, path, n_files=24, rows=6000):
+    (
+        spark.range(rows)
+        .select(
+            F.col("id"),
+            (F.col("id") % 97).alias("k"),
+            F.md5(F.col("id").cast("string").cast("binary")).alias("payload"),
+        )
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def test_compact_reduces_files_preserves_rows(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    _fragmented_dataset(spark, path)
+    before = spark.read.parquet(path)
+    n_before = parquet_file_count(path)
+    checksum_before = before.agg(F.sum(F.crc32(F.concat_ws("|", "id", "k", "payload")))).collect()[0][0]
+
+    n_after = compact(spark, path, target_file_bytes=256 * 1024 * 1024)
+
+    assert n_after < n_before
+    after = spark.read.parquet(path)
+    assert after.count() == 6000
+    checksum_after = after.agg(F.sum(F.crc32(F.concat_ws("|", "id", "k", "payload")))).collect()[0][0]
+    assert checksum_after == checksum_before
+    # no staging/backup residue next to the dataset
+    parent = os.path.dirname(path)
+    assert [d for d in os.listdir(parent) if "._" in d] == []
+
+
+def test_compact_sorted_clusters_key_ranges(spark, tmp_path):
+    path = str(tmp_path / "sorted_ds")
+    _fragmented_dataset(spark, path)
+
+    compact(spark, path, target_file_bytes=64 * 1024, sort_by=["id"])
+
+    # every output file must cover a disjoint id range (range partitioning):
+    # per-file min/max do not overlap → parquet stats prune point lookups
+    per_file = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("id").alias("lo"), F.max("id").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r.lo, r.hi) for r in per_file)
+    assert len(spans) > 1
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev < lo_next
