@@ -1,0 +1,57 @@
+"""Stream-stream interval join: click → purchase attribution with watermarks.
+
+The hardest built-in Structured Streaming operator: both sides are unbounded,
+so the join buffers each side's rows in state until the watermark proves no
+matching row can still arrive. The event-time range condition
+(``purchase within ATTRIBUTION_WINDOW after the click``) is what bounds the
+state — without it a stream-stream join cannot evict anything.
+
+Batch-equivalent semantics: on a bounded input the same expression tree is a
+plain self-join with a time-range predicate, which is how the tests pin it.
+
+Scale notes: state is keyed by user_id (one shuffle per side) and each side
+evicts rows older than watermark + window — constant state per active user,
+indefinitely runnable. Attribution fan-out (a purchase matches several
+preceding clicks) is the semantics, not a bug; dedup-to-last-click is a
+downstream ``row_number`` over the attribution output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ATTRIBUTION_WINDOW = "1 hour"
+WATERMARK = "30 minutes"
+
+
+def click_purchase_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window: str = ATTRIBUTION_WINDOW,
+    watermark: str = WATERMARK,
+) -> DataFrame:
+    """Join each purchase to the clicks of the same user in the preceding
+    ``window``. Both inputs need (user_id, ts, value); streaming inputs get
+    watermarks so join state is evictable."""
+    c = clicks.select(
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    if purchases.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {window}"))
+    )
+    return c.join(p, cond).select(
+        "user_id", "click_ts", "purchase_ts", "purchase_value"
+    )
