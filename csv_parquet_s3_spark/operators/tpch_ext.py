@@ -564,3 +564,155 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q15 analog — top supplier(s) by revenue (scalar MAX over an aggregate).
+# ---------------------------------------------------------------------------
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH srev AS (
+        SELECT l_suppkey, SUM({REVENUE}) AS total_rev
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(ROUND(total_rev, 2) AS DOUBLE) AS total_revenue
+    FROM srev JOIN supplier ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM srev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax via scalar subquery: the MAX of the per-supplier aggregate is a
+    one-row broadcast; DECIMAL revenue makes the equality exact (a double
+    sum could never safely '=' across engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    srev = li.groupBy("l_suppkey").agg(F.expr(f"SUM({REVENUE})").alias("total_rev"))
+    mx = srev.agg(F.max("total_rev").alias("mx"))
+    return (
+        srev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.expr("CAST(ROUND(total_rev, 2) AS DOUBLE)").alias("total_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 analog — supplier diversity per part attribute, NOT IN exclusion.
+# ---------------------------------------------------------------------------
+@register(
+    "q16_supplier_diversity",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_type <> 'PROMO'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN as a left-anti join against the (small, broadcast) exclusion
+    set, then a distinct-count aggregate per part attribute triple."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") != "PROMO")
+    excluded = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(excluded), li.l_suppkey == excluded.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 analog — suppliers moving large volumes of SMALL parts (semi-join on
+# an aggregated HAVING subquery).
+# ---------------------------------------------------------------------------
+@register(
+    "q20_bulk_small_part_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_type = 'SMALL'
+        GROUP BY l_suppkey
+        HAVING SUM(l_quantity) > 100.0
+    )
+    """,
+)
+def q20_bulk_small_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery over an aggregate with HAVING → aggregate first, then a
+    left-semi join; the qualifying-supplier set shrinks before it touches
+    the supplier table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
+    supp = load_table(spark, sf_dir, "supplier")
+    qualifying = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100.0)
+    )
+    return supp.join(
+        qualifying, supp.s_suppkey == qualifying.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
+
+
+# ---------------------------------------------------------------------------
+# Q21 analog — last shipper of multi-supplier orders.
+# ---------------------------------------------------------------------------
+@register(
+    "q21_last_shipper_counts",
+    oracle="""
+    WITH order_supp AS (
+        SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS last_ship
+        FROM lineitem GROUP BY l_orderkey, l_suppkey
+    ),
+    multi AS (
+        SELECT l_orderkey, MAX(last_ship) AS order_last
+        FROM order_supp GROUP BY l_orderkey
+        HAVING COUNT(*) >= 2
+    )
+    SELECT s_name, COUNT(*) AS n_orders_last_shipper
+    FROM order_supp os
+    JOIN multi m ON os.l_orderkey = m.l_orderkey
+                AND os.last_ship = m.order_last
+    JOIN supplier ON s_suppkey = os.l_suppkey
+    GROUP BY s_name
+    """,
+)
+def q21_last_shipper_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21's shape without correlated NOT EXISTS: per-(order, supplier)
+    aggregate, keep multi-supplier orders, credit the supplier(s) whose last
+    shipment closes the order. Two aggregations + one equi-join, all keyed
+    on l_orderkey — one partitioning reused across stages."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    order_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    multi = (
+        order_supp.groupBy("l_orderkey")
+        .agg(F.max("last_ship").alias("order_last"), F.count("*").alias("n_supp"))
+        .filter(F.col("n_supp") >= 2)
+        .drop("n_supp")
+    )
+    return (
+        order_supp.join(multi, "l_orderkey")
+        .filter(F.col("last_ship") == F.col("order_last"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("n_orders_last_shipper"))
+    )
