@@ -216,3 +216,55 @@ def convert_csv_dir(
     df, _ = parse_csv(spark, glob, specs)
     _write_parquet(df, out_dir)
     return spark.read.parquet(out_dir)
+
+
+def convert_with_quarantine(
+    spark: SparkSession,
+    csv_dir: str,
+    out_dir: str,
+    quarantine_dir: str,
+    schema_path: str | None = None,
+    specs: list[FieldSpec] | None = None,
+) -> tuple[int, int]:
+    """Convert a CSV directory, routing strict-parse failures to quarantine.
+
+    The reference offers two dispositions for a bad cell: fail the whole
+    file (strict types, CsvToParquetConverter.java:204-213) or silently
+    null (decimals, :188-195). At pipeline scale the useful middle ground
+    is row-level quarantine: good rows flow to the typed dataset, bad rows
+    land — in their ORIGINAL string form plus a list of offending fields —
+    in a quarantine dataset for repair/replay. One distributed pass computes
+    both outputs; returns (n_good, n_bad).
+    """
+    if specs is None:
+        if schema_path is None:
+            raise ValueError("need schema_path or specs")
+        specs = load_schema(schema_path)
+    glob = os.path.join(csv_dir, "*.csv")
+    raw = (
+        spark.read.schema(raw_struct_type(specs))
+        .option("header", "true")
+        .option("enforceSchema", "true")
+        .option("mode", "PERMISSIVE")
+        .option("escape", '"')
+        .csv(glob)
+    )
+    parsed_cols, bad_flags = [], []
+    for spec in specs:
+        col, viol = parse_column(spec)
+        parsed_cols.append(col)
+        if viol is not None:
+            bad_flags.append(
+                F.when(viol, F.lit(spec.name)).otherwise(F.lit(None))
+            )
+    bad_fields = (
+        F.array_compact(F.array(*bad_flags)) if bad_flags else F.array().cast("array<string>")
+    )
+    flagged = raw.withColumn("_bad_fields", bad_fields)
+    good = flagged.filter(F.size("_bad_fields") == 0).select(*parsed_cols)
+    bad = flagged.filter(F.size("_bad_fields") > 0)
+    _write_parquet(good, out_dir)
+    _write_parquet(bad, quarantine_dir)
+    n_good = spark.read.parquet(out_dir).count()
+    n_bad = spark.read.parquet(quarantine_dir).count()
+    return n_good, n_bad

@@ -174,3 +174,28 @@ def test_bulk_dir_conversion(spark, tmp_path, f1_specs):
     df = convert_csv_dir(spark, str(csv_dir), str(out_dir), specs=f1_specs)
     assert df.count() == 3
     assert {r.id for r in df.select("id").collect()} == {0, 1, 2}
+
+
+def test_quarantine_routes_bad_rows(spark, tmp_path):
+    from csv_parquet_s3_spark.ingest import convert_with_quarantine
+    from csv_parquet_s3_spark.schema import FieldSpec
+
+    specs = [
+        FieldSpec("id", "INT32", None, required=True),
+        FieldSpec("amount", "BINARY", "DECIMAL", precision=10, scale=2),
+        FieldSpec("note", "BINARY", "STRING"),
+    ]
+    d = tmp_path / "csv"
+    d.mkdir()
+    (d / "a.csv").write_text(
+        "id,amount,note\n1,10.5,ok\nnot_an_int,2.0,bad-id\n3,garbage,ok-lenient-dec\n"
+    )
+    out, quar = str(tmp_path / "good"), str(tmp_path / "quarantine")
+    n_good, n_bad = convert_with_quarantine(spark, str(d), out, quar, specs=specs)
+
+    # bad int row quarantined; garbage decimal is LENIENT (null, stays good)
+    assert (n_good, n_bad) == (2, 1)
+    good = {r.id: r for r in spark.read.parquet(out).collect()}
+    assert str(good[1].amount) == "10.50" and good[3].amount is None
+    bad = spark.read.parquet(quar).collect()
+    assert bad[0].id == "not_an_int" and bad[0]._bad_fields == ["id"]

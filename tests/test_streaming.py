@@ -108,3 +108,54 @@ def test_streaming_session_windows_match_batch(spark, tmp_path):
         for r in got.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
     }
     assert stream_sessions == batch_sessions
+
+
+def test_watermark_bounds_streaming_state(spark, tmp_path):
+    """The watermark's scale guarantee is STATE EVICTION: windows whose end
+    falls below the watermark leave the state store, so a windowed stream
+    runs indefinitely at bounded state. (Dropping of late input is
+    best-effort in Spark and NOT asserted — this build aggregates a late
+    row, then immediately evicts its window.)"""
+    import time
+    from datetime import datetime
+
+    src = str(tmp_path / "wm_src")
+    ck = str(tmp_path / "wm_ck")
+
+    def write_file(rows):
+        spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    t = lambda h, m=0: datetime(2024, 3, 1, h, m)
+    write_file([(1, t(12, 10), 1, "view", 1.0), (2, t(12, 50), 1, "view", 1.0)])
+    time.sleep(1.2)  # file-source orders by modification time
+    write_file([(3, t(10, 5), 1, "view", 1.0), (4, t(13, 40), 1, "view", 1.0)])
+
+    schema = spark.read.parquet(src).schema
+    q = (
+        hourly_event_rollup(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            watermark="30 minutes",
+        )
+        .writeStream.format("memory")
+        .queryName("wm_state")
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    progress = q.recentProgress
+    final_state = progress[-1]["stateOperators"][0]
+    evicted = sum(p["stateOperators"][0]["numRowsRemoved"] for p in progress)
+    # four windows were touched (10,12,13); only the one still above the
+    # final watermark (13:00-14:00, end 14:00 > wm 13:10) may hold state
+    assert final_state["numRowsTotal"] == 1
+    assert evicted >= 2
+    # watermark advanced across batches as event time progressed
+    wms = [p["eventTime"].get("watermark") for p in progress]
+    assert wms[-1] == "2024-03-01T13:10:00.000Z"
