@@ -8,6 +8,7 @@ from csv_parquet_s3_spark.operators import (  # noqa: F401
     advanced,
     components,
     dedup,
+    grouped_pandas,
     multimodal,
     neardup,
     outer_json,

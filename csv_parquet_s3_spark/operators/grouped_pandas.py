@@ -1,0 +1,57 @@
+"""Grouped-map Pandas operators (``applyInPandas``): per-key algorithms the
+built-in SQL surface genuinely cannot express.
+
+An exponentially-weighted moving average is *recursive* — each output
+depends on the previous output (y_t = a·x_t + (1-a)·y_{t-1}) — which no
+window frame can express (frames aggregate inputs, not prior outputs). This
+is the canonical justification for dropping to a grouped Pandas UDF; scoring
+models, per-entity state machines, and sessionized feature rollouts share
+the same shape.
+
+Scale notes: one shuffle on the group key; each group materializes as one
+Arrow batch in a Python worker, so the bound is max-rows-per-key (events per
+user), not corpus size. Skewed keys → salt or pre-split by time range. The
+batch function is a nested closure so cloudpickle ships it by value — the
+Python workers don't need this package importable.
+
+Not SQL-expressible → rows-only driver check; the test suite pins it against
+a pure-pandas model of the same recurrence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from csv_parquet_s3_spark.operators.registry import register
+from csv_parquet_s3_spark.sources.tables import load_table
+
+EWMA_ALPHA = 0.3
+
+EWMA_SCHEMA = (
+    "user_id bigint, event_id bigint, ts timestamp, value double, ewma_value double"
+)
+
+
+def user_value_ewma(events: DataFrame, alpha: float = EWMA_ALPHA) -> DataFrame:
+    """Per-user EWMA of event values in (ts, event_id) order."""
+    a = alpha
+
+    def ewma_group(pdf):
+        import pandas as pd  # noqa: F401  (worker-side import)
+
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        pdf["ewma_value"] = (
+            pdf["value"].ewm(alpha=a, adjust=False).mean().round(6)
+        )
+        return pdf[["user_id", "event_id", "ts", "value", "ewma_value"]]
+
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(ewma_group, schema=EWMA_SCHEMA)
+    )
+
+
+@register("q_events_user_ewma")  # recursive per-key algorithm → rows-only check
+def q_events_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return user_value_ewma(load_table(spark, sf_dir, "events"))
