@@ -9,7 +9,7 @@ linear-scan cheap at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from csv_parquet_s3_spark.operators.registry import register
@@ -159,4 +159,77 @@ def text_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("avg_chars"),
         F.min("n_chars").cast("bigint").alias("min_chars"),
         F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+
+
+N_PROFILE = 20  # top trigrams kept per language profile
+
+
+@register(
+    "text_langid_ngram",
+    oracle=f"""
+    WITH grams AS (
+        SELECT doc_id, lang, substr(lower(text), i, 3) AS g
+        FROM documents, UNNEST(range(1, length(text) - 1)) AS r(i)
+        WHERE length(text) >= 3
+    ),
+    doc_grams AS (SELECT DISTINCT doc_id, lang, g FROM grams),
+    profile AS (
+        SELECT lang AS plang, g FROM (
+            SELECT lang, g, ROW_NUMBER() OVER (
+                PARTITION BY lang ORDER BY COUNT(*) DESC, g) AS rn
+            FROM grams GROUP BY lang, g
+        ) t WHERE rn <= {N_PROFILE}
+    ),
+    scores AS (
+        SELECT d.doc_id, d.lang, p.plang, COUNT(*) AS overlap
+        FROM doc_grams d JOIN profile p ON d.g = p.g
+        GROUP BY d.doc_id, d.lang, p.plang
+    )
+    SELECT doc_id, lang, plang AS predicted_lang, overlap FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY overlap DESC, plang) AS rn
+        FROM scores
+    ) t WHERE rn = 1
+    """,
+)
+def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language-ID: learn a top-N trigram profile per
+    language from the corpus, classify each document by largest profile
+    overlap (ties → lexicographic language).
+
+    Two aggregations + one broadcast join: profiles are |langs|·N rows
+    (constant-size → broadcast), so classification is map-side against the
+    per-document distinct-trigram explode — linear in corpus size at 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 2),"
+                " i -> substring(lower(text), i, 3))"
+            )
+        ).alias("g"),
+    )
+    doc_grams = grams.distinct()
+    w_prof = W.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("g"))
+    profile = (
+        grams.groupBy("lang", "g")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rn", F.row_number().over(w_prof))
+        .filter(F.col("rn") <= N_PROFILE)
+        .select(F.col("lang").alias("plang"), "g")
+    )
+    scores = (
+        doc_grams.join(F.broadcast(profile), "g")
+        .groupBy("doc_id", "lang", "plang")
+        .agg(F.count("*").alias("overlap"))
+    )
+    w_best = W.partitionBy("doc_id").orderBy(F.desc("overlap"), F.asc("plang"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", F.col("plang").alias("predicted_lang"), "overlap")
     )
