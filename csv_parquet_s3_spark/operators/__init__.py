@@ -14,6 +14,7 @@ from csv_parquet_s3_spark.operators import (  # noqa: F401
     outer_json,
     relational,
     reshape,
+    sampling,
     similarity,
     textstats,
     tpch_ext,
