@@ -1,0 +1,76 @@
+"""CLI orchestrator: the reference Main.java pipeline end-to-end, plus the
+purge and compact subcommands, driven exactly as an operator would."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+SCHEMA = {
+    "fields": [
+        {"name": "id", "type": "INT32", "repetition": "REQUIRED"},
+        {"name": "name", "type": "BINARY", "logicalType": "STRING"},
+        {"name": "amount", "type": "BINARY", "logicalType": "DECIMAL",
+         "precision": 10, "scale": 2},
+    ]
+}
+
+
+def _run(args):
+    return subprocess.run(
+        [sys.executable, "-m", "csv_parquet_s3_spark", *args],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+
+
+def test_pipeline_cli(tmp_path, spark):
+    src, out = tmp_path / "csv", tmp_path / "parquet"
+    src.mkdir()
+    (src / "a.csv").write_text("id,name,amount\n1,x,1.005\n2,y,\n")
+    (src / "b.csv").write_text("id,name,amount\n3,z,7\n")
+    schema_path = tmp_path / "schema.json"
+    schema_path.write_text(json.dumps(SCHEMA))
+    cfg = tmp_path / "app.properties"
+    cfg.write_text(
+        f"SourceFilePath={src}\nParquetFilePath={out}\n"
+        "bucketName=unused\nprefix=unused\n"
+    )
+
+    r = _run(["pipeline", "--config", str(cfg), "--schema", str(schema_path),
+              "--skip-upload"])
+    assert r.returncode == 0, r.stderr
+    assert "pipeline completed successfully" in r.stderr
+
+    df = spark.read.parquet(str(out / "a.parquet"), str(out / "b.parquet"))
+    rows = {r.id: r for r in df.collect()}
+    assert len(rows) == 3 and str(rows[1].amount) == "1.01"
+
+    # a bad strict cell fails that file AND the exit code (improvement over
+    # the reference, which exits 0 on conversion failure)
+    (src / "bad.csv").write_text("id,name,amount\nnot_int,q,1\n")
+    r2 = _run(["pipeline", "--config", str(cfg), "--schema", str(schema_path),
+               "--skip-upload"])
+    assert r2.returncode == 1
+    assert "conversion failed" in r2.stderr
+
+
+def test_purge_and_compact_cli(tmp_path, spark):
+    root = tmp_path / "tables"
+    (root / "t1").mkdir(parents=True)
+    spark.range(100).selectExpr("id", "id % 10 AS k").repartition(8).write.mode(
+        "overwrite"
+    ).parquet(str(root / "t1"))
+
+    pc = tmp_path / "purge.json"
+    pc.write_text(json.dumps([
+        {"table_name": "t1", "action": "CRITERIA",
+         "sqlstatement": "k = 3", "max_record_count": 1000}
+    ]))
+    r = _run(["purge", "--purge-config", str(pc), "--tables-root", str(root)])
+    assert r.returncode == 0, r.stderr
+    assert spark.read.parquet(str(root / "t1")).filter("k = 3").count() == 0
+
+    r2 = _run(["compact", "--path", str(root / "t1"), "--sort-by", "id"])
+    assert r2.returncode == 0, r2.stderr
+    assert "compacted" in r2.stderr
