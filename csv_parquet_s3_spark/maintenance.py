@@ -86,3 +86,38 @@ def compact(
     )
     _atomic_swap(staging, path)
     return parquet_file_count(path)
+
+
+def upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: str | list[str],
+) -> tuple[int, int]:
+    """MERGE-style upsert into a parquet dataset: rows in ``updates`` replace
+    target rows with the same key; new keys append; untouched rows carry
+    over byte-for-byte. Returns (n_updated, n_inserted).
+
+    Plain parquet has no row-level MERGE (that's what table formats add);
+    the distributed equivalent is updates ∪ (target ⟕anti updates) with the
+    same staged-swap atomicity as :func:`compact` — one anti-join keyed on
+    the merge key, no driver materialization. The purge module
+    (`purge.Purger._criteria`) is the DELETE of this family
+    (`AutoPurge.sql:171-174`); this is the UPSERT.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    target = spark.read.parquet(path)
+    n_updated = target.join(updates.select(*keys).distinct(), keys, "left_semi").count()
+    n_inserted = updates.count() - updates.join(
+        target.select(*keys).distinct(), keys, "left_semi"
+    ).count()
+    merged = updates.unionByName(target.join(updates, keys, "left_anti"))
+    staging = path.rstrip("/") + "._upsert-" + uuid.uuid4().hex[:8]
+    (
+        merged.write.mode("overwrite")
+        .option("compression", "snappy")
+        .option("parquet.block.size", str(PARQUET_BLOCK_SIZE))
+        .parquet(staging)
+    )
+    _atomic_swap(staging, path)
+    return n_updated, n_inserted

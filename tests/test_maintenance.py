@@ -61,3 +61,26 @@ def test_compact_sorted_clusters_key_ranges(spark, tmp_path):
     assert len(spans) > 1
     for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
         assert hi_prev < lo_next
+
+
+def test_upsert_updates_inserts_preserves(spark, tmp_path):
+    from csv_parquet_s3_spark.maintenance import upsert
+
+    path = str(tmp_path / "target")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id bigint, tag string, v double"
+    ).write.parquet(path)
+
+    updates = spark.createDataFrame(
+        [(2, "B2", 99.0), (9, "new", 1.0)], "id bigint, tag string, v double"
+    )
+    n_updated, n_inserted = upsert(spark, path, updates, key="id")
+    assert (n_updated, n_inserted) == (1, 1)
+
+    got = {r.id: (r.tag, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {
+        1: ("a", 10.0),     # untouched
+        2: ("B2", 99.0),    # updated
+        3: ("c", 30.0),     # untouched
+        9: ("new", 1.0),    # inserted
+    }
