@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from csv_parquet_s3_spark.operators.registry import register
+from csv_parquet_s3_spark.operators.registry import ORACLES, register
 from csv_parquet_s3_spark.sources.tables import load_table
 
 NUM_PERMS = 12
@@ -314,4 +314,32 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "concat_ws('', transform(array_sort(collect_list(struct(b, bit))), s -> s.bit))"
         ).alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash duplicate buckets: signature equality → dup groups.
+# ---------------------------------------------------------------------------
+_ORACLE_SIMHASH_SIGS = ORACLES["dedup_simhash_signatures"]
+
+
+@register(
+    "dedup_simhash_buckets",
+    oracle=f"""
+    SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_doc_id
+    FROM ({_ORACLE_SIMHASH_SIGS}) sigs
+    GROUP BY simhash
+    HAVING COUNT(*) > 1
+    """,
+)
+def dedup_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash signatures become duplicate GROUPS by plain signature
+    equality (a 16-char shuffle key at any scale); ``keeper_doc_id`` is the
+    survivor a keep-first policy would retain. A small-Hamming-ball variant
+    is the same query over banded signature substrings."""
+    sigs = dedup_simhash_signatures(spark, sf_dir)
+    return (
+        sigs.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_docs") > 1)
     )
