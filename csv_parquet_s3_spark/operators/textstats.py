@@ -233,3 +233,57 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", F.col("plang").alias("predicted_lang"), "overlap")
     )
+
+
+HASH_DIM = 64  # feature-hashing vector width
+
+
+@register(
+    "text_feature_hash_embedding",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, t AS token
+        FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+        WHERE t <> ''
+    ),
+    hashed AS (
+        SELECT doc_id,
+               (ascii(substr(md5(token), 1, 1)) * 16
+                + ascii(substr(md5(token), 2, 1))) % {HASH_DIM} AS dim,
+               CASE WHEN ascii(substr(md5(token), 3, 1)) % 2 = 0
+                    THEN 1 ELSE -1 END AS sign
+        FROM toks
+    )
+    SELECT doc_id, dim, CAST(SUM(sign) AS BIGINT) AS weight
+    FROM hashed GROUP BY doc_id, dim
+    HAVING SUM(sign) <> 0
+    """,
+)
+def text_feature_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick text vectorizer (Weinberger et al., ICML'09): each token
+    hashes to a dimension with a hashed ±1 sign; per-(doc, dim) weights are
+    the sparse embedding in long form — the layout a feature store ingests,
+    convertible to dense ``array<float>`` with one ``map_from_entries``.
+
+    Hex→int again goes through ``ascii()`` so Spark and DuckDB compute the
+    identical bucket. One explode + one aggregation keyed (doc_id, dim):
+    linear in corpus tokens, 100 TB-safe.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    md5 = "md5(CAST(token AS BINARY))"
+    dim = F.expr(
+        f"(ascii(substring({md5}, 1, 1)) * 16"
+        f" + ascii(substring({md5}, 2, 1))) % {HASH_DIM}"
+    )
+    sign = F.expr(
+        f"CASE WHEN ascii(substring({md5}, 3, 1)) % 2 = 0 THEN 1 ELSE -1 END"
+    )
+    return (
+        toks.select("doc_id", dim.alias("dim"), sign.alias("sign"))
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("sign").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )
