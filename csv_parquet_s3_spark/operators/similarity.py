@@ -332,3 +332,62 @@ def sim_label_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("vec_id").alias("n_vectors"),
         )
     )
+
+
+@register("sim_cosine_topk_vectorized")  # Python-side scoring → rows-only check
+def sim_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized brute-force top-k: one numpy matmul per Arrow batch.
+
+    Same semantics as :func:`sim_cosine_topk_bruteforce` (the test pins the
+    outputs equal); different physical strategy. The per-element
+    ``zip_with``/``aggregate`` dot product evaluates lambdas per array slot —
+    at billions of vectors the BLAS matmul inside a ``mapInPandas`` batch
+    wins by orders of magnitude. Each partition emits only its local top-k
+    per query, so the final shuffle is k·|queries|·|partitions| rows, not
+    the scored corpus. The query matrix is bounded (|queries|×dim) — driver
+    state on par with a broadcast dim table.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qm = np.array([r.embedding for r in qrows], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    top_k = TOP_K
+
+    def score_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ qm.T  # (batch, n_queries)
+            out = {"query_id": [], "vec_id": [], "cos_sim": []}
+            for j, qid in enumerate(q_ids):
+                col = sims[:, j]
+                mask = ids != qid
+                cand_idx = np.nonzero(mask)[0]
+                order = cand_idx[
+                    np.lexsort((ids[cand_idx], -np.round(col[cand_idx], 6)))
+                ][:top_k]
+                out["query_id"].extend([qid] * len(order))
+                out["vec_id"].extend(ids[order])
+                out["cos_sim"].extend(np.round(col[order], 6))
+            yield pd.DataFrame(out)
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        score_batches,
+        schema="query_id bigint, vec_id bigint, cos_sim double",
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return scored.select("*", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= TOP_K
+    )
