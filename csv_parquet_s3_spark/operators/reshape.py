@@ -91,3 +91,92 @@ def q_unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(ROUND(SUM(val), 2) AS DOUBLE)").alias("total"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "q_null_safe_join",
+    oracle="""
+    SELECT a.event_id AS event_id_a, b.event_id AS event_id_b, a.props
+    FROM events a JOIN events b
+      ON a.props IS NOT DISTINCT FROM b.props
+     AND a.user_id = b.user_id AND a.event_id < b.event_id
+    WHERE a.event_type = 'error' AND b.event_type = 'error'
+    """,
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): pairs of
+    same-user error events carrying the same props payload, where NULL
+    props match each other — the semantics a plain equi-join silently
+    drops. Still an equi-join to the planner (hash/SMJ capable)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    a = ev.select(
+        F.col("event_id").alias("event_id_a"), F.col("user_id").alias("u_a"), "props"
+    )
+    b = ev.select(
+        F.col("event_id").alias("event_id_b"),
+        F.col("user_id").alias("u_b"),
+        F.col("props").alias("props_b"),
+    )
+    return (
+        a.join(
+            b,
+            a.props.eqNullSafe(b.props_b)
+            & (F.col("u_a") == F.col("u_b"))
+            & (F.col("event_id_a") < F.col("event_id_b")),
+        )
+        .select("event_id_a", "event_id_b", "props")
+    )
+
+
+@register(
+    "q_window_value_functions",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(first_value(o_totalprice) OVER w AS DOUBLE) AS first_price,
+           CAST(last_value(o_totalprice) OVER w AS DOUBLE) AS latest_price,
+           CAST(nth_value(o_totalprice, 2) OVER w AS DOUBLE) AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value with an explicit unbounded frame (the default
+    frame would make last_value degenerate) — per-customer order-price
+    history positions."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).cast("double").alias("first_price"),
+        F.last("o_totalprice").over(w).cast("double").alias("latest_price"),
+        F.nth_value("o_totalprice", 2).over(w).cast("double").alias("second_price"),
+    )
+
+
+@register(
+    "q_string_agg_statuses",
+    oracle="""
+    SELECT o_custkey,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+             AS status_history,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q_string_agg_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG): deterministic via sort-then-join
+    of the distinct set (collect_set order is engine-arbitrary — sorting is
+    what makes this cross-engine stable)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias(
+            "status_history"
+        ),
+        F.count("*").alias("n_orders"),
+    )
