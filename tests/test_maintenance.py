@@ -84,3 +84,37 @@ def test_upsert_updates_inserts_preserves(spark, tmp_path):
         3: ("c", 30.0),     # untouched
         9: ("new", 1.0),    # inserted
     }
+
+
+def test_zorder_improves_two_column_skipping(spark, tmp_path):
+    """After Z-order on (x, y), per-file min/max ranges must be selective on
+    BOTH columns — a single-column sort can only localize its own column."""
+    from csv_parquet_s3_spark.maintenance import compact_zorder
+
+    path = str(tmp_path / "zds")
+    (
+        spark.range(20000)
+        .selectExpr("id", "id % 141 AS x", "CAST(id / 141 AS BIGINT) AS y")
+        .repartition(16)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+    def avg_span(col):
+        rows = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name())
+            .agg((F.max(col) - F.min(col)).alias("span"))
+            .collect()
+        )
+        return sum(r.span for r in rows) / len(rows)
+
+    x_before, y_before = avg_span("x"), avg_span("y")
+    n = compact_zorder(spark, path, ["x", "y"], target_file_bytes=16 * 1024)
+    assert n > 4  # multiple files → skipping is meaningful
+    x_after, y_after = avg_span("x"), avg_span("y")
+    # both dimensions localize (range-per-file shrinks materially)
+    assert x_after < 0.7 * x_before
+    assert y_after < 0.7 * y_before
+    # data intact
+    assert spark.read.parquet(path).count() == 20000
