@@ -180,3 +180,85 @@ def q_string_agg_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n_orders"),
     )
+
+
+@register(
+    "q_events_hourly_gapfill",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ),
+    grid AS (
+        SELECT g AS hour_start
+        FROM bounds, UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS t(g)
+    ),
+    actual AS (
+        SELECT date_trunc('hour', ts) AS hour_start, COUNT(*) AS n
+        FROM events GROUP BY date_trunc('hour', ts)
+    )
+    SELECT grid.hour_start, CAST(COALESCE(actual.n, 0) AS BIGINT) AS n_events
+    FROM grid LEFT JOIN actual ON actual.hour_start = grid.hour_start
+    """,
+)
+def q_events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap fill: a generated hour grid (sequence +
+    explode) left-joined to the actual hourly counts, empty hours zero-
+    filled — the shape every monitoring/feature rollup needs, and the one a
+    naive groupBy silently gets wrong (missing rows, not zeros).
+
+    The grid generates from a one-row MIN/MAX aggregate (broadcast), so the
+    only data-sized operation is the hourly aggregation itself.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, INTERVAL 1 HOUR)")).alias("hour_start")
+    )
+    actual = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start")).agg(
+        F.count("*").alias("n")
+    )
+    return grid.join(actual, "hour_start", "left").select(
+        "hour_start", F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events")
+    )
+
+
+@register(
+    "q_events_weekly_retention",
+    oracle="""
+    WITH user_weeks AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    ),
+    cohorts AS (
+        SELECT user_id, MIN(week) AS cohort_week FROM user_weeks GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           CAST(date_diff('week', c.cohort_week, u.week) AS BIGINT) AS weeks_since,
+           COUNT(DISTINCT u.user_id) AS n_active
+    FROM user_weeks u JOIN cohorts c ON u.user_id = c.user_id
+    GROUP BY c.cohort_week, date_diff('week', c.cohort_week, u.week)
+    """,
+)
+def q_events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active week, counted in each
+    subsequent week — two aggregations + one join, all keyed on user_id so
+    the partitioning is reused; the output is |cohorts|×|weeks|, constant-
+    size regardless of corpus scale."""
+    ev = load_table(spark, sf_dir, "events")
+    user_weeks = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    cohorts = user_weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        user_weeks.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("week"), F.col("cohort_week")) / 7
+            ).cast("bigint").alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
