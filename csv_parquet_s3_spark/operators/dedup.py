@@ -157,6 +157,68 @@ _ORACLE_BANDS = f"""
 """
 
 
+def signature_table(sh: DataFrame) -> DataFrame:
+    """ONE aggregation pass produces the whole per-document signature row:
+    all NUM_PERMS min-hashes + the shingle set + its size. Doc-level (one
+    row per document) — the table a production LSH pipeline materializes to
+    storage (see :mod:`minhash_index` for the incremental variant)."""
+    sig_aggs = [
+        F.expr(f"min(md5(cast(concat('{p}:', shingle) as binary)))").alias(f"mh{p}")
+        for p in range(NUM_PERMS)
+    ]
+    return sh.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("sset"), F.count("*").alias("n"), *sig_aggs
+    )
+
+
+def bands_from_signatures(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) LSH band keys from a signature table."""
+    n_bands = NUM_PERMS // BAND_SIZE
+    band_hashes = [
+        f"md5(cast(concat_ws(',', {', '.join(f'mh{p}' for p in range(b * BAND_SIZE, (b + 1) * BAND_SIZE))}) as binary))"
+        for b in range(n_bands)
+    ]
+    return sigs.select(
+        "doc_id",
+        F.posexplode(F.expr(f"array({', '.join(band_hashes)})")).alias("band_i", "bucket"),
+    ).select("doc_id", F.col("band_i").cast("bigint").alias("band"), "bucket")
+
+
+def verified_pairs_from_signatures(shingle_sets: DataFrame) -> DataFrame:
+    """LSH candidates → array_intersect Jaccard verification, all from the
+    signature table alone (no re-shingling)."""
+    bands = bands_from_signatures(shingle_sets)
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .distinct()
+    )
+    za = shingle_sets.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("sset").alias("sset_a"), F.col("n").alias("n_a")
+    )
+    zb = shingle_sets.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("sset").alias("sset_b"), F.col("n").alias("n_b")
+    )
+    n_common = F.size(F.array_intersect("sset_a", "sset_b"))
+    jacc = n_common.cast("double") / (F.col("n_a") + F.col("n_b") - n_common)
+    return (
+        candidates.join(za, "doc_id_a")
+        .join(zb, "doc_id_b")
+        .filter(jacc >= JACCARD_THRESHOLD)
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(jacc, 6).cast("double").alias("jaccard"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-duplicate pairs, Jaccard-verified.
 # ---------------------------------------------------------------------------
@@ -200,59 +262,8 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero extra shuffles of shingle rows. A document's shingle set is bounded
     by its length, so the array row stays small at any corpus scale.
     """
-    sh = _shingles(spark, sf_dir)
-    # ONE aggregation pass produces the whole per-document signature row:
-    # all NUM_PERMS min-hashes + the shingle set + its size. The result is
-    # doc-level (one row per document) — the table a production LSH pipeline
-    # would materialize to storage; persisting it here means the shingle
-    # explode+shuffle runs exactly once for banding AND verification.
-    sig_aggs = [
-        F.expr(f"min(md5(cast(concat('{p}:', shingle) as binary)))").alias(f"mh{p}")
-        for p in range(NUM_PERMS)
-    ]
-    shingle_sets = (
-        sh.groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("sset"), F.count("*").alias("n"), *sig_aggs)
-        .persist()
-    )
-    n_bands = NUM_PERMS // BAND_SIZE
-    band_hashes = [
-        f"md5(cast(concat_ws(',', {', '.join(f'mh{p}' for p in range(b * BAND_SIZE, (b + 1) * BAND_SIZE))}) as binary))"
-        for b in range(n_bands)
-    ]
-    bands = shingle_sets.select(
-        "doc_id",
-        F.posexplode(F.expr(f"array({', '.join(band_hashes)})")).alias("band_i", "bucket"),
-    ).select("doc_id", F.col("band_i").cast("bigint").alias("band"), "bucket")
-    a, b = bands.alias("a"), bands.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
-        .distinct()
-    )
-    za = shingle_sets.select(
-        F.col("doc_id").alias("doc_id_a"), F.col("sset").alias("sset_a"), F.col("n").alias("n_a")
-    )
-    zb = shingle_sets.select(
-        F.col("doc_id").alias("doc_id_b"), F.col("sset").alias("sset_b"), F.col("n").alias("n_b")
-    )
-    n_common = F.size(F.array_intersect("sset_a", "sset_b"))
-    jacc = n_common.cast("double") / (F.col("n_a") + F.col("n_b") - n_common)
-    return (
-        candidates.join(za, "doc_id_a")
-        .join(zb, "doc_id_b")
-        .filter(jacc >= JACCARD_THRESHOLD)
-        .select(
-            "doc_id_a",
-            "doc_id_b",
-            F.round(jacc, 6).cast("double").alias("jaccard"),
-        )
-    )
+    shingle_sets = signature_table(_shingles(spark, sf_dir)).persist()
+    return verified_pairs_from_signatures(shingle_sets)
 
 
 # ---------------------------------------------------------------------------

@@ -199,3 +199,25 @@ def test_quarantine_routes_bad_rows(spark, tmp_path):
     assert str(good[1].amount) == "10.50" and good[3].amount is None
     bad = spark.read.parquet(quar).collect()
     assert bad[0].id == "not_an_int" and bad[0]._bad_fields == ["id"]
+
+
+def test_gzip_csv_ingest(spark, tmp_path):
+    """Compressed CSV reads through the same declared-schema path (Spark
+    decompresses by extension; .gz is non-splittable → one task per file,
+    which is why the scale path prefers many medium files)."""
+    import gzip
+
+    from csv_parquet_s3_spark.ingest import parse_csv
+    from csv_parquet_s3_spark.schema import FieldSpec
+
+    specs = [
+        FieldSpec("id", "INT32", None, required=True),
+        FieldSpec("amount", "BINARY", "DECIMAL", precision=10, scale=2),
+    ]
+    d = tmp_path / "csvgz"
+    d.mkdir()
+    with gzip.open(d / "part1.csv.gz", "wt") as fh:
+        fh.write("id,amount\n1,1.005\n2,\n")
+    df, _ = parse_csv(spark, str(d / "part1.csv.gz"), specs)
+    rows = {r.id: r.amount for r in df.collect()}
+    assert str(rows[1]) == "1.01" and rows[2] is None

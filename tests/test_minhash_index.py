@@ -1,0 +1,44 @@
+"""Incremental MinHash index: build-half + update-half must equal full build,
+and index-based pairs must equal the direct (re-shingling) operator."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from csv_parquet_s3_spark.operators.dedup import dedup_minhash_lsh_pairs
+from csv_parquet_s3_spark.operators.minhash_index import (
+    build_index,
+    pairs_from_index,
+    update_index,
+)
+from csv_parquet_s3_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pairs_key(df):
+    return sorted(
+        (r.doc_id_a, r.doc_id_b, r.jaccard) for r in df.collect()
+    )
+
+
+def test_incremental_index_equals_full_build(spark, tmp_path):
+    docs = load_table(spark, SF, "documents")
+    idx = str(tmp_path / "sig_index")
+
+    build_index(spark, docs.filter(F.col("doc_id") % 2 == 0), idx)
+    n_updated, n_inserted = update_index(
+        spark, docs.filter(F.col("doc_id") % 2 == 1), idx
+    )
+    assert n_updated == 0 and n_inserted > 0
+
+    got = _pairs_key(pairs_from_index(spark, idx))
+    want = _pairs_key(dedup_minhash_lsh_pairs(spark, SF))
+    assert got == want and len(want) > 0
+
+    # re-ingesting a batch refreshes in place (idempotent, no duplicates)
+    n_updated2, n_inserted2 = update_index(
+        spark, docs.filter(F.col("doc_id") % 2 == 1), idx
+    )
+    assert n_inserted2 == 0 and n_updated2 == n_inserted
+    assert _pairs_key(pairs_from_index(spark, idx)) == want
