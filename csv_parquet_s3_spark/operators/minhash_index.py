@@ -53,3 +53,58 @@ def update_index(spark: SparkSession, new_docs: DataFrame, index_path: str) -> t
 def pairs_from_index(spark: SparkSession, index_path: str) -> DataFrame:
     """Jaccard-verified near-dup pairs straight from the stored index."""
     return verified_pairs_from_signatures(spark.read.parquet(index_path))
+
+
+def pairs_against_index(
+    spark: SparkSession, new_docs: DataFrame, index_path: str
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch and the EXISTING corpus index —
+    the actual per-ingest dedup question ("is this document a dup of
+    anything we already have?"). Band keys of the batch join band keys of
+    the index, so cost is |batch| × bucket-collisions, never index²;
+    verification uses the stored shingle sets. Output: (new_doc_id,
+    index_doc_id, jaccard)."""
+    from csv_parquet_s3_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        bands_from_signatures,
+    )
+
+    new_sigs = signature_table(_shingles_of(new_docs)).persist()
+    idx_sigs = spark.read.parquet(index_path)
+    nb = bands_from_signatures(new_sigs).alias("n")
+    ib = bands_from_signatures(idx_sigs).alias("i")
+    candidates = (
+        nb.join(
+            ib,
+            (F.col("n.band") == F.col("i.band"))
+            & (F.col("n.bucket") == F.col("i.bucket"))
+            & (F.col("n.doc_id") != F.col("i.doc_id")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_doc_id"),
+            F.col("i.doc_id").alias("index_doc_id"),
+        )
+        .distinct()
+    )
+    zn = new_sigs.select(
+        F.col("doc_id").alias("new_doc_id"),
+        F.col("sset").alias("sset_n"),
+        F.col("n").alias("n_n"),
+    )
+    zi = idx_sigs.select(
+        F.col("doc_id").alias("index_doc_id"),
+        F.col("sset").alias("sset_i"),
+        F.col("n").alias("n_i"),
+    )
+    n_common = F.size(F.array_intersect("sset_n", "sset_i"))
+    jacc = n_common.cast("double") / (F.col("n_n") + F.col("n_i") - n_common)
+    return (
+        candidates.join(zn, "new_doc_id")
+        .join(zi, "index_doc_id")
+        .filter(jacc >= JACCARD_THRESHOLD)
+        .select(
+            "new_doc_id",
+            "index_doc_id",
+            F.round(jacc, 6).cast("double").alias("jaccard"),
+        )
+    )
