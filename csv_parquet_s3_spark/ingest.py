@@ -91,8 +91,12 @@ def parse_column(spec: FieldSpec) -> tuple[F.Column, F.Column | None]:
         parsed = F.when(raw.rlike(INT_RE), F.expr(f"try_cast(`{spec.name}` as bigint)"))
     elif spec.logical == "DECIMAL":
         # Lenient: hard rescale to 2 HALF_UP (reference ignores declared
-        # scale, :188-195); garbage → null, never a violation.
-        dec = F.round(raw.cast("string").try_cast("decimal(38,10)"), 2)
+        # scale, :188-195); garbage → null, never a violation. String →
+        # decimal(38,2) in one try_cast: Spark's changePrecision rounds
+        # HALF_UP, exactly BigDecimal.setScale(2, HALF_UP), and scale-2 at
+        # the full 38 precision admits the widest declared values
+        # (DECIMAL(38,2) `total`, schema.json:146-153).
+        dec = raw.cast("string").try_cast("decimal(38,2)")
         return dec.cast(f"decimal({max(spec.precision, 3)},2)").alias(spec.name), None
     else:  # STRING / unknown logical: pass-through
         return raw.alias(spec.name), None

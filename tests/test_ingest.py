@@ -221,3 +221,66 @@ def test_gzip_csv_ingest(spark, tmp_path):
     df, _ = parse_csv(spark, str(d / "part1.csv.gz"), specs)
     rows = {r.id: r.amount for r in df.collect()}
     assert str(rows[1]) == "1.01" and rows[2] is None
+
+
+def test_full_28_column_reference_schema_round_trip(spark, tmp_path):
+    """The reference's own round-trip test shape (CsvToParquetConverterTest,
+    SURVEY.md §5) over the complete canonical 28-column schema (§1.2):
+    convert one fully-populated row + one sparse row, read back, assert the
+    per-type value semantics."""
+    import datetime
+    from decimal import Decimal
+
+    from csv_parquet_s3_spark.ingest import convert_csv_to_parquet
+    from csv_parquet_s3_spark.schema import parse_schema
+
+    strings = ["name", "description", "code", "currency_code", "notes", "address",
+               "email", "phone", "status", "city", "comments", "uuid"]
+    int32s = ["age", "flag", "quantity", "order_id"]
+    int64s = ["large_count", "account_id", "big_number", "huge_number",
+              "massive_count", "balance"]
+    fields = [{"name": "id", "type": "INT32", "repetition": "REQUIRED"}]
+    fields += [{"name": c, "type": "BINARY", "logicalType": "STRING"} for c in strings]
+    fields += [{"name": c, "type": "INT32"} for c in int32s]
+    fields += [{"name": c, "type": "INT64"} for c in int64s]
+    fields += [{"name": c, "type": "INT32", "logicalType": "DATE"}
+               for c in ["birth_date", "transaction_date"]]
+    fields += [{"name": "event_timestamp", "type": "INT64",
+                "logicalType": "TIMESTAMP_MICROS"}]
+    fields += [{"name": "amount", "type": "BINARY", "logicalType": "DECIMAL",
+                "precision": 10, "scale": 2},
+               {"name": "total", "type": "BINARY", "logicalType": "DECIMAL",
+                "precision": 38, "scale": 2}]
+    specs = parse_schema({"fields": fields})
+    assert len(specs) == 28
+
+    cols = [f["name"] for f in fields]
+    full = ["7"] + [f"{c}_v" for c in strings] + ["30", "1", "5", "1001"] + \
+           ["9999999999", "42", "123", "456", "789", "-50"] + \
+           ["1990-01-02", "2024-02-29"] + ["2023-01-01 12:00:00.123456789"] + \
+           ["1234.565", "98765432109876543210987654321098765.125"]
+    sparse = ["8"] + [""] * 27
+
+    src = tmp_path / "csv28"
+    src.mkdir()
+    (src / "rec.csv").write_text(
+        ",".join(cols) + "\n" + ",".join(full) + "\n" + ",".join(sparse) + "\n"
+    )
+    report = convert_csv_to_parquet(spark, str(src), str(tmp_path / "out28"), specs=specs)
+    assert not report.failed
+    rows = {r.id: r for r in spark.read.parquet(report.converted[0]).collect()}
+
+    r = rows[7]
+    assert r.name == "name_v" and r.uuid == "uuid_v"
+    assert r.age == 30 and r.flag == 1 and r.order_id == 1001
+    assert r.large_count == 9999999999 and r.balance == -50
+    assert r.birth_date == datetime.date(1990, 1, 2)
+    assert r.transaction_date == datetime.date(2024, 2, 29)
+    # nanos truncated to micros (CsvToParquetConverter.java:129-142)
+    assert r.event_timestamp == datetime.datetime(2023, 1, 1, 12, 0, 0, 123456)
+    # rescale-2 HALF_UP, including the DECIMAL(38,2) wide path
+    assert r.amount == Decimal("1234.57")
+    assert r.total == Decimal("98765432109876543210987654321098765.13")
+
+    s = rows[8]  # every optional empty cell → null, even REQUIRED-adjacent
+    assert all(getattr(s, c) is None for c in cols if c != "id")
