@@ -133,3 +133,102 @@ def test_ingest_matches_reference_model(spark, tmp_path, rows):
         for r in df.collect()
     ]
     assert sorted(got, key=repr) == sorted(expected, key=repr)
+
+
+DT_SPECS = [
+    FieldSpec("id", "INT32", None, required=True),
+    FieldSpec("d", "INT32", "DATE"),
+    FieldSpec("ts", "INT64", "TIMESTAMP_MICROS"),
+]
+
+
+def _model_date(cell: str):
+    import datetime
+
+    s = cell.strip()
+    if s == "":
+        return None, False
+    try:
+        return datetime.date.fromisoformat(s), False
+    except ValueError:
+        return None, True
+
+
+def _model_ts(cell: str):
+    """Reference: 'yyyy-MM-dd HH:mm:ss' + optional .SSS/.SSSSSS/.SSSSSSSSS
+    fraction, UTC, nanos truncated to micros (CsvToParquetConverter.java:
+    129-142); no match → strict violation."""
+    import datetime
+    import re
+
+    s = cell.strip()
+    if s == "":
+        return None, False
+    m = re.fullmatch(r"(\d{4})-(\d{2})-(\d{2}) (\d{2}):(\d{2}):(\d{2})(?:\.(\d{1,9}))?", s)
+    if not m:
+        return None, True
+    try:
+        frac = (m.group(7) or "").ljust(9, "0")[:9]
+        micros = int(frac) // 1000 if m.group(7) else 0
+        return (
+            datetime.datetime(
+                *(int(m.group(i)) for i in range(1, 7)), microsecond=micros
+            ),
+            False,
+        )
+    except ValueError:
+        return None, True
+
+
+date_cells = st.one_of(
+    st.dates(min_value=__import__("datetime").date(1900, 1, 1),
+             max_value=__import__("datetime").date(2100, 1, 1)).map(str),
+    st.sampled_from(["", "  ", "2024-13-01", "01/02/2024", "garbage"]),
+)
+ts_cells = st.one_of(
+    st.datetimes(min_value=__import__("datetime").datetime(1900, 1, 1),
+                 max_value=__import__("datetime").datetime(2100, 1, 1))
+    .map(lambda dt: dt.strftime("%Y-%m-%d %H:%M:%S")),
+    st.datetimes(min_value=__import__("datetime").datetime(1971, 1, 1),
+                 max_value=__import__("datetime").datetime(2099, 1, 1))
+    .map(lambda dt: dt.strftime("%Y-%m-%d %H:%M:%S") + ".123456789"),
+    st.sampled_from(["", "2024-01-01T10:00:00", "2024-01-01 10:00", "nonsense"]),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(st.tuples(date_cells, ts_cells), min_size=1, max_size=30))
+def test_date_timestamp_semantics(spark, tmp_path, rows):
+    csv_rows = [(str(i), d, ts) for i, (d, ts) in enumerate(rows)]
+    import csv as _csv
+    import os
+
+    path = os.path.join(str(tmp_path), "dt.csv")
+    with open(path, "w", newline="") as fh:
+        w = _csv.writer(fh)
+        w.writerow(["id", "d", "ts"])
+        w.writerows(csv_rows)
+
+    expect_violation = False
+    expected = {}
+    for i, (d, ts) in enumerate(rows):
+        dv, dbad = _model_date(d)
+        tv, tbad = _model_ts(ts)
+        expect_violation |= dbad or tbad
+        expected[i] = (dv, tv)
+
+    if expect_violation:
+        try:
+            check_strict(spark, path, DT_SPECS)
+            raise AssertionError("strict violation not detected")
+        except IngestError:
+            return
+
+    check_strict(spark, path, DT_SPECS)
+    df, _ = parse_csv(spark, path, DT_SPECS)
+    got = {r.id: (r.d, r.ts) for r in df.collect()}
+    assert got == expected
