@@ -1,0 +1,115 @@
+"""Incremental IVF index: the materialized ANN index for a growing corpus.
+
+Mirror of :mod:`minhash_index` for vectors. The index is two parquet
+datasets under one root:
+
+- ``centroids/`` — the coarse quantizer (list_id, centroid vector, norm);
+  fixed at build time (retraining = rebuild, as in any IVF system);
+- ``assign/``    — the inverted lists (vec_id, list_id, vector, norm),
+  updated per ingest batch by assigning ONLY the new vectors against the
+  stored centroids and MERGE-ing (`maintenance.upsert`).
+
+Search probes the top-``nprobe`` lists per query against ``assign/`` —
+cost per query tracks nprobe/K of the corpus, and index maintenance cost
+tracks the batch, never the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from csv_parquet_s3_spark.maintenance import upsert
+from csv_parquet_s3_spark.operators.similarity import TOP_K, _dot, _with_norm
+
+
+def _centroid_frame(cent: DataFrame) -> DataFrame:
+    return cent.select(
+        "list_id", F.col("vd").alias("cv"), F.col("norm").alias("cnorm")
+    )
+
+
+def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment (rounded cosine, list_id tie-break)."""
+    sim = F.round(
+        _dot(F.col("vd"), F.col("cv")) / (F.col("norm") * F.col("cnorm")), 6
+    ).cast("double")
+    w = W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("list_id"))
+    return (
+        vectors.crossJoin(F.broadcast(centroids))
+        .withColumn("csim", sim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "vd", "norm", "list_id")
+    )
+
+
+def build_ivf_index(
+    spark: SparkSession, vectors: DataFrame, centroid_vec_ids: list[int], index_path: str
+) -> None:
+    """Full build: quantizer from the given seed vectors + inverted lists
+    for every vector."""
+    emb = _with_norm(vectors)
+    cent = _centroid_frame(
+        emb.filter(F.col("vec_id").isin(centroid_vec_ids)).select(
+            F.dense_rank()
+            .over(W.orderBy("vec_id"))
+            .cast("bigint")
+            .alias("list_id"),
+            "vd",
+            "norm",
+        )
+    )
+    cent.write.mode("overwrite").parquet(f"{index_path}/centroids")
+    assign = _assign(emb.select("vec_id", "vd", "norm"), spark.read.parquet(f"{index_path}/centroids"))
+    assign.write.mode("overwrite").parquet(f"{index_path}/assign")
+
+
+def update_ivf_index(spark: SparkSession, new_vectors: DataFrame, index_path: str) -> tuple[int, int]:
+    """Incremental: assign the new batch against the STORED quantizer and
+    merge by vec_id (re-ingested vectors get reassigned). Returns
+    (n_updated, n_inserted)."""
+    cent = spark.read.parquet(f"{index_path}/centroids")
+    assign = _assign(_with_norm(new_vectors).select("vec_id", "vd", "norm"), cent)
+    return upsert(spark, f"{index_path}/assign", assign, key="vec_id")
+
+
+def topk_from_index(
+    spark: SparkSession, queries: DataFrame, index_path: str, nprobe: int, k: int = TOP_K
+) -> DataFrame:
+    """nprobe-pruned cosine top-k for each query vector, from the stored
+    index only."""
+    cent = spark.read.parquet(f"{index_path}/centroids")
+    assign = spark.read.parquet(f"{index_path}/assign")
+    q = _with_norm(queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vd").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    qsim = F.round(
+        _dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")), 6
+    ).cast("double")
+    wq = W.partitionBy("query_id").orderBy(F.desc("qsim"), F.asc("list_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("qsim", qsim)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "qnorm", "list_id")
+    )
+    scored = (
+        assign.join(F.broadcast(probes), "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "list_id",
+            F.round(_dot(F.col("qv"), F.col("vd")) / (F.col("qnorm") * F.col("norm")), 6)
+            .cast("double")
+            .alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return scored.select("*", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= k
+    )

@@ -1,0 +1,49 @@
+"""IVF index lifecycle: incremental build ≡ full build ≡ the in-query
+ivf_probe operator (same seeds, same nprobe)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from csv_parquet_s3_spark.operators.similarity import (
+    K_LISTS,
+    N_PROBE,
+    N_QUERIES,
+    sim_cosine_topk_ivf_probe,
+)
+from csv_parquet_s3_spark.operators.similarity_index import (
+    build_ivf_index,
+    topk_from_index,
+    update_ivf_index,
+)
+from csv_parquet_s3_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+SEEDS = list(range(N_QUERIES, N_QUERIES + K_LISTS))
+
+
+def _key(df):
+    return sorted((r.query_id, r.rn, r.vec_id, r.cos_sim) for r in df.collect())
+
+
+def test_ivf_index_lifecycle_matches_operator(spark, tmp_path):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+
+    # full build equals the self-contained operator
+    full_idx = str(tmp_path / "ivf_full")
+    build_ivf_index(spark, emb, SEEDS, full_idx)
+    want = _key(sim_cosine_topk_ivf_probe(spark, SF))
+    assert _key(topk_from_index(spark, queries, full_idx, N_PROBE)) == want
+    assert len(want) > 0
+
+    # incremental: first batch must contain the seed vectors (the quantizer
+    # trains on the initial corpus); the rest arrives later
+    inc_idx = str(tmp_path / "ivf_inc")
+    first = emb.filter((F.col("vec_id") % 2 == 0) | F.col("vec_id").isin(SEEDS))
+    rest = emb.filter((F.col("vec_id") % 2 == 1) & ~F.col("vec_id").isin(SEEDS))
+    build_ivf_index(spark, first, SEEDS, inc_idx)
+    n_updated, n_inserted = update_ivf_index(spark, rest, inc_idx)
+    assert n_updated == 0 and n_inserted == rest.count()
+
+    assert _key(topk_from_index(spark, queries, inc_idx, N_PROBE)) == want
