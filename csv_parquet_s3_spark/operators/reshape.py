@@ -262,3 +262,65 @@ def q_events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+_HIST_BUCKET = "CAST(FLOOR(o_totalprice / 50000.0) AS INT)"
+
+
+@register(
+    "q_order_value_histogram",
+    oracle=f"""
+    SELECT {_HIST_BUCKET} AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(MIN(o_totalprice), 2) AS DOUBLE) AS lo,
+           CAST(ROUND(MAX(o_totalprice), 2) AS DOUBLE) AS hi
+    FROM orders
+    GROUP BY {_HIST_BUCKET}
+    """,
+)
+def q_order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (floor bucketing — portable where
+    ``width_bucket`` isn't) — one hash aggregate, the distribution profile
+    every data-quality dashboard starts from."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.expr(_HIST_BUCKET).alias("bucket")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).cast("double").alias("lo"),
+        F.round(F.max("o_totalprice"), 2).cast("double").alias("hi"),
+    )
+
+
+@register(
+    "q_revenue_month_over_month",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+        FROM orders GROUP BY date_trunc('month', o_orderdate)
+    )
+    SELECT month,
+           CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+           CAST(ROUND(CAST(rev AS DOUBLE)
+                      / CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE) - 1.0, 6)
+                AS DOUBLE) AS mom_growth
+    FROM monthly
+    """,
+)
+def q_revenue_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month growth: aggregate to months (tiny), then a lag
+    window over the aggregate — the window sorts |months| rows, never the
+    fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(F.expr("SUM(CAST(o_totalprice AS DECIMAL(12,2)))").alias("rev"))
+    w = W.orderBy("month")
+    return monthly.select(
+        "month",
+        F.round("rev", 2).cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.lag("rev").over(w).cast("double") - 1.0, 6
+        )
+        .cast("double")
+        .alias("mom_growth"),
+    )
