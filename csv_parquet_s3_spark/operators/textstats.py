@@ -287,3 +287,66 @@ def text_feature_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("sign").alias("weight"))
         .filter(F.col("weight") != 0)
     )
+
+
+TFIDF_TOP = 3
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, t AS token
+        FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+        WHERE t <> ''
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token,
+               CAST(ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6)
+                    AS DOUBLE) AS tfidf
+        FROM tf JOIN df ON tf.token = df.token, n
+    )
+    SELECT doc_id, token, tfidf, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
+        FROM scored
+    ) t WHERE rank <= {TFIDF_TOP} AND tfidf > 0.0
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF top terms: term frequency × ln(N/df), top
+    {TFIDF_TOP} per doc.
+
+    Scale shape: tf is one aggregate keyed (doc, token); df is one keyed
+    (token); the df table is vocabulary-sized → broadcast back onto tf, so
+    scoring is map-side. The doc count is a one-row broadcast. The final
+    per-doc window shuffles only the scored tf rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            )
+            .cast("double")
+            .alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") <= TFIDF_TOP) & (F.col("tfidf") > 0.0))
+    )
