@@ -324,3 +324,77 @@ def q_revenue_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("mom_growth"),
     )
+
+
+_BAL = "CAST(s_acctbal AS DECIMAL(12,2))"
+_BAL2 = f"{_BAL} * {_BAL}"
+
+
+@register(
+    "q_supplier_balance_zscore",
+    oracle=f"""
+    WITH stats AS (
+        SELECT s_nationkey AS nk,
+               CAST(SUM({_BAL}) AS DOUBLE) / COUNT(*) AS mean,
+               CAST(SUM({_BAL2}) AS DOUBLE) / COUNT(*)
+                 - (CAST(SUM({_BAL}) AS DOUBLE) / COUNT(*))
+                   * (CAST(SUM({_BAL}) AS DOUBLE) / COUNT(*)) AS var
+        FROM supplier GROUP BY s_nationkey
+    )
+    SELECT s_suppkey, s_nationkey,
+           CAST(ROUND((s_acctbal - mean) / SQRT(var), 6) AS DOUBLE) AS balance_z
+    FROM supplier JOIN stats ON nk = s_nationkey
+    WHERE var > 0.0
+    """,
+)
+def q_supplier_balance_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation z-score standardization — the feature-engineering
+    normalize step. Moments come from EXACT decimal sums (Σx, Σx²) so the
+    variance is accumulation-order-independent; a double ``stddev`` would
+    never hash-match across engines. Group stats broadcast back onto the
+    rows (Q17's join-back shape)."""
+    supp = load_table(spark, sf_dir, "supplier")
+    mean = F.expr(f"CAST(SUM({_BAL}) AS DOUBLE)") / F.count("*")
+    sum2 = F.expr(f"CAST(SUM({_BAL2}) AS DOUBLE)") / F.count("*")
+    stats = supp.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        mean.alias("mean"), (sum2 - mean * mean).alias("var")
+    )
+    return (
+        supp.join(F.broadcast(stats), supp.s_nationkey == stats.nk)
+        .filter(F.col("var") > 0.0)
+        .select(
+            "s_suppkey",
+            "s_nationkey",
+            F.round((F.col("s_acctbal") - F.col("mean")) / F.sqrt("var"), 6)
+            .cast("double")
+            .alias("balance_z"),
+        )
+    )
+
+
+@register(
+    "q_priority_share_of_total",
+    oracle="""
+    WITH counts AS (
+        SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n,
+           CAST(ROUND(CAST(n AS DOUBLE)
+                      / SUM(n) OVER (), 6) AS DOUBLE) AS share
+    FROM counts
+    """,
+)
+def q_priority_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total via an unpartitioned window OVER the aggregate — the
+    window sees |groups| rows (5 here), so the single-partition window is
+    free; running it over the raw fact would be the classic anti-pattern."""
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+    w = W.partitionBy()
+    return counts.select(
+        "o_orderpriority",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w), 6)
+        .cast("double")
+        .alias("share"),
+    )
