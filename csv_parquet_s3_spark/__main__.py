@@ -85,6 +85,47 @@ def _purge(args: argparse.Namespace) -> int:
     return 0 if all(oc.status != "error" for oc in result.outcomes) else 1
 
 
+def _corpus(args: argparse.Namespace) -> int:
+    """Training-corpus pipeline: CSV → typed parquet → near-dup clusters →
+    keep-one-per-cluster → deterministic split → compacted layout."""
+    from pyspark.sql import functions as F
+
+    from csv_parquet_s3_spark.ingest import convert_csv_dir
+    from csv_parquet_s3_spark.maintenance import compact
+    from csv_parquet_s3_spark.operators.components import connected_components
+    from csv_parquet_s3_spark.operators.minhash_index import (
+        build_index,
+        pairs_from_index,
+    )
+    from csv_parquet_s3_spark.operators.sampling import hash_split
+    from csv_parquet_s3_spark.session import get_spark
+
+    spark = get_spark(app_name="csv_parquet_s3_corpus")
+    typed = convert_csv_dir(
+        spark, args.csv_dir, f"{args.out}/corpus", schema_path=args.schema
+    )
+    n_raw = typed.count()
+
+    build_index(spark, typed, f"{args.out}/sig_index")
+    pairs = pairs_from_index(spark, f"{args.out}/sig_index")
+    comp = connected_components(pairs, "doc_id_a", "doc_id_b")
+    losers = comp.filter(F.col("vertex") != F.col("component")).select(
+        F.col("vertex").alias("doc_id")
+    )
+    keep = typed.join(losers, "doc_id", "left_anti")
+
+    final_path = f"{args.out}/final"
+    hash_split(keep, "doc_id").write.mode("overwrite").parquet(final_path)
+    n_files = compact(spark, final_path)
+
+    n_kept = spark.read.parquet(final_path).count()
+    logger.info(
+        "corpus pipeline: %d raw docs -> %d kept (%d near-dups removed), %d file(s) at %s",
+        n_raw, n_kept, n_raw - n_kept, n_files, final_path,
+    )
+    return 0
+
+
 def _compact(args: argparse.Namespace) -> int:
     from csv_parquet_s3_spark.maintenance import compact
     from csv_parquet_s3_spark.session import get_spark
@@ -117,6 +158,12 @@ def main(argv: list[str] | None = None) -> int:
     pg.add_argument("--dry-run", action="store_true")
     pg.add_argument("--audit-path", default=None)
     pg.set_defaults(fn=_purge)
+
+    pco = sub.add_parser("corpus", help="CSV → dedup → split → compacted corpus")
+    pco.add_argument("--csv-dir", required=True)
+    pco.add_argument("--schema", required=True, help="schema.json path")
+    pco.add_argument("--out", required=True, help="output root directory")
+    pco.set_defaults(fn=_corpus)
 
     pc = sub.add_parser("compact", help="small-file compaction")
     pc.add_argument("--path", required=True)

@@ -74,3 +74,41 @@ def test_purge_and_compact_cli(tmp_path, spark):
     r2 = _run(["compact", "--path", str(root / "t1"), "--sort-by", "id"])
     assert r2.returncode == 0, r2.stderr
     assert "compacted" in r2.stderr
+
+
+def test_corpus_cli(tmp_path, spark):
+    import csv as _csv
+
+    from csv_parquet_s3_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "lang"
+    )
+    n_raw = docs.count()
+    csv_dir = tmp_path / "landing"
+    csv_dir.mkdir()
+    with open(csv_dir / "b1.csv", "w", newline="") as fh:
+        w = _csv.writer(fh)
+        w.writerow(["doc_id", "text", "lang"])
+        w.writerows((r.doc_id, r.text, r.lang) for r in docs.collect())
+    schema = tmp_path / "docs_schema.json"
+    schema.write_text(json.dumps({
+        "fields": [
+            {"name": "doc_id", "type": "INT64", "repetition": "REQUIRED"},
+            {"name": "text", "type": "BINARY", "logicalType": "STRING"},
+            {"name": "lang", "type": "BINARY", "logicalType": "STRING"},
+        ]
+    }))
+
+    out = tmp_path / "corpus_out"
+    r = _run(["corpus", "--csv-dir", str(csv_dir), "--schema", str(schema),
+              "--out", str(out)])
+    assert r.returncode == 0, r.stderr
+    assert "corpus pipeline:" in r.stderr
+
+    final = spark.read.parquet(str(out / "final"))
+    n_kept = final.count()
+    assert 0 < n_kept < n_raw  # dedup removed something, kept most
+    assert set(final.select("split").distinct().toPandas()["split"]) <= {
+        "train", "valid", "test"
+    }
