@@ -398,3 +398,80 @@ def q_priority_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("share"),
     )
+
+
+_PS = "CAST(p_size AS DECIMAL(12,2))"
+_PR = "CAST(p_retailprice AS DECIMAL(12,2))"
+
+
+@register(
+    "q_part_size_price_correlation",
+    oracle=f"""
+    SELECT p_type,
+           COUNT(*) AS n,
+           CAST(ROUND(
+               (COUNT(*) * CAST(SUM({_PS} * {_PR}) AS DOUBLE)
+                  - CAST(SUM({_PS}) AS DOUBLE) * CAST(SUM({_PR}) AS DOUBLE))
+               / (SQRT(COUNT(*) * CAST(SUM({_PS} * {_PS}) AS DOUBLE)
+                         - CAST(SUM({_PS}) AS DOUBLE) * CAST(SUM({_PS}) AS DOUBLE))
+                  * SQRT(COUNT(*) * CAST(SUM({_PR} * {_PR}) AS DOUBLE)
+                         - CAST(SUM({_PR}) AS DOUBLE) * CAST(SUM({_PR}) AS DOUBLE))),
+               6) AS DOUBLE) AS size_price_corr
+    FROM part
+    GROUP BY p_type
+    """,
+)
+def q_part_size_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per part type from EXACT decimal moments
+    (Σx, Σy, Σxy, Σx², Σy²) — the built-in ``corr()`` accumulates doubles in
+    engine order and can never hash-match across engines; the five exact
+    sums make the same statistic deterministic. One hash aggregate."""
+    part = load_table(spark, sf_dir, "part")
+    n = F.count("*")
+    sx = F.expr(f"CAST(SUM({_PS}) AS DOUBLE)")
+    sy = F.expr(f"CAST(SUM({_PR}) AS DOUBLE)")
+    sxy = F.expr(f"CAST(SUM({_PS} * {_PR}) AS DOUBLE)")
+    sxx = F.expr(f"CAST(SUM({_PS} * {_PS}) AS DOUBLE)")
+    syy = F.expr(f"CAST(SUM({_PR} * {_PR}) AS DOUBLE)")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return part.groupBy("p_type").agg(
+        n.alias("n"),
+        F.round(corr, 6).cast("double").alias("size_price_corr"),
+    )
+
+
+@register(
+    "q_customer_value_deciles",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS total
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT o_custkey, total,
+               NTILE(10) OVER (ORDER BY total DESC, o_custkey) AS decile
+        FROM spend
+    )
+    SELECT decile, COUNT(*) AS n_customers,
+           CAST(ROUND(SUM(total), 2) AS DOUBLE) AS decile_value,
+           CAST(ROUND(MIN(total), 2) AS DOUBLE) AS min_value
+    FROM ranked GROUP BY decile
+    """,
+)
+def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value deciles: aggregate to customers, ntile the
+    aggregate (window over |customers| rows, not the fact), re-aggregate
+    per decile — the segmentation double-aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.expr("SUM(CAST(o_totalprice AS DECIMAL(12,2)))").alias("total")
+    )
+    w = W.orderBy(F.desc("total"), F.asc("o_custkey"))
+    ranked = spend.withColumn("decile", F.ntile(10).over(w))
+    return ranked.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.expr("CAST(ROUND(SUM(total), 2) AS DOUBLE)").alias("decile_value"),
+        F.expr("CAST(ROUND(MIN(total), 2) AS DOUBLE)").alias("min_value"),
+    )
