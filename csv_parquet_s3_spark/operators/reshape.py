@@ -475,3 +475,46 @@ def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(ROUND(SUM(total), 2) AS DOUBLE)").alias("decile_value"),
         F.expr("CAST(ROUND(MIN(total), 2) AS DOUBLE)").alias("min_value"),
     )
+
+
+@register(
+    "q_events_dau_wau_stickiness",
+    oracle="""
+    WITH dau AS (
+        SELECT date_trunc('day', ts) AS day,
+               COUNT(DISTINCT user_id) AS dau
+        FROM events GROUP BY date_trunc('day', ts)
+    ),
+    wau AS (
+        SELECT date_trunc('week', ts) AS week,
+               COUNT(DISTINCT user_id) AS wau
+        FROM events GROUP BY date_trunc('week', ts)
+    )
+    SELECT day, dau, wau,
+           CAST(ROUND(CAST(dau AS DOUBLE) / wau, 6) AS DOUBLE) AS stickiness
+    FROM dau JOIN wau ON date_trunc('week', day) = wau.week
+    """,
+)
+def q_events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness: two distinct-count aggregates at different time
+    grains joined on the containing week — the engagement ratio every
+    product dashboard carries. Both aggregates shuffle once on their grain;
+    the join is |days| × |weeks| (tiny) → broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    dau = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    wau = ev.groupBy(F.date_trunc("week", F.col("ts")).alias("week")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return (
+        dau.join(F.broadcast(wau), F.date_trunc("week", F.col("day")) == wau.week)
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6)
+            .cast("double")
+            .alias("stickiness"),
+        )
+    )

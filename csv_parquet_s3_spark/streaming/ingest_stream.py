@@ -64,3 +64,48 @@ def stream_csv_to_parquet(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_upsert_parquet(
+    spark,
+    source_df,
+    target_path: str,
+    checkpoint: str,
+    key: str,
+):
+    """Streaming MERGE sink: each micro-batch upserts into a parquet dataset
+    by key via ``foreachBatch`` + :func:`maintenance.upsert`.
+
+    This is the idempotent-sink composition Structured Streaming needs for
+    mutable targets: replayed batches (after a failure) re-merge the same
+    keys instead of duplicating rows — exactly-once *effect* on top of
+    at-least-once delivery. The target must exist (bootstrap with an empty
+    write) because plain parquet has no create-on-merge.
+    """
+    from csv_parquet_s3_spark.maintenance import upsert
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # within one batch, last-write-wins per key before merging
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
+        deduped = (
+            batch_df.withColumn(
+                "_rn",
+                F.row_number().over(
+                    W.partitionBy(key).orderBy(F.monotonically_increasing_id().desc())
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        upsert(batch_df.sparkSession, target_path, deduped, key=key)
+
+    return (
+        source_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -159,3 +159,26 @@ def test_watermark_bounds_streaming_state(spark, tmp_path):
     # watermark advanced across batches as event time progressed
     wms = [p["eventTime"].get("watermark") for p in progress]
     assert wms[-1] == "2024-03-01T13:10:00.000Z"
+
+
+def test_stream_upsert_sink(spark, tmp_path):
+    """foreachBatch upsert: later batches update matching keys in place and
+    append new ones — a mutable keyed target fed by a stream."""
+    from csv_parquet_s3_spark.streaming.ingest_stream import stream_upsert_parquet
+
+    target = str(tmp_path / "state_table")
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 1.0)], "k bigint, tag string, v double"
+    ).write.parquet(target)
+
+    src = str(tmp_path / "updates_src")
+    spark.createDataFrame(
+        [(2, "b2", 9.0), (3, "c", 5.0)], "k bigint, tag string, v double"
+    ).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = stream_upsert_parquet(spark, stream, target, str(tmp_path / "ck"), key="k")
+    q.awaitTermination(120)
+
+    got = {r.k: (r.tag, r.v) for r in spark.read.parquet(target).collect()}
+    assert got == {1: ("a", 1.0), 2: ("b2", 9.0), 3: ("c", 5.0)}
