@@ -170,3 +170,22 @@ def compact_zorder(
     )
     _atomic_swap(staging, path)
     return parquet_file_count(path)
+
+
+def vacuum(path: str) -> list[str]:
+    """Remove orphaned staging/backup directories left by a compact/upsert/
+    zorder run that crashed between write and swap. The staged-swap protocol
+    guarantees readers never see partial data, but a crash can leak a
+    ``._compact-*`` / ``._upsert-*`` / ``._zorder-*`` / ``._old-*`` sibling;
+    this is the janitor. Returns the removed paths."""
+    parent = os.path.dirname(path.rstrip("/")) or "."
+    base = os.path.basename(path.rstrip("/"))
+    removed = []
+    for name in os.listdir(parent):
+        if name.startswith(base + "._") and any(
+            marker in name for marker in ("._compact-", "._upsert-", "._zorder-", "._old-")
+        ):
+            full = os.path.join(parent, name)
+            shutil.rmtree(full, ignore_errors=True)
+            removed.append(full)
+    return removed
