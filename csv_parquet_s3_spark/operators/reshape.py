@@ -518,3 +518,45 @@ def q_events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("stickiness"),
         )
     )
+
+
+@register(
+    "q_customer_reorder_gaps",
+    oracle="""
+    WITH gaps AS (
+        SELECT o_custkey,
+               date_diff('day',
+                         lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate, o_orderkey),
+                         o_orderdate) AS gap_days
+        FROM orders
+    )
+    SELECT o_custkey,
+           COUNT(gap_days) AS n_reorders,
+           CAST(MIN(gap_days) AS BIGINT) AS min_gap_days,
+           CAST(MAX(gap_days) AS BIGINT) AS max_gap_days,
+           CAST(SUM(gap_days) AS BIGINT) AS total_gap_days
+    FROM gaps
+    WHERE gap_days IS NOT NULL
+    GROUP BY o_custkey
+    """,
+)
+def q_customer_reorder_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap profile per customer: lag over each customer's order
+    history, then aggregate the gaps — the repeat-behavior feature (window
+    keyed and ordered once per customer, integer day arithmetic so sums are
+    exact)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias(
+            "gap_days"
+        ),
+    ).filter(F.col("gap_days").isNotNull())
+    return gaps.groupBy("o_custkey").agg(
+        F.count("gap_days").alias("n_reorders"),
+        F.min("gap_days").cast("bigint").alias("min_gap_days"),
+        F.max("gap_days").cast("bigint").alias("max_gap_days"),
+        F.sum("gap_days").cast("bigint").alias("total_gap_days"),
+    )
