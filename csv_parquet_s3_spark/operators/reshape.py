@@ -560,3 +560,45 @@ def q_customer_reorder_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_days").cast("bigint").alias("max_gap_days"),
         F.sum("gap_days").cast("bigint").alias("total_gap_days"),
     )
+
+
+_JOURNEY_LEN = 5
+
+
+@register(
+    "q_user_journey_paths",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT user_id, event_type, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    journeys AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY rn) AS journey
+        FROM ranked WHERE rn <= {_JOURNEY_LEN}
+        GROUP BY user_id
+    )
+    SELECT journey, COUNT(*) AS n_users
+    FROM journeys GROUP BY journey
+    """,
+)
+def q_user_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: each user's first {_JOURNEY_LEN} events as an ordered
+    'a>b>c' journey string, then the journey frequency table. Ordered
+    aggregation is made deterministic by collecting (rn, type) structs and
+    sorting INSIDE the row (collect_list order is engine-arbitrary) — one
+    window + two aggregates, all keyed by user."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= _JOURNEY_LEN)
+    journeys = ranked.groupBy("user_id").agg(
+        F.expr(
+            "concat_ws('>', transform(array_sort(collect_list(struct(rn, event_type))),"
+            " s -> s.event_type))"
+        ).alias("journey")
+    )
+    return journeys.groupBy("journey").agg(F.count("*").alias("n_users"))
