@@ -602,3 +602,47 @@ def q_user_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("journey")
     )
     return journeys.groupBy("journey").agg(F.count("*").alias("n_users"))
+
+
+@register(
+    "q_supplier_balance_mad",
+    oracle="""
+    WITH med AS (
+        SELECT s_nationkey AS nk,
+               quantile_cont(s_acctbal, 0.5) AS med_bal
+        FROM supplier GROUP BY s_nationkey
+    )
+    SELECT s.s_nationkey, COUNT(*) AS n,
+           CAST(ROUND(ANY_VALUE(m.med_bal), 6) AS DOUBLE) AS median_balance,
+           CAST(ROUND(quantile_cont(ABS(s.s_acctbal - m.med_bal), 0.5), 6)
+                AS DOUBLE) AS mad
+    FROM supplier s JOIN med m ON m.nk = s.s_nationkey
+    GROUP BY s.s_nationkey
+    """,
+)
+def q_supplier_balance_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per nation — the robust spread statistic
+    (outlier-insensitive, unlike stddev). Two-level exact interpolated
+    medians: group medians broadcast back onto the rows (join-back shape),
+    then the median of absolute deviations. Interpolated percentiles are
+    IEEE-deterministic on both engines, so this hash-matches without the
+    decimal detour the moment-based stats need."""
+    supp = load_table(spark, sf_dir, "supplier")
+    med = supp.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.expr("percentile(s_acctbal, 0.5)").alias("med_bal")
+    )
+    return (
+        supp.join(F.broadcast(med), supp.s_nationkey == med.nk)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.expr("any_value(med_bal)"), 6)
+            .cast("double")
+            .alias("median_balance"),
+            F.round(
+                F.expr("percentile(ABS(s_acctbal - med_bal), 0.5)"), 6
+            )
+            .cast("double")
+            .alias("mad"),
+        )
+    )
