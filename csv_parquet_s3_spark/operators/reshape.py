@@ -646,3 +646,71 @@ def q_supplier_balance_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mad"),
         )
     )
+
+
+@register(
+    "q_events_error_spikes",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ),
+    grid AS (
+        SELECT g AS hour_start
+        FROM bounds, UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS t(g)
+    ),
+    actual AS (
+        SELECT date_trunc('hour', ts) AS hour_start, COUNT(*) AS n
+        FROM events WHERE event_type = 'error'
+        GROUP BY date_trunc('hour', ts)
+    ),
+    hourly AS (
+        SELECT grid.hour_start, CAST(COALESCE(actual.n, 0) AS BIGINT) AS n_errors
+        FROM grid LEFT JOIN actual ON actual.hour_start = grid.hour_start
+    ),
+    scored AS (
+        SELECT hour_start, n_errors,
+               CAST(SUM(n_errors) OVER w AS DOUBLE)
+                 / COUNT(*) OVER w AS baseline
+        FROM hourly
+        WINDOW w AS (ORDER BY hour_start ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT hour_start, n_errors,
+           CAST(ROUND(baseline, 6) AS DOUBLE) AS baseline
+    FROM scored
+    WHERE n_errors > 2.0 * baseline AND n_errors >= 3
+    """,
+)
+def q_events_error_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-spike detection: gap-filled hourly error counts compared to the
+    trailing-24h mean (gap fill matters — missing hours must count as ZERO
+    in the baseline, or quiet periods inflate it). One aggregate + one
+    ordered window over the |hours| grid; the exact integer SUM/COUNT makes
+    the baseline deterministic where a double AVG would not be."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, INTERVAL 1 HOUR)")).alias("hour_start")
+    )
+    actual = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start"))
+        .agg(F.count("*").alias("n"))
+    )
+    hourly = grid.join(actual, "hour_start", "left").select(
+        "hour_start", F.coalesce("n", F.lit(0)).cast("bigint").alias("n_errors")
+    )
+    w = W.orderBy("hour_start").rowsBetween(-24, -1)
+    scored = hourly.select(
+        "hour_start",
+        "n_errors",
+        (F.sum("n_errors").over(w).cast("double") / F.count("*").over(w)).alias(
+            "baseline"
+        ),
+    )
+    return scored.filter(
+        (F.col("n_errors") > 2.0 * F.col("baseline")) & (F.col("n_errors") >= 3)
+    ).select("hour_start", "n_errors", F.round("baseline", 6).cast("double").alias("baseline"))
