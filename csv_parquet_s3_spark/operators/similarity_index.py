@@ -113,3 +113,73 @@ def topk_from_index(
     return scored.select("*", F.row_number().over(w).alias("rn")).filter(
         F.col("rn") <= k
     )
+
+
+def _centroid_update(members: DataFrame) -> DataFrame:
+    """One Lloyd update: per-list mean vector (posexplode → per-(list, dim)
+    mean → re-assemble array), spherical (unit-norm) for cosine."""
+    elems = members.select(
+        "list_id", F.posexplode(F.col("vd")).alias("dim", "x")
+    )
+    cent_elems = elems.groupBy("list_id", "dim").agg(F.avg("x").alias("c"))
+    assembled = cent_elems.groupBy("list_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, c))), s -> s.c)"
+        ).alias("cv_raw")
+    )
+    return assembled.select(
+        "list_id",
+        F.expr("transform(cv_raw, x -> x / sqrt(aggregate(transform(cv_raw, y -> y * y), CAST(0.0 AS DOUBLE), (a, y) -> a + y)))").alias("cv"),
+    ).withColumn(
+        "cnorm", F.lit(1.0)
+    )
+
+
+def train_centroids(
+    spark: SparkSession, vectors: DataFrame, seed_vec_ids: list[int], iters: int = 3
+) -> DataFrame:
+    """Spherical k-means (Lloyd) from deterministic seeds, pure dataframe
+    ops: assign (broadcast centroids, map-side) → per-list mean → repeat.
+    Each iteration is one job; ``localCheckpoint`` truncates lineage. A list
+    that loses every member keeps its previous centroid (coalesce)."""
+    emb = _with_norm(vectors)
+    cent = _centroid_frame(
+        emb.filter(F.col("vec_id").isin(seed_vec_ids)).select(
+            F.dense_rank().over(W.orderBy("vec_id")).cast("bigint").alias("list_id"),
+            "vd",
+            "norm",
+        )
+    ).localCheckpoint(eager=True)
+    pts = emb.select("vec_id", "vd", "norm")
+    for _ in range(iters):
+        members = _assign(pts, cent)
+        updated = _centroid_update(members)
+        cent = (
+            cent.alias("o")
+            .join(updated.alias("u"), "list_id", "left")
+            .select(
+                "list_id",
+                F.coalesce("u.cv", "o.cv").alias("cv"),
+                F.coalesce("u.cnorm", "o.cnorm").alias("cnorm"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cent
+
+
+def quantization_error(vectors: DataFrame, centroids: DataFrame) -> float:
+    """Mean (1 - cosine) of each vector to its assigned centroid — the
+    k-means objective for spherical clustering (driver sees one float)."""
+    emb = _with_norm(vectors).select("vec_id", "vd", "norm")
+    sim = F.round(
+        _dot(F.col("vd"), F.col("cv")) / (F.col("norm") * F.col("cnorm")), 9
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("list_id"))
+    best = (
+        emb.crossJoin(F.broadcast(centroids))
+        .withColumn("csim", sim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    row = best.agg(F.avg(F.lit(1.0) - F.col("csim")).alias("err")).collect()[0]
+    return float(row.err)

@@ -47,3 +47,31 @@ def test_ivf_index_lifecycle_matches_operator(spark, tmp_path):
     assert n_updated == 0 and n_inserted == rest.count()
 
     assert _key(topk_from_index(spark, queries, inc_idx, N_PROBE)) == want
+
+
+def test_lloyd_training_reduces_quantization_error(spark):
+    from csv_parquet_s3_spark.operators.similarity import _with_norm
+    from csv_parquet_s3_spark.operators.similarity_index import (
+        _centroid_frame,
+        quantization_error,
+        train_centroids,
+    )
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, SF, "embeddings")
+    seeded = _centroid_frame(
+        _with_norm(emb)
+        .filter(F.col("vec_id").isin(SEEDS))
+        .select(
+            F.dense_rank().over(W.orderBy("vec_id")).cast("bigint").alias("list_id"),
+            "vd",
+            "norm",
+        )
+    )
+    err_seed = quantization_error(emb, seeded)
+    trained = train_centroids(spark, emb, SEEDS, iters=3)
+    err_trained = quantization_error(emb, trained)
+    # Lloyd iterations cannot worsen the objective; on real data they help
+    assert err_trained <= err_seed
+    assert err_trained < 0.95 * err_seed  # and materially so here
+    assert trained.count() == len(SEEDS)
