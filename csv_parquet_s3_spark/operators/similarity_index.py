@@ -45,21 +45,30 @@ def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
 
 
 def build_ivf_index(
-    spark: SparkSession, vectors: DataFrame, centroid_vec_ids: list[int], index_path: str
+    spark: SparkSession,
+    vectors: DataFrame,
+    centroid_vec_ids: list[int],
+    index_path: str,
+    train_iters: int = 0,
 ) -> None:
     """Full build: quantizer from the given seed vectors + inverted lists
-    for every vector."""
+    for every vector. ``train_iters > 0`` refines the seeds with that many
+    spherical-k-means Lloyd iterations (:func:`train_centroids`) before the
+    lists are built — tighter lists, better nprobe recall, same dataflow."""
     emb = _with_norm(vectors)
-    cent = _centroid_frame(
-        emb.filter(F.col("vec_id").isin(centroid_vec_ids)).select(
-            F.dense_rank()
-            .over(W.orderBy("vec_id"))
-            .cast("bigint")
-            .alias("list_id"),
-            "vd",
-            "norm",
+    if train_iters > 0:
+        cent = train_centroids(spark, vectors, centroid_vec_ids, iters=train_iters)
+    else:
+        cent = _centroid_frame(
+            emb.filter(F.col("vec_id").isin(centroid_vec_ids)).select(
+                F.dense_rank()
+                .over(W.orderBy("vec_id"))
+                .cast("bigint")
+                .alias("list_id"),
+                "vd",
+                "norm",
+            )
         )
-    )
     cent.write.mode("overwrite").parquet(f"{index_path}/centroids")
     assign = _assign(emb.select("vec_id", "vd", "norm"), spark.read.parquet(f"{index_path}/centroids"))
     assign.write.mode("overwrite").parquet(f"{index_path}/assign")

@@ -75,3 +75,28 @@ def test_lloyd_training_reduces_quantization_error(spark):
     assert err_trained <= err_seed
     assert err_trained < 0.95 * err_seed  # and materially so here
     assert trained.count() == len(SEEDS)
+
+
+def test_trained_index_serves_topk(spark, tmp_path):
+    from csv_parquet_s3_spark.operators.similarity_index import (
+        build_ivf_index,
+        quantization_error,
+        topk_from_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    idx = str(tmp_path / "ivf_trained")
+    build_ivf_index(spark, emb, SEEDS, idx, train_iters=2)
+
+    out = topk_from_index(spark, queries, idx, N_PROBE)
+    rows = out.collect()
+    assert len(rows) == N_QUERIES * 10
+    per_q = {r.query_id for r in rows}
+    assert per_q == set(range(N_QUERIES))
+    # trained quantizer's lists are at least as tight as the raw seeds'
+    seeded_idx = str(tmp_path / "ivf_seeded")
+    build_ivf_index(spark, emb, SEEDS, seeded_idx)
+    err_seeded = quantization_error(emb, spark.read.parquet(f"{seeded_idx}/centroids"))
+    err_trained = quantization_error(emb, spark.read.parquet(f"{idx}/centroids"))
+    assert err_trained <= err_seeded
