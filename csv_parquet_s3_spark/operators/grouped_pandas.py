@@ -14,8 +14,8 @@ user), not corpus size. Skewed keys → salt or pre-split by time range. The
 batch function is a nested closure so cloudpickle ships it by value — the
 Python workers don't need this package importable.
 
-Not SQL-expressible → rows-only driver check; the test suite pins it against
-a pure-pandas model of the same recurrence.
+Hash-checked against a DuckDB recursive-CTE oracle replaying the identical
+recurrence; the test suite additionally pins it against a pure-pandas model.
 """
 
 from __future__ import annotations
@@ -52,6 +52,29 @@ def user_value_ewma(events: DataFrame, alpha: float = EWMA_ALPHA) -> DataFrame:
     )
 
 
-@register("q_events_user_ewma")  # recursive per-key algorithm → rows-only check
+@register(
+    "q_events_user_ewma",
+    # The recurrence IS SQL-expressible via a recursive CTE; DuckDB replays
+    # pandas' adjust=False update y_t = (1-a)*y_{t-1} + a*x_t with the same
+    # IEEE double ops (verified bit-exact pre-round), then both sides round
+    # to 6 decimals. Depth = max events per key.
+    oracle=f"""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    ewma AS (
+      SELECT user_id, event_id, ts, value, rn, value AS y
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.event_id, o.ts, o.value, o.rn,
+             (1 - {EWMA_ALPHA}) * e.y + {EWMA_ALPHA} * o.value
+      FROM ordered o JOIN ewma e ON o.user_id = e.user_id AND o.rn = e.rn + 1
+    )
+    SELECT user_id, event_id, ts, value, ROUND(y, 6) AS ewma_value
+    FROM ewma
+    """,
+)
 def q_events_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_value_ewma(load_table(spark, sf_dir, "events"))

@@ -124,10 +124,90 @@ def extract_byte_features(docs_with_payload: DataFrame) -> DataFrame:
     )
 
 
-@register("mm_byte_histogram_features")  # non-SQL-expressible → rows-only check
+LONG_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("bucket_count", T.LongType(), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("fraction", T.DoubleType(), False),
+    ]
+)
+
+
+def extract_byte_features_long(docs_with_payload: DataFrame) -> DataFrame:
+    """Long-form featurization: one (doc, bucket) row per histogram cell.
+
+    Same Arrow-batched mapInPandas body as :func:`extract_byte_features`, but
+    emitting a dense long form the driver's canonicalizer can hash (scalar
+    cells only, no array columns) and that a SQL oracle can reproduce:
+    ``bucket_count`` is an exact integer and ``fraction`` a single IEEE-754
+    double division ``count / n_bytes`` — bit-identical across engines.
+    """
+    n_buckets = N_HIST_BUCKETS
+
+    def byte_histogram_long_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "bucket": [], "bucket_count": [], "n_bytes": [], "fraction": []
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if arr.size:
+                    hist, _ = np.histogram(arr, bins=n_buckets, range=(0, 256))
+                else:
+                    hist = np.zeros(n_buckets, dtype=np.int64)
+                for b in range(n_buckets):
+                    out["doc_id"].append(doc_id)
+                    out["bucket"].append(b)
+                    out["bucket_count"].append(int(hist[b]))
+                    out["n_bytes"].append(arr.size)
+                    out["fraction"].append(hist[b] / arr.size if arr.size else 0.0)
+            yield pd.DataFrame(out)
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        byte_histogram_long_batches, schema=LONG_FEATURE_SCHEMA
+    )
+
+
+@register(
+    "mm_byte_histogram_features",
+    # SQL reproduction of the numpy histogram: byte i's bucket (8 bins over
+    # 0..256) is its high hex nibble // 2; fraction is one double division.
+    oracle=f"""
+    WITH payload AS (
+      SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    bytes AS (
+      SELECT doc_id,
+             (strpos('0123456789ABCDEF',
+                     substr(h, 2 * CAST(unnest(range(1, n + 1)) AS INT) - 1, 1)) - 1) // 2
+               AS bucket
+      FROM payload
+    ),
+    counts AS (
+      SELECT doc_id, bucket, count(*) AS c FROM bytes GROUP BY doc_id, bucket
+    ),
+    spine AS (
+      SELECT doc_id, CAST(unnest(range(0, {N_HIST_BUCKETS})) AS INT) AS bucket, n
+      FROM payload
+    )
+    SELECT s.doc_id,
+           s.bucket,
+           COALESCE(c.c, 0) AS bucket_count,
+           CAST(s.n AS INT) AS n_bytes,
+           CASE WHEN s.n = 0 THEN 0.0
+                ELSE CAST(COALESCE(c.c, 0) AS DOUBLE) / s.n END AS fraction
+    FROM spine s LEFT JOIN counts c ON s.doc_id = c.doc_id AND s.bucket = c.bucket
+    """,
+)
 def mm_byte_histogram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return extract_byte_features(attach_payload(docs))
+    return extract_byte_features_long(attach_payload(docs))
 
 
 FRAME_SCHEMA = T.StructType(
