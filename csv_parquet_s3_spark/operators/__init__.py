@@ -9,6 +9,7 @@ from csv_parquet_s3_spark.operators import (  # noqa: F401
     components,
     dedup,
     grouped_pandas,
+    minhash_index,
     multimodal,
     neardup,
     outer_json,
@@ -16,6 +17,7 @@ from csv_parquet_s3_spark.operators import (  # noqa: F401
     reshape,
     sampling,
     similarity,
+    similarity_index,
     textstats,
     tpch_ext,
 )

@@ -12,6 +12,8 @@ update / query) expressed as three dataframe functions.
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -20,6 +22,8 @@ from csv_parquet_s3_spark.operators.dedup import (
     signature_table,
     verified_pairs_from_signatures,
 )
+from csv_parquet_s3_spark.operators.registry import ORACLES, register
+from csv_parquet_s3_spark.sources.tables import load_table
 
 
 def _shingles_of(docs: DataFrame) -> DataFrame:
@@ -108,3 +112,25 @@ def pairs_against_index(
             F.round(jacc, 6).cast("double").alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Registered query: incremental index build ≡ full-corpus near-dup pairs.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_minhash_incremental",
+    # The incremental lifecycle must produce exactly the full-corpus pairs,
+    # so the oracle IS the full-corpus LSH oracle.
+    oracle=ORACLES["dedup_minhash_lsh_pairs"],
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs from an INCREMENTALLY built MinHash index: build on the
+    even-doc_id half, MERGE the odd half in (`maintenance.upsert`), then
+    generate pairs from the stored index only. Hash-equality with the
+    full-corpus oracle pins incremental ≡ full build through the driver.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    idx = tempfile.mkdtemp(prefix="minhash_idx_")
+    build_index(spark, docs.filter(F.col("doc_id") % 2 == 0), idx)
+    update_index(spark, docs.filter(F.col("doc_id") % 2 == 1), idx)
+    return pairs_from_index(spark, idx)

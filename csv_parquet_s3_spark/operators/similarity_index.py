@@ -16,11 +16,22 @@ tracks the batch, never the corpus.
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from csv_parquet_s3_spark.maintenance import upsert
-from csv_parquet_s3_spark.operators.similarity import TOP_K, _dot, _with_norm
+from csv_parquet_s3_spark.operators.registry import register
+from csv_parquet_s3_spark.operators.similarity import (
+    K_LISTS,
+    N_PROBE,
+    N_QUERIES,
+    TOP_K,
+    _dot,
+    _with_norm,
+)
+from csv_parquet_s3_spark.sources.tables import load_table
 
 
 def _centroid_frame(cent: DataFrame) -> DataFrame:
@@ -130,7 +141,13 @@ def _centroid_update(members: DataFrame) -> DataFrame:
     elems = members.select(
         "list_id", F.posexplode(F.col("vd")).alias("dim", "x")
     )
-    cent_elems = elems.groupBy("list_id", "dim").agg(F.avg("x").alias("c"))
+    # The per-dim mean is rounded to 9 digits: a shuffle-order double sum is
+    # not reproducible across engines (or runs), and the rounded mean is the
+    # quantity the DuckDB oracle replays. 1e-9 on a unit-sphere centroid is
+    # far below the 6-digit cosine rounding used everywhere downstream.
+    cent_elems = elems.groupBy("list_id", "dim").agg(
+        F.round(F.avg("x"), 9).alias("c")
+    )
     assembled = cent_elems.groupBy("list_id").agg(
         F.expr(
             "transform(array_sort(collect_list(struct(dim, c))), s -> s.c)"
@@ -192,3 +209,123 @@ def quantization_error(vectors: DataFrame, centroids: DataFrame) -> float:
     )
     row = best.agg(F.avg(F.lit(1.0) - F.col("csim")).alias("err")).collect()[0]
     return float(row.err)
+
+
+# ---------------------------------------------------------------------------
+# Registered query: trained-quantizer IVF search from a stored index.
+# ---------------------------------------------------------------------------
+TRAIN_ITERS = 2
+_SEEDS = list(range(N_QUERIES, N_QUERIES + K_LISTS))
+
+# DuckDB fragments over DOUBLE[] columns (sequential, order-stable sums —
+# same accumulation order as Spark's aggregate/zip_with lambdas).
+_DOT_D = "list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+
+
+def _lloyd_oracle(iters: int) -> str:
+    """Unrolled spherical-k-means replay + nprobe search, one CTE chain.
+
+    Mirrors ``train_centroids`` + ``build_ivf_index`` + ``topk_from_index``
+    exactly: 6-digit rounded cosines for every argmax (list_id tie-break),
+    9-digit rounded per-dim means, sequential-sum normalization.
+    """
+    parts = [
+        f"""
+    emb AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+        FROM embeddings
+    ),
+    cent0 AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS list_id,
+               vd AS cv, norm AS cnorm
+        FROM emb
+        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + K_LISTS}
+    )"""
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(f"""
+    assign{t} AS (
+        SELECT vec_id, vd, norm, list_id FROM (
+            SELECT e.vec_id, e.vd, e.norm, c.list_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY CAST(ROUND({_DOT_D.format(a='e.vd', b='c.cv')}
+                                / (e.norm * c.cnorm), 6) AS DOUBLE) DESC,
+                                c.list_id) AS rn
+            FROM emb e, cent{p} c
+        ) z WHERE rn = 1
+    ),
+    means{t} AS (
+        SELECT list_id, CAST(u.i AS INT) - 1 AS dim,
+               ROUND(SUM(vd[u.i]) / COUNT(*), 9) AS c
+        FROM assign{t}, UNNEST(range(1, len(vd) + 1)) AS u(i)
+        GROUP BY list_id, dim
+    ),
+    normed{t} AS (
+        SELECT list_id,
+               list_transform(cv_raw, x -> x / sqrt(list_sum(
+                   list_transform(cv_raw, y -> y * y)))) AS cv
+        FROM (SELECT list_id, list(c ORDER BY dim) AS cv_raw
+              FROM means{t} GROUP BY list_id) r
+    ),
+    cent{t} AS (
+        SELECT p.list_id,
+               COALESCE(n.cv, p.cv) AS cv,
+               CASE WHEN n.cv IS NULL THEN p.cnorm ELSE 1.0 END AS cnorm
+        FROM cent{p} p LEFT JOIN normed{t} n ON p.list_id = n.list_id
+    )""")
+    final = iters
+    parts.append(f"""
+    assignF AS (
+        SELECT vec_id, vd, norm, list_id FROM (
+            SELECT e.vec_id, e.vd, e.norm, c.list_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY CAST(ROUND({_DOT_D.format(a='e.vd', b='c.cv')}
+                                / (e.norm * c.cnorm), 6) AS DOUBLE) DESC,
+                                c.list_id) AS rn
+            FROM emb e, cent{final} c
+        ) z WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, qv, qnorm, list_id FROM (
+            SELECT e.vec_id AS query_id, e.vd AS qv, e.norm AS qnorm, c.list_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY CAST(ROUND({_DOT_D.format(a='e.vd', b='c.cv')}
+                                / (e.norm * c.cnorm), 6) AS DOUBLE) DESC,
+                                c.list_id) AS rn
+            FROM emb e, cent{final} c
+            WHERE e.vec_id < {N_QUERIES}
+        ) z WHERE rn <= {N_PROBE}
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id, a.list_id,
+               CAST(ROUND({_DOT_D.format(a='p.qv', b='a.vd')}
+                    / (p.qnorm * a.norm), 6) AS DOUBLE) AS cos_sim
+        FROM probes p JOIN assignF a ON a.list_id = p.list_id
+        WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, list_id, cos_sim, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored
+    ) t WHERE rn <= {TOP_K}""")
+    return "WITH" + ",".join(parts)
+
+
+@register("sim_cosine_topk_ivf_trained", oracle=_lloyd_oracle(TRAIN_ITERS))
+def sim_cosine_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-backed ANN with a TRAINED coarse quantizer, end to end: Lloyd
+    spherical k-means from deterministic seeds → stored parquet index
+    (centroids + inverted lists) → nprobe top-k from the index only.
+
+    Exercises the full index lifecycle (train → build → persist → search);
+    the oracle replays the identical Lloyd iterations in SQL, so this is
+    hash-checked rather than rows-only.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = tempfile.mkdtemp(prefix="ivf_trained_")
+    build_ivf_index(spark, emb, _SEEDS, idx, train_iters=TRAIN_ITERS)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return topk_from_index(spark, queries, idx, N_PROBE)
