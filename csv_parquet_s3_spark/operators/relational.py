@@ -52,9 +52,63 @@ def avg6(expr: str, alias: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Bigint-cents fast path for SINGLE-FACTOR money aggregates.
+#
+# SUM over DECIMAL(12,2) yields a DECIMAL(22,2) accumulator — precision > 18,
+# so Spark falls off the compact-long representation onto BigDecimal, ~30%
+# slower on q01's shape. Converting each value to exact integer cents first
+# (decimal * 100 → scale-0 → BIGINT, no double arithmetic anywhere) keeps the
+# whole aggregation in long adds, and the final cents/100 double division is
+# correctly rounded — bit-identical to casting the exact decimal sum.
+#
+# Width analysis (the reason PRODUCTS stay DECIMAL): a scale-2 value below
+# 10^10 is < 2^40 cents; int64 overflows a per-group sum only past ~9·10^16
+# rows — orders of magnitude beyond 100 TB (~10^12 lineitem rows). The
+# 3-factor charge expression, by contrast, needs scale 6 → 10^4 more headroom
+# than scale 2, which an int64 cannot spare at that row count, so REVENUE /
+# CHARGE sums remain exact DECIMAL (tests pin the two paths equal).
+# ---------------------------------------------------------------------------
+def _cents(dec_expr: str) -> str:
+    """Exact integer cents of a scale-2 decimal expression.
+
+    The multiplier is DECIMAL(3,0) so the product stays within precision 18
+    (compact-long representation); a bare int literal would widen past it.
+    """
+    return f"CAST({dec_expr} * CAST(100 AS DECIMAL(3,0)) AS BIGINT)"
+
+
+def cents_sum(dec_expr: str, alias: str) -> str:
+    """SUM in long cents, surfaced as DOUBLE (== decimal-SUM then cast)."""
+    return f"CAST(SUM({_cents(dec_expr)}) AS DOUBLE) / 100 AS {alias}"
+
+
+def cents_avg6(dec_expr: str, alias: str) -> str:
+    """Average via long-cents sum, one double division, rounded to 6."""
+    return (
+        f"CAST(ROUND(CAST(SUM({_cents(dec_expr)}) AS DOUBLE)"
+        f" / (100 * COUNT(*)), 6) AS DOUBLE) AS {alias}"
+    )
+
+
+# ---------------------------------------------------------------------------
 # q01 — pricing summary (TPC-H Q1 shape): scan → filter → groupBy → 8 aggs.
+# Single-factor sums/averages ride the cents fast path; the discounted /
+# taxed products stay DECIMAL-exact (see width analysis above).
 # ---------------------------------------------------------------------------
 _Q01_AGGS = [
+    cents_sum(DEC_QTY, "sum_qty"),
+    cents_sum(DEC_PRICE, "sum_base_price"),
+    money_sum(REVENUE, "sum_disc_price"),
+    money_sum(CHARGE, "sum_charge"),
+    cents_avg6(DEC_QTY, "avg_qty"),
+    cents_avg6(DEC_PRICE, "avg_price"),
+    cents_avg6(DEC_DISC, "avg_disc"),
+    "COUNT(*) AS count_order",
+]
+
+# The exact-DECIMAL formulation, kept for the fast-path equality pin
+# (tests/test_money_fastpath.py).
+_Q01_AGGS_DECIMAL = [
     f"CAST(ROUND(SUM({DEC_QTY}), 2) AS DOUBLE) AS sum_qty",
     money_sum(DEC_PRICE, "sum_base_price"),
     money_sum(REVENUE, "sum_disc_price"),
