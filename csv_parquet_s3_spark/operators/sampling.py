@@ -6,9 +6,10 @@
   in the same split forever (no reshuffling on append). This is the only
   split discipline that survives a 100 TB incremental pipeline; random
   splits are not stable under retries/appends.
-- Stratified sampling: per-stratum Bernoulli sampling (``sampleBy``) to
-  rebalance skewed corpora (e.g., cap the dominant language). Sampling RNG
-  is engine-specific → rows-only driver check; the test suite checks the
+- Stratified sampling: per-stratum Bernoulli sampling to rebalance skewed
+  corpora (e.g., cap the dominant language). The Bernoulli trial is a
+  deterministic hash of the row key (not an engine RNG), so the sample is
+  reproducible and oracle-checkable; the test suite additionally checks the
   realized per-stratum rates statistically.
 """
 
@@ -78,15 +79,48 @@ def split_documents_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sample_documents_stratified")  # engine-specific RNG → rows-only
+DOMINANT_KEEP_PCT = 30
+
+
+@register(
+    "sample_documents_stratified",
+    oracle=f"""
+    WITH dom AS (
+        SELECT lang AS dominant_lang
+        FROM documents GROUP BY lang
+        ORDER BY COUNT(*) DESC, lang LIMIT 1
+    )
+    SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+    FROM documents d, dom
+    WHERE d.lang <> dom.dominant_lang
+       OR {_bucket_expr("md5(CAST(doc_id AS VARCHAR))")} < {DOMINANT_KEEP_PCT}
+    """,
+)
 def sample_documents_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-stratified downsample: keep ~30% of the dominant stratum and
-    all of the rest (corpus rebalancing). Seeded Bernoulli per stratum —
-    distributed, single pass, no shuffle."""
+    all of the rest (corpus rebalancing).
+
+    The keep decision is a deterministic hash-Bernoulli on md5(doc_id) — the
+    same content-stable discipline as :func:`hash_split` — so the sample is
+    reproducible across runs/engines (hash-checked, not rows-only) and stable
+    under appends. The dominant stratum is computed distributed and attached
+    via a broadcast of a ONE-ROW aggregate: no driver-side collect, no
+    stratum-cardinality assumption.
+    """
     docs = load_table(spark, sf_dir, "documents")
-    langs = [r.lang for r in docs.select("lang").distinct().collect()]
-    dominant = (
-        docs.groupBy("lang").count().orderBy(F.desc("count"), "lang").first().lang
+    dom = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "lang")
+        .limit(1)
+        .select(F.col("lang").alias("dominant_lang"))
     )
-    fractions = {lang: (0.3 if lang == dominant else 1.0) for lang in langs}
-    return docs.sampleBy("lang", fractions, seed=42)
+    md5 = "md5(CAST(CAST(doc_id AS STRING) AS BINARY))"
+    keep = (F.col("lang") != F.col("dominant_lang")) | (
+        F.expr(_bucket_expr(md5)) < DOMINANT_KEEP_PCT
+    )
+    return (
+        docs.crossJoin(F.broadcast(dom))
+        .filter(keep)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
