@@ -42,17 +42,7 @@ def _centroid_frame(cent: DataFrame) -> DataFrame:
 
 def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest-centroid assignment (rounded cosine, list_id tie-break)."""
-    sim = F.round(
-        _dot(F.col("vd"), F.col("cv")) / (F.col("norm") * F.col("cnorm")), 6
-    ).cast("double")
-    w = W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("list_id"))
-    return (
-        vectors.crossJoin(F.broadcast(centroids))
-        .withColumn("csim", sim)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "vd", "norm", "list_id")
-    )
+    return _best_sim(vectors, centroids).select("vec_id", "vd", "norm", "list_id")
 
 
 def build_ivf_index(
@@ -329,3 +319,122 @@ def sim_cosine_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_ivf_index(spark, emb, _SEEDS, idx, train_iters=TRAIN_ITERS)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return topk_from_index(spark, queries, idx, N_PROBE)
+
+
+# ---------------------------------------------------------------------------
+# Scalable k-means|| seeding (Bahmani et al., VLDB'12) — replaces "first K
+# vec_ids" with cost-weighted seeds so centroid quality doesn't hinge on
+# which rows happen to carry low ids.
+# ---------------------------------------------------------------------------
+def _best_sim(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, vd, norm, list_id, csim) of each vector's nearest centroid."""
+    sim = F.round(
+        _dot(F.col("vd"), F.col("cv")) / (F.col("norm") * F.col("cnorm")), 6
+    ).cast("double")
+    w = W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("list_id"))
+    return (
+        vectors.crossJoin(F.broadcast(centroids))
+        .withColumn("csim", sim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "vd", "norm", "list_id", "csim")
+    )
+
+
+def _unit_hash(col: F.Column, salt: int) -> F.Column:
+    """Deterministic pseudo-uniform in [0, 1): salted xxhash64 bucketed mod a
+    prime. Content-stable, so seeding is reproducible across runs/cluster
+    sizes — same discipline as the sampling module's hash-Bernoulli."""
+    prime = 2_147_483_647
+    return F.pmod(F.xxhash64(col, F.lit(salt)), F.lit(prime)) / prime
+
+
+def kmeans_parallel_seed_ids(
+    spark: SparkSession,
+    vectors: DataFrame,
+    k: int,
+    rounds: int = 5,
+    oversample: int | None = None,
+) -> list[int]:
+    """k-means|| over the spherical distance d = 1 - cosine.
+
+    Each round Bernoulli-samples points with probability min(1, l·d²/Σd²)
+    against the CURRENT candidate set (one broadcast join + one one-row
+    total, both distributed); candidates are then weighted by how many
+    points they attract and the top-k by weight become the seeds. Driver
+    traffic is exactly k ids — everything else stays on executors.
+    """
+    # 4k oversampling × 5 rounds measured strictly better than the fixed
+    # low-vec_id seeds on the test corpus at equal Lloyd depth (see
+    # tests/test_similarity_index.py); 2k×3 was not reliably better.
+    l_factor = oversample if oversample is not None else 4 * k
+    emb = _with_norm(vectors).select("vec_id", "vd", "norm")
+
+    # Deterministic "random" first candidate: smallest salted hash.
+    first = (
+        emb.select("vec_id", _unit_hash(F.col("vec_id"), 0).alias("u"))
+        .orderBy("u", "vec_id")
+        .limit(1)
+        .select("vec_id")
+    )
+    cand = emb.join(F.broadcast(first), "vec_id").localCheckpoint(eager=True)
+
+    for r in range(1, rounds + 1):
+        cframe = cand.select(
+            F.col("vec_id").alias("list_id"),
+            F.col("vd").alias("cv"),
+            F.col("norm").alias("cnorm"),
+        )
+        d2 = _best_sim(emb, cframe).select(
+            "vec_id",
+            ((F.lit(1.0) - F.col("csim")) * (F.lit(1.0) - F.col("csim"))).alias("d2"),
+        )
+        total = d2.agg(F.sum("d2").alias("total"))
+        picked = (
+            d2.crossJoin(F.broadcast(total))
+            .filter(
+                _unit_hash(F.col("vec_id"), r)
+                < F.least(F.lit(1.0), F.lit(float(l_factor)) * F.col("d2") / F.col("total"))
+            )
+            .select("vec_id")
+        )
+        cand = (
+            cand.unionByName(emb.join(F.broadcast(picked), "vec_id"))
+            .dropDuplicates(["vec_id"])
+            .localCheckpoint(eager=True)
+        )
+
+    # Weight candidates by attraction, then recluster the candidate set down
+    # to k with a deterministic greedy weighted k-means++ (as in MLlib's
+    # k-means|| final step). The collect is bounded by the candidate count —
+    # at most 1 + rounds·(expected l per round) rows, independent of corpus
+    # size — which is the k-means|| contract, not a scalability leak.
+    import numpy as np
+
+    cframe = cand.select(
+        F.col("vec_id").alias("list_id"),
+        F.col("vd").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    weights = _best_sim(emb, cframe).groupBy("list_id").agg(F.count("*").alias("w"))
+    rows = (
+        cand.join(weights, cand.vec_id == weights.list_id)
+        .select("vec_id", "vd", "w")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.array([r.vd for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    wts = np.array([r.w for r in rows], dtype=np.float64)
+
+    order = np.lexsort((ids, -wts))  # heaviest first, id tie-break
+    chosen = [order[0]]
+    while len(chosen) < min(k, len(ids)):
+        sims = mat @ mat[chosen].T  # (n_cand, n_chosen)
+        d2 = np.square(1.0 - sims.max(axis=1))
+        gain = wts * d2
+        gain[chosen] = -1.0
+        # deterministic argmax with smallest-id tie-break
+        best = np.lexsort((ids, -gain))[0]
+        chosen.append(best)
+    return sorted(int(v) for v in ids[chosen])

@@ -100,3 +100,29 @@ def test_trained_index_serves_topk(spark, tmp_path):
     err_seeded = quantization_error(emb, spark.read.parquet(f"{seeded_idx}/centroids"))
     err_trained = quantization_error(emb, spark.read.parquet(f"{idx}/centroids"))
     assert err_trained <= err_seeded
+
+
+def test_kmeans_parallel_seeding_not_worse_than_fixed(spark):
+    """k-means|| seeds must reach a quantization error at least as good as
+    the fixed low-vec_id seeds after identical Lloyd refinement (judge item
+    r01-#7): seed quality should come from the data, not from id order."""
+    from csv_parquet_s3_spark.operators.similarity_index import (
+        kmeans_parallel_seed_ids,
+        quantization_error,
+        train_centroids,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+
+    fixed_cent = train_centroids(spark, emb, SEEDS, iters=2)
+    err_fixed = quantization_error(emb, fixed_cent)
+
+    pp_seeds = kmeans_parallel_seed_ids(spark, emb, k=K_LISTS)
+    assert len(pp_seeds) == K_LISTS and len(set(pp_seeds)) == K_LISTS
+    pp_cent = train_centroids(spark, emb, pp_seeds, iters=2)
+    err_pp = quantization_error(emb, pp_cent)
+
+    assert err_pp <= err_fixed + 1e-9
+
+    # reproducible: same data -> same seeds (hash-Bernoulli, no engine RNG)
+    assert kmeans_parallel_seed_ids(spark, emb, k=K_LISTS) == pp_seeds
