@@ -48,11 +48,13 @@ def analyze(df: DataFrame) -> PlanStats:
     pushed = [
         m for m in re.findall(r"PushedFilters: \[(.*?)\]", plan) if m.strip()
     ]
+    # Formatted explain prints each node twice (once in the tree, once in
+    # the numbered details), so count only the numbered detail headers.
     return PlanStats(
-        n_exchanges=len(re.findall(r"\bExchange\b", plan)),
-        n_broadcast_joins=len(re.findall(r"BroadcastHashJoin", plan)),
-        n_sortmerge_joins=len(re.findall(r"SortMergeJoin", plan)),
-        n_scans=len(re.findall(r"Scan parquet", plan)),
+        n_exchanges=len(re.findall(r"^\(\d+\) Exchange", plan, re.M)),
+        n_broadcast_joins=len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)),
+        n_sortmerge_joins=len(re.findall(r"^\(\d+\) SortMergeJoin", plan, re.M)),
+        n_scans=len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)),
         scans_with_pushed_filters=len(pushed),
         read_schemas=read_schemas,
         plan=plan,

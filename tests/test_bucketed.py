@@ -39,11 +39,10 @@ def test_cobucketed_join_has_no_exchange(spark, tmp_path, no_broadcast):
         plan = stats.plan
         # the join itself is exchange-free: neither side shuffles on its join
         # key; the only Exchange is the group-by aggregate above the join
-        # (each node appears twice in a formatted plan: tree + details)
         assert "SortMergeJoin" in plan, stats.summary()
         assert "hashpartitioning(l_orderkey" not in plan, stats.summary()
         assert "hashpartitioning(o_orderkey" not in plan, stats.summary()
-        assert stats.n_exchanges == 2, stats.summary()
+        assert stats.n_exchanges == 1, stats.summary()
 
         # same query on unbucketed parquet shuffles both sides
         base = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
