@@ -37,12 +37,21 @@ STATE_SCHEMA = T.StructType(
 )
 
 
-def user_lifetime_totals(events: DataFrame) -> DataFrame:
+def user_lifetime_totals(
+    events: DataFrame, idle_timeout_ms: int | None = None
+) -> DataFrame:
     """Stateful per-user running totals over a stream of events.
 
     Input needs columns (user_id, value). On a batch DataFrame, falls back
     to a plain aggregation with identical output semantics (useful for
     differential testing).
+
+    ``idle_timeout_ms`` bounds state for unbounded-key streams: a key idle
+    for that long is evicted from the state store (ProcessingTimeTimeout;
+    re-verified working on this Spark build — an earlier build crashed the
+    Python state worker on the timeout handshake, see NOTES history). With
+    ``None``, state is unbounded and eviction belongs to restart-time
+    compaction.
 
     The update function is a nested closure so cloudpickle ships it by
     value — Spark's Python state workers don't need this package installed.
@@ -55,25 +64,29 @@ def user_lifetime_totals(events: DataFrame) -> DataFrame:
             F.round(F.sum("value"), 2).alias("lifetime_value"),
         )
 
+    timeout_ms = idle_timeout_ms
+
     def update_user_totals(
         key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
         import pandas as pd
 
         (user_id,) = key
+        if timeout_ms is not None and state.hasTimedOut:
+            # idle eviction: drop the key's state, emit nothing
+            state.remove()
+            return
         n, total = state.get if state.exists else (0, 0.0)
         for pdf in batches:
             n += len(pdf)
             total += float(pdf["value"].sum())
         state.update((n, round(total, 2)))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(
             {"user_id": [user_id], "lifetime_events": [n], "lifetime_value": [round(total, 2)]}
         )
-    # NOTE: idle-state eviction would normally use ProcessingTimeTimeout +
-    # state.setTimeoutDuration, but that path crashes the Python state worker
-    # in this PySpark build (worker EOF on the timeout handshake, verified
-    # empirically) — NoTimeout here; production eviction belongs to a state
-    # TTL (transformWithStateInPandas in newer APIs) or periodic compaction.
+
     return (
         events.select("user_id", "value")
         .groupBy("user_id")
@@ -82,6 +95,10 @@ def user_lifetime_totals(events: DataFrame) -> DataFrame:
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if timeout_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )

@@ -66,3 +66,54 @@ def _run_stateful_scenario(spark, tmp_path):
     batch = user_lifetime_totals(spark.read.parquet(src))
     b = {r.user_id: (r.lifetime_events, r.lifetime_value) for r in batch.collect()}
     assert b == got2
+
+
+def test_idle_timeout_evicts_state(spark, tmp_path):
+    """ProcessingTimeTimeout eviction (NOTES #3 retest: works on this build):
+    a key idle past the timeout loses its state, so its next event restarts
+    the lifetime counters instead of carrying them over."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        import time
+
+        src = str(tmp_path / "evict_src")
+        _write_batch(spark, src, [(1, 10.0)])
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            user_lifetime_totals(stream, idle_timeout_ms=500)
+            .writeStream.format("memory")
+            .queryName("evict")
+            .outputMode("update")
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                if spark.sql("SELECT * FROM evict").count() >= 1:
+                    break
+                time.sleep(0.5)
+            time.sleep(3)  # let user 1 idle well past the timeout
+            _write_batch(spark, src, [(1, 2.0)])
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                rows = spark.sql("SELECT * FROM evict").collect()
+                if len(rows) >= 2:
+                    break
+                time.sleep(0.5)
+            counts = sorted(
+                (r.lifetime_events, r.lifetime_value)
+                for r in spark.sql("SELECT * FROM evict WHERE user_id = 1").collect()
+            )
+            # evicted between the two events: second emission restarts at 1
+            assert counts == [(1, 2.0), (1, 10.0)], counts
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
