@@ -19,7 +19,7 @@ def props_file(tmp_path):
         "ParquetFilePath=out/parquet\n"
         "s3.accessKey=AK\n"
         "s3.secretKey=SK\n"
-        "s3.endpoint=https://s3.internal:9021\n"
+        "s3.endpoint=https://s3.example.com:9021\n"
         "s3.region=custom\n"
     )
     return str(p)
@@ -28,7 +28,7 @@ def props_file(tmp_path):
 def test_load_properties(props_file):
     props = load_properties(props_file)
     assert props["bucketName"] == "my-bucket"
-    assert props["s3.endpoint"] == "https://s3.internal:9021"
+    assert props["s3.endpoint"] == "https://s3.example.com:9021"
     assert "# comment" not in props
     validate(props, require_s3=True)
 
@@ -49,7 +49,7 @@ def test_configure_s3a_sets_hadoop_conf(spark, props_file):
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     assert hconf.get("fs.s3a.access.key") == "AK"
     assert hconf.get("fs.s3a.secret.key") == "SK"
-    assert hconf.get("fs.s3a.endpoint") == "https://s3.internal:9021"
+    assert hconf.get("fs.s3a.endpoint") == "https://s3.example.com:9021"
     assert hconf.get("fs.s3a.endpoint.region") == "custom"
     assert hconf.get("fs.s3a.path.style.access") == "true"
 
