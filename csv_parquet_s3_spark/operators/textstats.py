@@ -350,3 +350,160 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter((F.col("rank") <= TFIDF_TOP) & (F.col("tfidf") > 0.0))
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-pipeline operators: repetition filtering, benchmark decontamination,
+# PII redaction — the standard pre-training data hygiene passes.
+# ---------------------------------------------------------------------------
+REPETITION_NGRAM = 3
+REPETITION_THRESHOLD = 0.2
+
+# Non-distinct word n-grams (repetition analysis needs every occurrence,
+# unlike dedup's distinct shingles).
+_NGRAMS_SQL = (
+    "transform(sequence(0, size(toks)-{n}),"
+    " i -> concat_ws(' ', {parts}))"
+).format(n=REPETITION_NGRAM, parts=", ".join(f"toks[i+{j}]" for j in range(REPETITION_NGRAM)))
+
+_ORACLE_NGRAMS = """
+    grams AS (
+        SELECT doc_id, g
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents WHERE len(string_split(text, ' ')) >= {n}) t,
+             UNNEST(list_transform(range(1, len(toks) + 2 - {n}),
+                    i -> {parts})) AS u(g)
+    )
+""".format(n=REPETITION_NGRAM, parts=" || ' ' || ".join(f"toks[i+{j}]" for j in range(REPETITION_NGRAM)))
+
+
+@register(
+    "text_repetition_ratio",
+    oracle=f"""
+    WITH {_ORACLE_NGRAMS}
+    SELECT doc_id,
+           COUNT(*) AS n_ngrams,
+           COUNT(DISTINCT g) AS n_distinct,
+           CAST(1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*) AS DOUBLE)
+             AS dup_ratio,
+           (1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*))
+             > {REPETITION_THRESHOLD} AS is_repetitive
+    FROM grams GROUP BY doc_id
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (Gopher-style quality filter): the fraction
+    of word {REPETITION_NGRAM}-grams that are repeats of an earlier n-gram in
+    the same document. High ratio → boilerplate/spam → filtered before
+    training.
+
+    Map-side explode + one doc_id-keyed aggregation; the duplicate fraction
+    is exact integer arithmetic + one IEEE division, so the oracle matches
+    bit-for-bit.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= REPETITION_NGRAM)
+        .select("doc_id", F.explode(F.expr(_NGRAMS_SQL)).alias("g"))
+    )
+    dup_ratio = F.lit(1.0) - F.countDistinct("g").cast("double") / F.count("*")
+    return grams.groupBy("doc_id").agg(
+        F.count("*").alias("n_ngrams"),
+        F.countDistinct("g").alias("n_distinct"),
+        dup_ratio.cast("double").alias("dup_ratio"),
+        (dup_ratio > REPETITION_THRESHOLD).alias("is_repetitive"),
+    )
+
+
+BENCHMARK_MOD = 97  # doc_id % 97 == 0 stands in for the held-out benchmark
+
+
+@register(
+    "text_benchmark_contamination",
+    oracle=f"""
+    WITH {_ORACLE_NGRAMS},
+    doc_grams AS (SELECT DISTINCT doc_id, g FROM grams),
+    bench AS (SELECT DISTINCT g FROM doc_grams WHERE doc_id % {BENCHMARK_MOD} = 0),
+    hits AS (
+        SELECT d.doc_id, COUNT(*) AS n_contaminated
+        FROM doc_grams d JOIN bench b ON d.g = b.g
+        WHERE d.doc_id % {BENCHMARK_MOD} <> 0
+        GROUP BY d.doc_id
+    )
+    SELECT d.doc_id,
+           COUNT(*) AS n_ngrams,
+           COALESCE(MAX(h.n_contaminated), 0) AS n_contaminated,
+           CAST(COALESCE(MAX(h.n_contaminated), 0) AS DOUBLE) / COUNT(*)
+             AS contamination
+    FROM doc_grams d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % {BENCHMARK_MOD} <> 0
+    GROUP BY d.doc_id
+    """,
+)
+def text_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination scan: per training document, the fraction of
+    its distinct {REPETITION_NGRAM}-grams that also occur in a held-out
+    benchmark set (stand-in: doc_id % {BENCHMARK_MOD} == 0).
+
+    The benchmark n-gram set is bounded (benchmarks are small), so the
+    membership probe is a broadcast semi-join against every training shard —
+    at 100 TB the corpus streams map-side, nothing shuffles but the per-doc
+    counts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    doc_grams = (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= REPETITION_NGRAM)
+        .select("doc_id", F.explode(F.expr(_NGRAMS_SQL)).alias("g"))
+        .distinct()
+    )
+    is_bench = F.col("doc_id") % BENCHMARK_MOD == 0
+    bench = doc_grams.filter(is_bench).select("g").distinct()
+    train = doc_grams.filter(~is_bench)
+    hits = (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    totals = train.groupBy("doc_id").agg(F.count("*").alias("n_ngrams"))
+    n_cont = F.coalesce(F.col("n_contaminated"), F.lit(0))
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_ngrams",
+            n_cont.alias("n_contaminated"),
+            (n_cont.cast("double") / F.col("n_ngrams")).alias("contamination"),
+        )
+    )
+
+
+PII_DIGIT_RUN = "[0-9]{3,}"  # account-number-like digit runs
+
+
+@register(
+    "pii_redact_customers",
+    oracle=f"""
+    SELECT c_custkey,
+           regexp_replace(c_name, '{PII_DIGIT_RUN}', '[ID]', 'g') AS redacted_name,
+           CAST(len(regexp_extract_all(c_name, '{PII_DIGIT_RUN}')) AS INT)
+             AS n_redactions
+    FROM customer
+    """,
+)
+def pii_redact_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction pass: mask digit runs (account identifiers) in
+    customer names and count the redactions per row.
+
+    Pure map-side ``regexp_replace`` — the redaction pattern set extends to
+    emails/phones/URLs with more alternates in the same single pass; nothing
+    shuffles at any scale. The pattern sticks to the RE2 ∩ java.util.regex
+    common syntax so the oracle runs the identical expression.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.regexp_replace("c_name", PII_DIGIT_RUN, "[ID]").alias("redacted_name"),
+        F.regexp_count(F.col("c_name"), F.lit(PII_DIGIT_RUN)).cast("int").alias("n_redactions"),
+    )
