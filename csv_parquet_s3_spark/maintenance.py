@@ -183,9 +183,113 @@ def vacuum(path: str) -> list[str]:
     removed = []
     for name in os.listdir(parent):
         if name.startswith(base + "._") and any(
-            marker in name for marker in ("._compact-", "._upsert-", "._zorder-", "._old-")
+            marker in name for marker in ("._compact-", "._upsert-", "._zorder-", "._hilbert-", "._old-")
         ):
             full = os.path.join(parent, name)
             shutil.rmtree(full, ignore_errors=True)
             removed.append(full)
     return removed
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve clustering (NOTES #4): better multi-column locality than
+# Morton order at the same bit budget — consecutive Hilbert keys are ALWAYS
+# grid-adjacent cells, so per-file min/max ranges stay tight on every
+# clustered column even at 3-4 dimensions, where Z-order's diagonal jumps
+# dilute them.
+# ---------------------------------------------------------------------------
+def _skilling_q_lambda(n: int) -> str:
+    """SQL lambda body for one Q-step of Skilling's Hilbert transform
+    (AIP Conf. Proc. 707, 2004): the inner i-loop unrolled sequentially over
+    the struct accumulator ``acc`` with exponent ``e`` (Q = 1<<e)."""
+    cur = [f"acc.x{j}" for j in range(n)]
+    for i in range(n):
+        q = "shiftleft(CAST(1 AS BIGINT), e)"
+        p = f"({q} - 1)"
+        cond = f"({cur[i]} & {q}) != 0"
+        t = f"(({cur[0]} ^ {cur[i]}) & {p})"
+        if i == 0:
+            # t would be (X0^X0)&P = 0 → else-branch is a no-op
+            cur = [f"(CASE WHEN {cond} THEN {cur[0]} ^ {p} ELSE {cur[0]} END)"] + cur[1:]
+        else:
+            new0 = f"(CASE WHEN {cond} THEN {cur[0]} ^ {p} ELSE {cur[0]} ^ {t} END)"
+            newi = f"(CASE WHEN {cond} THEN {cur[i]} ELSE {cur[i]} ^ {t} END)"
+            cur = [new0] + cur[1:i] + [newi] + cur[i + 1:]
+    fields = ", ".join(f"'x{j}', {cur[j]}" for j in range(n))
+    return f"named_struct({fields})"
+
+
+def with_hilbert_index(
+    df: DataFrame, int_cols: list[str], bits: int, out: str = "_h"
+) -> DataFrame:
+    """Add a Hilbert index column computed from ``int_cols`` (each an
+    integer in [0, 2^bits)). Pure built-in expressions: the Q-loop folds via
+    the ``aggregate`` higher-order function (a runtime loop — no expression
+    blow-up), the rest is static bit arithmetic. Exhaustive-grid tests pin
+    it bit-equal to the reference transform with the true adjacency
+    property in 2/3/4-D.
+    """
+    n = len(int_cols)
+    if bits * n > 63:
+        raise ValueError(f"bits*dims = {bits * n} exceeds a signed 64-bit key")
+    init = ", ".join(f"'x{j}', CAST({c} AS BIGINT)" for j, c in enumerate(int_cols))
+    qloop = (
+        f"aggregate(sequence({bits - 1}, 1, -1), named_struct({init}), "
+        f"(acc, e) -> {_skilling_q_lambda(n)})"
+    )
+    df = df.withColumn("_hs", F.expr(qloop))
+    cur = [f"_hs.x{j}" for j in range(n)]
+    for i in range(1, n):  # gray-encode step: X[i] ^= X[i-1], sequential
+        cur[i] = f"({cur[i]} ^ {cur[i - 1]})"
+    fields = ", ".join(f"'x{j}', {cur[j]}" for j in range(n))
+    df = df.withColumn("_hg", F.expr(f"named_struct({fields})"))
+    df = df.withColumn(
+        "_ht",
+        F.expr(
+            f"aggregate(sequence({bits - 1}, 1, -1), CAST(0 AS BIGINT), "
+            f"(t, e) -> CASE WHEN (_hg.x{n - 1} & shiftleft(CAST(1 AS BIGINT), e)) != 0 "
+            f"THEN t ^ (shiftleft(CAST(1 AS BIGINT), e) - 1) ELSE t END)"
+        ),
+    )
+    terms = [
+        f"shiftleft(shiftright(_hg.x{i} ^ _ht, {b}) & 1, {b * n + (n - 1 - i)})"
+        for b in range(bits)
+        for i in range(n)
+    ]
+    return df.withColumn(out, F.expr(" | ".join(terms))).drop("_hs", "_hg", "_ht")
+
+
+def compact_hilbert(
+    spark: SparkSession,
+    path: str,
+    hilbert_by: list[str],
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    bits: int = 16,
+) -> int:
+    """Compact with Hilbert-curve clustering — ``compact_zorder``'s sibling
+    with strictly better locality for 3-4 clustered columns. Same one-off
+    global ranking cost, same staged-swap atomicity. Returns the new file
+    count."""
+    bits = min(bits, 63 // max(1, len(hilbert_by)))
+    n_files = max(1, -(-dataset_bytes(path) // target_file_bytes))
+    df = spark.read.parquet(path)
+    buckets = []
+    for j, c in enumerate(hilbert_by):
+        df = df.withColumn(
+            f"_hb{j}",
+            F.expr(
+                f"CAST(percent_rank() OVER (ORDER BY {c}) * {(1 << bits) - 1} AS BIGINT)"
+            ),
+        )
+        buckets.append(f"_hb{j}")
+    df = with_hilbert_index(df, buckets, bits).drop(*buckets)
+    df = df.repartitionByRange(n_files, F.col("_h")).sortWithinPartitions("_h").drop("_h")
+    staging = path.rstrip("/") + "._hilbert-" + uuid.uuid4().hex[:8]
+    (
+        df.write.mode("overwrite")
+        .option("compression", "snappy")
+        .option("parquet.block.size", str(PARQUET_BLOCK_SIZE))
+        .parquet(staging)
+    )
+    _atomic_swap(staging, path)
+    return parquet_file_count(path)

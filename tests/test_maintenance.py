@@ -118,3 +118,101 @@ def test_zorder_improves_two_column_skipping(spark, tmp_path):
     assert y_after < 0.7 * y_before
     # data intact
     assert spark.read.parquet(path).count() == 20000
+
+
+# ---------------------------------------------------------------------------
+# Hilbert clustering (NOTES #4).
+# ---------------------------------------------------------------------------
+def _hilbert_ref(xs, bits):
+    """Reference Skilling transform (transposed coords -> Hilbert index)."""
+    X = list(xs)
+    n = len(X)
+    m = 1 << (bits - 1)
+    q = m
+    while q > 1:
+        p = q - 1
+        for i in range(n):
+            if X[i] & q:
+                X[0] ^= p
+            else:
+                t = (X[0] ^ X[i]) & p
+                X[0] ^= t
+                X[i] ^= t
+        q >>= 1
+    for i in range(1, n):
+        X[i] ^= X[i - 1]
+    t = 0
+    q = m
+    while q > 1:
+        if X[n - 1] & q:
+            t ^= q - 1
+        q >>= 1
+    for i in range(n):
+        X[i] ^= t
+    h = 0
+    for b in range(bits - 1, -1, -1):
+        for i in range(n):
+            h = (h << 1) | ((X[i] >> b) & 1)
+    return h
+
+
+def test_hilbert_index_matches_reference_and_is_adjacent(spark):
+    """Exhaustive small grids: the SQL transform equals the reference
+    bit-for-bit, is a bijection, and consecutive keys are always grid
+    neighbors (the Hilbert property Z-order lacks)."""
+    import itertools
+
+    from csv_parquet_s3_spark.maintenance import with_hilbert_index
+
+    for n, bits in ((2, 4), (3, 3), (4, 2)):
+        cells = list(itertools.product(range(1 << bits), repeat=n))
+        df = spark.createDataFrame(
+            cells, ", ".join(f"c{j} int" for j in range(n))
+        )
+        got = {
+            tuple(r[j] for j in range(n)): r["_h"]
+            for r in with_hilbert_index(df, [f"c{j}" for j in range(n)], bits).collect()
+        }
+        ref = {c: _hilbert_ref(list(c), bits) for c in cells}
+        assert got == ref
+        assert len(set(got.values())) == len(cells)  # bijection
+        walk = sorted(got.items(), key=lambda kv: kv[1])
+        assert all(
+            sum(abs(a - b) for a, b in zip(walk[k][0], walk[k + 1][0])) == 1
+            for k in range(len(walk) - 1)
+        )
+
+
+def test_compact_hilbert_preserves_data_and_tightens_files(spark, tmp_path):
+    """Lifecycle: staged-swap compaction with Hilbert clustering keeps every
+    row and yields per-file min/max spans on BOTH cluster columns no wider
+    than unclustered layout (the data-skipping payoff)."""
+    from csv_parquet_s3_spark.maintenance import compact_hilbert
+
+    path = str(tmp_path / "ds")
+    df = spark.range(20000).select(
+        F.col("id"),
+        (F.col("id") * 37 % 1000).alias("a"),
+        (F.col("id") * 91 % 1000).alias("b"),
+    )
+    df.repartition(8).write.parquet(path)
+    before = sorted(r.id for r in spark.read.parquet(path).collect())
+
+    n_files = compact_hilbert(spark, path, ["a", "b"], target_file_bytes=64 * 1024)
+    after_df = spark.read.parquet(path)
+    assert sorted(r.id for r in after_df.collect()) == before
+    assert n_files >= 2
+
+    # per-file spans: with Hilbert clustering each file covers a compact
+    # region of (a, b) space, so the mean span is far below the full range
+    spans = (
+        after_df.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(
+            (F.max("a") - F.min("a")).alias("sa"),
+            (F.max("b") - F.min("b")).alias("sb"),
+        )
+        .collect()
+    )
+    mean_span = sum((r.sa + r.sb) / 2 for r in spans) / len(spans)
+    assert mean_span < 700, mean_span  # full range would be ~999
