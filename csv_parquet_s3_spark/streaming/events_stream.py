@@ -59,3 +59,23 @@ def session_window_counts(events: DataFrame, gap: str = "30 minutes") -> DataFra
             "n_events",
         )
     )
+
+
+def dedup_event_stream(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming exactly-once dedup: drop replayed events by key, with state
+    bounded by the watermark (``dropDuplicatesWithinWatermark``) — the
+    streaming sibling of the batch dedup family (operators/dedup.py). An
+    at-least-once source (Kafka replays, retried file commits) becomes
+    effectively-once for everything downstream, and state holds only the
+    keys seen inside the watermark horizon, so it runs indefinitely.
+
+    On a batch DataFrame this degrades to plain ``dropDuplicates`` over the
+    same keys — the differential test pins the two equal on a drained
+    bounded stream.
+    """
+    cols = keys if keys is not None else ["event_id"]
+    if not events.isStreaming:
+        return events.dropDuplicates(cols)
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(cols)

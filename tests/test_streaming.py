@@ -182,3 +182,34 @@ def test_stream_upsert_sink(spark, tmp_path):
 
     got = {r.k: (r.tag, r.v) for r in spark.read.parquet(target).collect()}
     assert got == {1: ("a", 1.0), 2: ("b2", 9.0), 3: ("c", 5.0)}
+
+
+def test_streaming_dedup_drops_replayed_events(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a replayed (duplicate-key) event inside
+    the watermark horizon is emitted once; output matches the batch
+    dropDuplicates on the same drained input."""
+    from csv_parquet_s3_spark.streaming.events_stream import dedup_event_stream
+
+    batch_events = load_table(spark, SF, "events").limit(500)
+    staged = str(tmp_path / "events_dup")
+    # write the data twice -> every event is replayed once
+    batch_events.write.parquet(staged)
+    batch_events.write.mode("append").parquet(staged)
+    assert spark.read.parquet(staged).count() == 1000
+
+    stream = spark.readStream.schema(spark.read.parquet(staged).schema).parquet(staged)
+    q = (
+        dedup_event_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.event_id for r in spark.sql("SELECT * FROM dedup_out").collect())
+    want = sorted(
+        r.event_id for r in dedup_event_stream(spark.read.parquet(staged)).collect()
+    )
+    assert got == want
+    assert len(got) == 500  # each replayed event emitted exactly once
