@@ -40,9 +40,11 @@ def user_value_ewma(events: DataFrame, alpha: float = EWMA_ALPHA) -> DataFrame:
         import pandas as pd  # noqa: F401  (worker-side import)
 
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        pdf["ewma_value"] = (
-            pdf["value"].ewm(alpha=a, adjust=False).mean().round(6)
-        )
+        # UNROUNDED on purpose: the adjust=False recurrence is bit-identical
+        # to the oracle's recursive CTE (verified at sf0.01 and sf0.1), while
+        # decimal rounding would reintroduce engine-specific tie-breaking
+        # (numpy half-even vs SQL half-away) at exact .5e-6 boundaries.
+        pdf["ewma_value"] = pdf["value"].ewm(alpha=a, adjust=False).mean()
         return pdf[["user_id", "event_id", "ts", "value", "ewma_value"]]
 
     return (
@@ -56,8 +58,9 @@ def user_value_ewma(events: DataFrame, alpha: float = EWMA_ALPHA) -> DataFrame:
     "q_events_user_ewma",
     # The recurrence IS SQL-expressible via a recursive CTE; DuckDB replays
     # pandas' adjust=False update y_t = (1-a)*y_{t-1} + a*x_t with the same
-    # IEEE double ops (verified bit-exact pre-round), then both sides round
-    # to 6 decimals. Depth = max events per key.
+    # IEEE double ops — bit-exact UNROUNDED (verified at sf0.01 and sf0.1;
+    # rounding would differ at exact ties: numpy half-even vs SQL half-away).
+    # Depth = max events per key.
     oracle=f"""
     WITH RECURSIVE ordered AS (
       SELECT user_id, event_id, ts, value,
@@ -72,7 +75,7 @@ def user_value_ewma(events: DataFrame, alpha: float = EWMA_ALPHA) -> DataFrame:
              (1 - {EWMA_ALPHA}) * e.y + {EWMA_ALPHA} * o.value
       FROM ordered o JOIN ewma e ON o.user_id = e.user_id AND o.rn = e.rn + 1
     )
-    SELECT user_id, event_id, ts, value, ROUND(y, 6) AS ewma_value
+    SELECT user_id, event_id, ts, value, y AS ewma_value
     FROM ewma
     """,
 )

@@ -365,6 +365,13 @@ def sim_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        def round_half_away(x, k=6):
+            # numpy's round is half-even; Spark's ROUND is half-away-from-
+            # zero (BigDecimal HALF_UP). Emulate the latter so this stays
+            # bit-equal to the bruteforce twin even at exact .5 ties.
+            s = 10.0**k
+            return np.sign(x) * np.floor(np.abs(x) * s + 0.5) / s
+
         for pdf in batches:
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             mat = np.array(list(pdf["embedding"]), dtype=np.float64)
@@ -376,11 +383,11 @@ def sim_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
                 mask = ids != qid
                 cand_idx = np.nonzero(mask)[0]
                 order = cand_idx[
-                    np.lexsort((ids[cand_idx], -np.round(col[cand_idx], 6)))
+                    np.lexsort((ids[cand_idx], -round_half_away(col[cand_idx])))
                 ][:top_k]
                 out["query_id"].extend([qid] * len(order))
                 out["vec_id"].extend(ids[order])
-                out["cos_sim"].extend(np.round(col[order], 6))
+                out["cos_sim"].extend(round_half_away(col[order]))
             yield pd.DataFrame(out)
 
     scored = emb.select("vec_id", "embedding").mapInPandas(

@@ -24,10 +24,8 @@ def test_ewma_matches_pandas_model(spark):
 
     model = ev.select("user_id", "event_id", "ts", "value").toPandas()
     model = model.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
-    model["ewma_value"] = (
-        model.groupby("user_id")["value"]
-        .transform(lambda s: s.ewm(alpha=EWMA_ALPHA, adjust=False).mean())
-        .round(6)
+    model["ewma_value"] = model.groupby("user_id")["value"].transform(
+        lambda s: s.ewm(alpha=EWMA_ALPHA, adjust=False).mean()
     )
 
     assert len(got) == len(model) > 0
