@@ -507,3 +507,47 @@ def pii_redact_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("c_name", PII_DIGIT_RUN, "[ID]").alias("redacted_name"),
         F.regexp_count(F.col("c_name"), F.lit(PII_DIGIT_RUN)).cast("int").alias("n_redactions"),
     )
+
+
+# GPT-2-style pre-tokenizer, restricted to the RE2 ∩ java.util.regex common
+# subset (no lookahead, ASCII classes): a leading-space word, number, or
+# punctuation run per token — the standard proxy for "how many BPE tokens
+# will this document cost" before a real vocabulary is applied.
+BPE_SPLIT_PATTERN = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+
+@register(
+    "text_bpe_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_SPLIT_PATTERN}')) AS INT)
+             AS n_bpe_tokens,
+           CAST(octet_length(encode(text)) AS DOUBLE)
+             / len(regexp_extract_all(text, '{BPE_SPLIT_PATTERN}'))
+             AS bytes_per_token
+    FROM documents
+    WHERE len(regexp_extract_all(text, '{BPE_SPLIT_PATTERN}')) > 0
+    """,
+)
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-cost estimation under a BPE-ish pre-tokenizer: whitespace token
+    count vs regex pre-token count and bytes-per-token — the budgeting
+    numbers a training-data pipeline reports per shard.
+
+    Map-side ``regexp_extract_all`` (single pass, whole-stage codegen);
+    ``bytes_per_token`` is one IEEE division of exact integers, so the
+    oracle matches bit-for-bit.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_bpe = F.size(F.expr(f"regexp_extract_all(text, '{BPE_SPLIT_PATTERN}', 0)"))
+    n_bytes = F.length(F.encode(F.col("text"), "UTF-8"))
+    return (
+        docs.filter(n_bpe > 0)
+        .select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("int").alias("n_ws_tokens"),
+            n_bpe.cast("int").alias("n_bpe_tokens"),
+            (n_bytes.cast("double") / n_bpe).alias("bytes_per_token"),
+        )
+    )
