@@ -27,5 +27,11 @@ def test_query_matches_oracle(spark, duck, name, fn, oracle):
     ok, msg = compare(df, rel)
     assert ok, f"{name}: {msg}"
     # 0-row agreement is a trivial (vacuous) match — every oracle query must
-    # exercise real rows at the test SF, or the check proves nothing.
-    assert len(rel.df()) > 0, f"{name}: oracle returns 0 rows — vacuous check"
+    # exercise real rows at the DEFAULT test SF, or the check proves nothing.
+    # At other SFs (diagnostic sweeps via SPARK_GRAFT_TEST_SF) a selective
+    # query may legitimately return nothing (e.g. the spike detector finds
+    # no spikes on 10× smoother data), so only value agreement is asserted.
+    import os
+
+    if not os.environ.get("SPARK_GRAFT_TEST_SF"):
+        assert len(rel.df()) > 0, f"{name}: oracle returns 0 rows — vacuous check"
