@@ -17,8 +17,12 @@ bounded by |edges|); ``localCheckpoint`` truncates the lineage so round k
 doesn't replay rounds 1..k-1; the driver only sees the one-row convergence
 count per round, never data.
 
-Not SQL-expressible in one statement → registered rows-only (the driver's
-weaker check); the test suite verifies against a Python union-find model.
+The fixpoint IS SQL-expressible as a recursive-CTE transitive closure
+(labels are exact integers — no FP drift), so the driver hash-checks this
+against DuckDB replaying the same pair pipeline + closure; the test suite
+additionally verifies against a Python union-find model. The closure oracle
+is O(|component|²) rows per component — fine for an oracle at test SF, which
+is exactly why the ENGINE side uses min-label propagation instead.
 """
 
 from __future__ import annotations
@@ -26,7 +30,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from csv_parquet_s3_spark.operators.dedup import dedup_minhash_lsh_pairs
+from csv_parquet_s3_spark.operators.dedup import (
+    _ORACLE_BANDS,
+    _ORACLE_PAIR_CTES,
+    _ORACLE_SHINGLES,
+    dedup_minhash_lsh_pairs,
+)
 from csv_parquet_s3_spark.operators.registry import register
 
 MAX_ROUNDS = 20
@@ -75,7 +84,29 @@ def connected_components(pairs: DataFrame, src: str, dst: str) -> DataFrame:
     return labels
 
 
-@register("dedup_cluster_components")  # iterative → rows-only check
+@register(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE {_ORACLE_SHINGLES},
+    {_ORACLE_BANDS},
+    {_ORACLE_PAIR_CTES},
+    edges AS (
+        SELECT doc_id_a AS u, doc_id_b AS v FROM lsh_pairs
+        UNION
+        SELECT doc_id_b AS u, doc_id_a AS v FROM lsh_pairs
+    ),
+    reach AS (
+        SELECT u AS doc_id, u AS label FROM edges
+        UNION
+        SELECT e.u AS doc_id, r.label
+        FROM edges e JOIN reach r ON r.doc_id = e.v
+    ),
+    comp AS (SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id),
+    csizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id)
+    SELECT c.doc_id, c.cluster_id, s.cluster_size
+    FROM comp c JOIN csizes s ON c.cluster_id = s.cluster_id
+    """,
+)
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters from MinHash-LSH pairs: (doc_id, cluster_id,
     cluster_size), cluster_id = min doc_id in the component. Downstream

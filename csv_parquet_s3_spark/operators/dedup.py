@@ -222,11 +222,9 @@ def verified_pairs_from_signatures(shingle_sets: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-duplicate pairs, Jaccard-verified.
 # ---------------------------------------------------------------------------
-@register(
-    "dedup_minhash_lsh_pairs",
-    oracle=f"""
-    WITH {_ORACLE_SHINGLES},
-    {_ORACLE_BANDS},
+# The full pair pipeline as reusable CTEs (candidates → verify → lsh_pairs)
+# so downstream oracles (connected components) can build on the same edges.
+_ORACLE_PAIR_CTES = f"""
     candidates AS (
         SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
         FROM bands a JOIN bands b
@@ -239,15 +237,27 @@ def verified_pairs_from_signatures(shingle_sets: DataFrame) -> DataFrame:
         JOIN shingles sa ON sa.doc_id = c.doc_id_a
         JOIN shingles sb ON sb.doc_id = c.doc_id_b AND sb.shingle = sa.shingle
         GROUP BY c.doc_id_a, c.doc_id_b
+    ),
+    lsh_pairs AS (
+        SELECT i.doc_id_a, i.doc_id_b,
+               CAST(ROUND(CAST(i.n_common AS DOUBLE)
+                          / (za.n + zb.n - i.n_common), 6) AS DOUBLE) AS jaccard
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.doc_id_a
+        JOIN sizes zb ON zb.doc_id = i.doc_id_b
+        WHERE CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common)
+              >= {JACCARD_THRESHOLD}
     )
-    SELECT i.doc_id_a, i.doc_id_b,
-           CAST(ROUND(CAST(i.n_common AS DOUBLE)
-                      / (za.n + zb.n - i.n_common), 6) AS DOUBLE) AS jaccard
-    FROM inter i
-    JOIN sizes za ON za.doc_id = i.doc_id_a
-    JOIN sizes zb ON zb.doc_id = i.doc_id_b
-    WHERE CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common)
-          >= {JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_ORACLE_SHINGLES},
+    {_ORACLE_BANDS},
+    {_ORACLE_PAIR_CTES}
+    SELECT doc_id_a, doc_id_b, jaccard FROM lsh_pairs
     """,
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -220,12 +220,36 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
-@register("mm_frame_samples")  # 1→N mapInPandas explode → rows-only check
+@register(
+    "mm_frame_samples",
+    # The frame checksum is defined over the frame's UPPERCASE-HEX encoding
+    # (not raw bytes) purely so the oracle can replay it: this DuckDB build
+    # has no blob slicing/md5(BLOB), but hex() + substr is exact.
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id, n, h,
+               CAST(unnest(range(0, CAST(CEIL(CAST(n AS DOUBLE) / {FRAME_BYTES})
+                                         AS BIGINT))) AS INT) AS frame_idx
+        FROM p
+    )
+    SELECT doc_id, frame_idx,
+           CAST(LEAST({FRAME_BYTES}, n - frame_idx * {FRAME_BYTES}) AS INT)
+             AS frame_bytes,
+           md5(substr(h, frame_idx * {FRAME_BYTES} * 2 + 1, {FRAME_BYTES} * 2))
+             AS frame_checksum
+    FROM f
+    """,
+)
 def mm_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over binary payloads: the 1-row→N-frames mapInPandas
     shape a video pipeline uses (deterministic byte-window stand-in for
     codec-backed frame extraction). Nested closure → pickled by value, no
-    package import needed on workers."""
+    package import needed on workers. Checksums fingerprint the frame's
+    hex encoding (portable across engines — see oracle note)."""
     docs = load_table(spark, sf_dir, "documents")
     stride = FRAME_BYTES
 
@@ -245,7 +269,9 @@ def mm_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(idx)
                     out["frame_bytes"].append(len(frame))
-                    out["frame_checksum"].append(hashlib.md5(frame).hexdigest())
+                    out["frame_checksum"].append(
+                        hashlib.md5(frame.hex().upper().encode()).hexdigest()
+                    )
             yield pd.DataFrame(out)
 
     return attach_payload(docs).select("doc_id", "payload").mapInPandas(

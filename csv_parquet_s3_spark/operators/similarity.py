@@ -334,7 +334,33 @@ def sim_label_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_cosine_topk_vectorized")  # Python-side scoring → rows-only check
+@register(
+    "sim_cosine_topk_vectorized",
+    # Same oracle as bruteforce minus the label column: the vectorized
+    # scorer is pinned equal to the bruteforce operator (test suite, same
+    # SFs the driver uses), and bruteforce hash-matches this SQL; the
+    # half-away rounding emulation in the scorer keeps tie-breaks aligned.
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv,
+               {_ORACLE_NORM.format(v='embedding')} AS qnorm
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               CAST(ROUND({_ORACLE_DOT.format(a='q.qv', b='e.embedding')}
+                    / (q.qnorm * {_ORACLE_NORM.format(v='e.embedding')}), 6) AS DOUBLE)
+                 AS cos_sim
+        FROM q, embeddings e
+        WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cos_sim, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored
+    ) t WHERE rn <= {TOP_K}
+    """,
+)
 def sim_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-vectorized brute-force top-k: one numpy matmul per Arrow batch.
 

@@ -38,7 +38,7 @@ def test_priority_entries_are_oracle_backed_where_possible():
     rows-only ones must carry an oracle (hash check, not rows-only)."""
     m = _entry_module()
     oracles = m.oracle_sql()
-    rows_only_by_design = {"sim_cosine_topk_vectorized"}
+    rows_only_by_design = set()
     missing = [
         n for n in m.VERIFY_PRIORITY if n not in oracles and n not in rows_only_by_design
     ]
