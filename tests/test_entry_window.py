@@ -43,3 +43,24 @@ def test_priority_entries_are_oracle_backed_where_possible():
         n for n in m.VERIFY_PRIORITY if n not in oracles and n not in rows_only_by_design
     ]
     assert missing == []
+
+
+def test_rotation_tool_prioritizes_unverified_queries():
+    """tools/rotate_window.py must put driver-unchecked entries ahead of
+    hash-green ones, so each round's window buys maximum new signal."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import rotate_window
+
+    state = rotate_window.classify()
+    win = rotate_window.next_window()
+    assert len(win) == rotate_window.WINDOW
+    # every never-checked query must be in the window (there are < WINDOW)
+    unchecked = [n for n, (tier, _) in state.items() if tier == 0]
+    if len(unchecked) <= rotate_window.WINDOW:
+        assert set(unchecked) <= set(win)
+    # nothing hash-green may displace an unchecked or rows-only entry
+    greens_in = [n for n in win if state[n][0] == 2]
+    weak_out = [n for n, (t, _) in state.items() if t < 2 and n not in win]
+    assert not (greens_in and weak_out)
