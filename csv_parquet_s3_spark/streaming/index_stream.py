@@ -1,0 +1,38 @@
+"""Streaming maintenance of the materialized ANN index.
+
+At 100 TB embeddings arrive continuously (new documents → new vectors); the
+IVF index must absorb them at batch cost without a rebuild. This wires the
+incremental path (:mod:`..operators.similarity_index`) to Structured
+Streaming via ``foreachBatch``: each micro-batch is assigned against the
+STORED quantizer and MERGE-d into the inverted lists — the same
+upsert-by-key idempotence discipline as :func:`..streaming.ingest_stream.
+stream_upsert_parquet`, so checkpoint replays cannot duplicate vectors.
+
+Search (`topk_from_index`) sees every drained batch immediately; quantizer
+retraining remains an offline rebuild, as in any IVF system.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from csv_parquet_s3_spark.operators.similarity_index import update_ivf_index
+
+
+def stream_update_ivf_index(vectors: DataFrame, index_path: str, checkpoint: str):
+    """Start a streaming query that MERGEs each micro-batch of vectors
+    (vec_id, embedding, ...) into the stored IVF index. Returns the
+    StreamingQuery; callers pick the trigger via ``.trigger`` upstream or
+    drain with availableNow semantics from the returned query."""
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        update_ivf_index(batch_df.sparkSession, batch_df, index_path)
+
+    return (
+        vectors.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

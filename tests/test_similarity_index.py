@@ -126,3 +126,42 @@ def test_kmeans_parallel_seeding_not_worse_than_fixed(spark):
 
     # reproducible: same data -> same seeds (hash-Bernoulli, no engine RNG)
     assert kmeans_parallel_seed_ids(spark, emb, k=K_LISTS) == pp_seeds
+
+
+def test_streaming_index_updates_match_full_build(spark, tmp_path):
+    """Vectors streamed in after the initial build (foreachBatch -> MERGE
+    against the stored quantizer) yield the same search results as a full
+    offline build over everything."""
+    from csv_parquet_s3_spark.operators.similarity_index import (
+        build_ivf_index,
+        topk_from_index,
+    )
+    from csv_parquet_s3_spark.streaming.index_stream import stream_update_ivf_index
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+
+    # full offline build = ground truth
+    full_idx = str(tmp_path / "ivf_full")
+    build_ivf_index(spark, emb, SEEDS, full_idx)
+    want = _key(topk_from_index(spark, queries, full_idx, N_PROBE))
+
+    # initial build on the seed half; stream the rest in as parquet files
+    inc_idx = str(tmp_path / "ivf_stream")
+    first = emb.filter((F.col("vec_id") % 2 == 0) | F.col("vec_id").isin(SEEDS))
+    rest = emb.filter((F.col("vec_id") % 2 == 1) & ~F.col("vec_id").isin(SEEDS))
+    build_ivf_index(spark, first, SEEDS, inc_idx)
+
+    src = str(tmp_path / "vec_stream")
+    rest.filter(F.col("vec_id") % 4 == 1).write.parquet(src)
+    rest.filter(F.col("vec_id") % 4 == 3).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_update_ivf_index(stream, inc_idx, str(tmp_path / "ck"))
+    q.awaitTermination(180)
+
+    assert _key(topk_from_index(spark, queries, inc_idx, N_PROBE)) == want
