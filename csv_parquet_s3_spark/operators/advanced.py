@@ -186,3 +186,70 @@ def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count sketch: a portable, EXACTLY-reproducible sketch.
+# ---------------------------------------------------------------------------
+KMV_K = 64
+
+# First 8 hex chars of md5 as an integer in [0, 16^8), same arithmetic text
+# in Spark SQL and DuckDB (neither needs a hex→int cast).
+_KMV_HEX_INT = "(" + " + ".join(
+    f"CAST(instr('0123456789abcdef', substr({{h}}, {i + 1}, 1)) - 1 AS BIGINT)"
+    f" * {16 ** (7 - i)}"
+    for i in range(8)
+) + ")"
+
+
+@register(
+    "q_kmv_distinct_users",
+    oracle=f"""
+    WITH hashes AS (
+        SELECT DISTINCT
+               {_KMV_HEX_INT.format(h="md5(CAST(user_id AS VARCHAR))")} AS iv
+        FROM events
+    ),
+    kmin AS (
+        SELECT iv FROM hashes ORDER BY iv LIMIT {KMV_K}
+    ),
+    sk AS (
+        SELECT COUNT(*) AS k_actual, MAX(iv) AS kth_hash FROM kmin
+    ),
+    ex AS (SELECT COUNT(DISTINCT user_id) AS exact_distinct FROM events)
+    SELECT sk.k_actual, sk.kth_hash,
+           CASE WHEN sk.k_actual < {KMV_K} THEN CAST(sk.k_actual AS DOUBLE)
+                ELSE CAST(({KMV_K} - 1) AS DOUBLE) * {16 ** 8} / sk.kth_hash
+           END AS est_distinct,
+           ex.exact_distinct
+    FROM sk, ex
+    """,
+)
+def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch — the portable sibling of
+    ``approx_count_distinct``: est = (k-1)·H / h_(k) over the k smallest
+    value hashes (Bar-Yossef et al., RANDOM'02). Unlike HLL++, every step
+    is deterministic integer arithmetic on md5, so the oracle reproduces
+    the estimate EXACTLY — a sketch whose correctness is hash-checkable.
+
+    Scale shape: hash + distinct (narrow int shuffle) + global k-smallest
+    (TakeOrderedAndProject) — constant-size sketch state regardless of
+    corpus; sketches from shards union by keeping the k smallest of the
+    merged sets (associative, like any KMV).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    iv = F.expr(
+        _KMV_HEX_INT.format(h="md5(cast(cast(user_id as string) as binary))")
+    ).alias("iv")
+    kmin = ev.select(iv).distinct().orderBy("iv").limit(KMV_K)
+    sk = kmin.agg(
+        F.count("*").alias("k_actual"), F.max("iv").alias("kth_hash")
+    )
+    ex = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    est = F.when(
+        F.col("k_actual") < KMV_K, F.col("k_actual").cast("double")
+    ).otherwise(F.lit(float(KMV_K - 1)) * (16 ** 8) / F.col("kth_hash"))
+    return (
+        sk.crossJoin(F.broadcast(ex))
+        .select("k_actual", "kth_hash", est.alias("est_distinct"), "exact_distinct")
+    )
