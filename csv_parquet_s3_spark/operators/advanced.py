@@ -253,3 +253,122 @@ def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         sk.crossJoin(F.broadcast(ex))
         .select("k_actual", "kth_hash", est.alias("est_distinct"), "exact_distinct")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch algebra: cohort-overlap estimation from mergeable sketches.
+# ---------------------------------------------------------------------------
+COHORT_CENTS = 50_000  # per-user lifetime value threshold (exact cents)
+
+# Exact integer cents of the event value (scale-2 doubles) — cohort
+# membership must not ride a shuffle-order double sum across engines.
+_EV_CENTS = "CAST(CAST(value AS DECIMAL(12,2)) * CAST(100 AS DECIMAL(3,0)) AS BIGINT)"
+
+
+@register(
+    "q_kmv_cohort_overlap",
+    oracle=f"""
+    WITH a AS (
+        SELECT user_id FROM events WHERE event_type = 'error'
+        GROUP BY user_id HAVING SUM({_EV_CENTS}) > {COHORT_CENTS}
+    ),
+    b AS (
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id HAVING SUM({_EV_CENTS}) > {COHORT_CENTS}
+    ),
+    u AS (
+        SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+               a.user_id IS NOT NULL AS in_a,
+               b.user_id IS NOT NULL AS in_b
+        FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+    ),
+    hashed AS (
+        SELECT {_KMV_HEX_INT.format(h="md5(CAST(user_id AS VARCHAR))")} AS iv,
+               in_a, in_b
+        FROM u
+    ),
+    kmin AS (SELECT * FROM hashed ORDER BY iv LIMIT {KMV_K}),
+    sk AS (
+        SELECT COUNT(*) AS k_actual, MAX(iv) AS kth_hash,
+               CAST(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_both
+        FROM kmin
+    ),
+    ex AS (
+        SELECT COUNT(*) AS exact_intersection
+        FROM a JOIN b ON a.user_id = b.user_id
+    )
+    SELECT sk.k_actual, sk.n_both,
+           CASE WHEN sk.k_actual < {KMV_K} THEN CAST(sk.k_actual AS DOUBLE)
+                ELSE CAST(({KMV_K} - 1) AS DOUBLE) * {16 ** 8} / sk.kth_hash
+           END AS est_union,
+           CASE WHEN sk.k_actual = 0 THEN 0.0
+                ELSE CAST(sk.n_both AS DOUBLE)
+                     * (CASE WHEN sk.k_actual < {KMV_K}
+                             THEN CAST(sk.k_actual AS DOUBLE)
+                             ELSE CAST(({KMV_K} - 1) AS DOUBLE) * {16 ** 8} / sk.kth_hash
+                        END)
+                     / sk.k_actual
+           END AS est_intersection,
+           ex.exact_intersection
+    FROM sk, ex
+    """,
+)
+def q_kmv_cohort_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation estimates from KMV sketch algebra: |A∪B| from the k
+    smallest hashes of the merged cohort sketches, |A∩B| ≈ (n_both/k)·|A∪B|
+    (Beyer et al., SIGMOD'07). Cohorts are per-user lifetime-value segments
+    with EXACT integer-cents membership, so the whole pipeline — cohorts,
+    hashes, estimates — is reproducible to the bit and hash-checked.
+
+    Scale shape: each cohort is one keyed aggregation; sketches are k-row
+    objects that merge by keeping the k smallest of a union — at 100 TB the
+    overlap of two billion-user segments costs two aggregations plus a
+    k-row sort, never a join of the cohorts... (the exact_intersection
+    column here is the test-scale accuracy reference, not the scale path).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.expr(_EV_CENTS)
+
+    def cohort(event_type: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .groupBy("user_id")
+            .agg(F.sum(cents).alias("cents"))
+            .filter(F.col("cents") > COHORT_CENTS)
+            .select("user_id")
+        )
+
+    a = cohort("error").withColumn("in_a", F.lit(True))
+    b = cohort("purchase").withColumn("in_b", F.lit(True))
+    u = (
+        a.join(b, "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.coalesce("in_a", F.lit(False)).alias("in_a"),
+            F.coalesce("in_b", F.lit(False)).alias("in_b"),
+        )
+    )
+    iv = F.expr(
+        _KMV_HEX_INT.format(h="md5(cast(cast(user_id as string) as binary))")
+    ).alias("iv")
+    kmin = u.select(iv, "in_a", "in_b").orderBy("iv").limit(KMV_K)
+    sk = kmin.agg(
+        F.count("*").alias("k_actual"),
+        F.max("iv").alias("kth_hash"),
+        F.sum(F.when(F.col("in_a") & F.col("in_b"), 1).otherwise(0)).alias("n_both"),
+    )
+    ex = a.join(b, "user_id").agg(F.count("*").alias("exact_intersection"))
+    est_union = F.when(
+        F.col("k_actual") < KMV_K, F.col("k_actual").cast("double")
+    ).otherwise(F.lit(float(KMV_K - 1)) * (16 ** 8) / F.col("kth_hash"))
+    est_inter = F.when(F.col("k_actual") == 0, F.lit(0.0)).otherwise(
+        F.col("n_both").cast("double") * est_union / F.col("k_actual")
+    )
+    return sk.crossJoin(F.broadcast(ex)).select(
+        "k_actual",
+        "n_both",
+        est_union.alias("est_union"),
+        est_inter.alias("est_intersection"),
+        "exact_intersection",
+    )
