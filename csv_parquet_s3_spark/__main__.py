@@ -126,6 +126,34 @@ def _corpus(args: argparse.Namespace) -> int:
     return 0
 
 
+def _query(args: argparse.Namespace) -> int:
+    """Run any registered analytics operator by name against a dataset dir
+    (``--list`` prints the registry). Output: row count + optional preview /
+    parquet sink — the ad-hoc front door to the 100+ operator surface."""
+    from csv_parquet_s3_spark.operators import QUERIES
+    from csv_parquet_s3_spark.session import get_spark
+
+    if args.list:
+        for name in sorted(QUERIES):
+            print(name)
+        return 0
+    if args.name not in QUERIES:
+        logger.error("unknown query %r (use --list)", args.name)
+        return 1
+    spark = get_spark(app_name=f"csv_parquet_s3_query_{args.name}")
+    df = QUERIES[args.name](spark, args.sf_dir)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        logger.info("%s: %d row(s) written to %s", args.name, n, args.out)
+    else:
+        rows = df.limit(args.show).collect()
+        for r in rows:
+            print(r)
+        logger.info("%s: showed %d row(s)", args.name, len(rows))
+    return 0
+
+
 def _compact(args: argparse.Namespace) -> int:
     from csv_parquet_s3_spark.maintenance import compact
     from csv_parquet_s3_spark.session import get_spark
@@ -164,6 +192,14 @@ def main(argv: list[str] | None = None) -> int:
     pco.add_argument("--schema", required=True, help="schema.json path")
     pco.add_argument("--out", required=True, help="output root directory")
     pco.set_defaults(fn=_corpus)
+
+    pq = sub.add_parser("query", help="run a registered analytics operator")
+    pq.add_argument("name", nargs="?", default=None, help="registry name")
+    pq.add_argument("--sf-dir", default="/root/testdata/sf0.01", help="dataset dir")
+    pq.add_argument("--out", default=None, help="write result parquet here")
+    pq.add_argument("--show", type=int, default=20, help="rows to print (no --out)")
+    pq.add_argument("--list", action="store_true", help="list registry names")
+    pq.set_defaults(fn=_query)
 
     pc = sub.add_parser("compact", help="small-file compaction")
     pc.add_argument("--path", required=True)

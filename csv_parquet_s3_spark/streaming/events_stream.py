@@ -79,3 +79,30 @@ def dedup_event_stream(
     if not events.isStreaming:
         return events.dropDuplicates(cols)
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(cols)
+
+
+def sliding_event_rollup(
+    events: DataFrame,
+    length: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding (overlapping) windows per event_type — the third member of
+    the window taxonomy next to :func:`hourly_event_rollup` (tumbling) and
+    :func:`session_window_counts` (session). Each event lands in
+    length/slide windows; state per key is bounded by the watermark.
+
+    Works identically on batch input (``window`` is the same expression),
+    which is how the test pins streaming == batch.
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", length, slide).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )

@@ -112,3 +112,21 @@ def test_corpus_cli(tmp_path, spark):
     assert set(final.select("split").distinct().toPandas()["split"]) <= {
         "train", "valid", "test"
     }
+
+
+def test_cli_query_list_and_run(tmp_path, capsys):
+    from csv_parquet_s3_spark.__main__ import main
+
+    assert main(["query", "--list"]) == 0
+    out = capsys.readouterr().out
+    assert "q01_pricing_summary" in out and "dedup_minhash_lsh_pairs" in out
+
+    dest = str(tmp_path / "q01_out")
+    assert main([
+        "query", "q01_pricing_summary",
+        "--sf-dir", "/root/testdata/sf0.001", "--out", dest,
+    ]) == 0
+    import glob
+    assert glob.glob(dest + "/*.parquet")
+
+    assert main(["query", "no_such_query"]) == 1

@@ -213,3 +213,25 @@ def test_streaming_dedup_drops_replayed_events(spark, tmp_path):
     )
     assert got == want
     assert len(got) == 500  # each replayed event emitted exactly once
+
+
+def test_streaming_sliding_windows_match_batch(spark, tmp_path):
+    from csv_parquet_s3_spark.streaming.events_stream import sliding_event_rollup
+
+    staged = str(tmp_path / "events_sl")
+    load_table(spark, SF, "events").write.parquet(staged)
+
+    stream = spark.readStream.schema(spark.read.parquet(staged).schema).parquet(staged)
+    _drain_to_memory(sliding_event_rollup(stream), "sliding_out")
+    got = {
+        (str(r.window_start), r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM sliding_out").collect()
+    }
+    want = {
+        (str(r.window_start), r.event_type): r.n_events
+        for r in sliding_event_rollup(spark.read.parquet(staged)).collect()
+    }
+    assert got == want and len(want) > 40
+    # every event contributes to length/slide = 4 overlapping windows
+    n_events = spark.read.parquet(staged).count()
+    assert sum(want.values()) == 4 * n_events
