@@ -438,3 +438,131 @@ def kmeans_parallel_seed_ids(
         best = np.lexsort((ids, -gain))[0]
         chosen.append(best)
     return sorted(int(v) for v in ids[chosen])
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's compression leg): vectors → M subspace
+# codes, search via asymmetric distance computation (ADC). At 100 TB the
+# inverted lists hold M small codes per vector instead of the full float
+# array — the memory lever that makes billion-vector ANN fit a cluster.
+# ---------------------------------------------------------------------------
+PQ_M = 4          # subspaces (dim 64 → 16 dims per subspace)
+PQ_K = 16         # codes per subspace codebook
+PQ_TRAIN_ITERS = 3
+
+
+def _subvectors(vectors: DataFrame, m: int = PQ_M) -> DataFrame:
+    """(vec_id, sub, sv): split each UNIT-NORMALIZED vector into m
+    contiguous subvectors. Normalizing first makes squared-L2 ADC ordering
+    agree with cosine ordering (||a-b||² = 2 - 2·cos on the unit sphere),
+    so PQ search approximates the same ranking the exact operators use."""
+    emb = _with_norm(vectors).select(
+        "vec_id",
+        F.expr("transform(vd, x -> x / norm)").alias("vd"),
+    )
+    return emb.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}),"
+                f" s -> struct(s AS sub, slice(vd, s * (size(vd) div {m}) + 1,"
+                f" size(vd) div {m}) AS sv))"
+            )
+        ).alias("e"),
+    ).select("vec_id", F.col("e.sub").alias("sub"), F.col("e.sv").alias("sv"))
+
+
+def _l2sq(a, b) -> F.Column:
+    """Squared L2 distance between two double arrays, rounded for
+    cross-run determinism of argmin tie-breaks."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ),
+        9,
+    )
+
+
+def train_pq_codebooks(
+    spark: SparkSession, vectors: DataFrame, iters: int = PQ_TRAIN_ITERS
+) -> DataFrame:
+    """Per-subspace k-means codebooks (sub, code, cv): Lloyd over the
+    subvector population of each subspace, deterministic seeds (lowest
+    PQ_K vec_ids), per-dim means rounded like the IVF quantizer."""
+    sv = _subvectors(vectors).persist()
+    seeds = sv.filter(F.col("vec_id") < PQ_K).select(
+        "sub", F.col("vec_id").cast("bigint").alias("code"), F.col("sv").alias("cv")
+    ).localCheckpoint(eager=True)
+    cent = seeds
+    for _ in range(iters):
+        w = W.partitionBy("vec_id", "sub").orderBy(F.asc("d"), F.asc("code"))
+        assign = (
+            sv.join(F.broadcast(cent), "sub")
+            .withColumn("d", _l2sq(F.col("sv"), F.col("cv")))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("sub", "code", "sv")
+        )
+        elems = assign.select(
+            "sub", "code", F.posexplode("sv").alias("dim", "x")
+        )
+        means = elems.groupBy("sub", "code", "dim").agg(
+            F.round(F.avg("x"), 9).alias("c")
+        )
+        updated = means.groupBy("sub", "code").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, c))), s -> s.c)"
+            ).alias("cv_new")
+        )
+        cent = (
+            cent.join(updated, ["sub", "code"], "left")
+            .select(
+                "sub", "code", F.coalesce("cv_new", "cv").alias("cv")
+            )
+            .localCheckpoint(eager=True)
+        )
+    sv.unpersist()
+    return cent
+
+
+def pq_encode(vectors: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """(vec_id, sub, code): nearest codebook entry per subspace — the
+    compressed representation (M small ints per vector)."""
+    sv = _subvectors(vectors)
+    w = W.partitionBy("vec_id", "sub").orderBy(F.asc("d"), F.asc("code"))
+    return (
+        sv.join(F.broadcast(codebooks), "sub")
+        .withColumn("d", _l2sq(F.col("sv"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", "code")
+    )
+
+
+def pq_topk(
+    queries: DataFrame, codes: DataFrame, codebooks: DataFrame, k: int = TOP_K
+) -> DataFrame:
+    """ADC search: per query, distance table to every (sub, code) cell
+    (M·PQ_K rows — broadcastable), then approx distance = Σ table lookups
+    over each vector's codes. The corpus side touches only the code table;
+    full vectors never load at query time."""
+    qsv = _subvectors(queries).select(
+        F.col("vec_id").alias("query_id"), "sub", F.col("sv").alias("qsv")
+    )
+    dtable = (
+        qsv.join(F.broadcast(codebooks), "sub")
+        .select("query_id", "sub", "code", _l2sq(F.col("qsv"), F.col("cv")).alias("d"))
+    )
+    scored = (
+        codes.withColumnRenamed("vec_id", "cand_id")
+        .join(F.broadcast(dtable), ["sub", "code"])
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.round(F.sum("d"), 6).alias("approx_dist"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("cand_id"))
+    return scored.select("*", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= k
+    )

@@ -165,3 +165,65 @@ def test_streaming_index_updates_match_full_build(spark, tmp_path):
     q.awaitTermination(180)
 
     assert _key(topk_from_index(spark, queries, inc_idx, N_PROBE)) == want
+
+
+def test_pq_adc_search_recall_and_shape(spark):
+    """Product quantization: codes table is M small ints per vector, ADC
+    top-k reaches usable recall vs exact cosine search, and the whole
+    pipeline is deterministic (fixed seeds + rounded means)."""
+    from csv_parquet_s3_spark.operators.similarity import (
+        TOP_K,
+        sim_cosine_topk_bruteforce,
+    )
+    from csv_parquet_s3_spark.operators.similarity_index import (
+        PQ_K,
+        PQ_M,
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    books = train_pq_codebooks(spark, emb)
+    assert books.count() == PQ_M * PQ_K
+
+    codes = pq_encode(emb, books)
+    n_vec = emb.count()
+    assert codes.count() == PQ_M * n_vec  # M codes per vector
+    assert codes.agg(F.max("code")).first()[0] < PQ_K
+
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    approx = pq_topk(queries, codes, books)
+    exact = sim_cosine_topk_bruteforce(spark, SF)
+
+    a = {(r.query_id, r.cand_id) for r in approx.collect()}
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    # The synthetic embeddings are near-noise (exact top-10 cosines sit in
+    # a ~0.27-0.33 band with sub-0.01 gaps), which is adversarial for any
+    # lossy quantizer — so pin recall well above the ~0.02 chance baseline
+    # (measured: ~0.26 with 4x16 codebooks) rather than at exact-search
+    # levels no PQ could reach here.
+    assert recall >= 0.15, recall
+    assert len(a) == len(e) == N_QUERIES * TOP_K
+
+    # ADC distances must track true distances: the exact top-10's mean
+    # approx_dist is far below the all-candidate mean for every query
+    all_scored = (
+        pq_topk(queries, codes, books, k=10**6)
+        .select("query_id", "cand_id", "approx_dist")
+        .collect()
+    )
+    by_q: dict = {}
+    for r in all_scored:
+        by_q.setdefault(r.query_id, {})[r.cand_id] = r.approx_dist
+    for qid, dists in by_q.items():
+        top_exact = [v for (q, v) in e if q == qid]
+        mean_top = sum(dists[v] for v in top_exact) / len(top_exact)
+        mean_all = sum(dists.values()) / len(dists)
+        assert mean_top < 0.9 * mean_all, (qid, mean_top, mean_all)
+
+    # deterministic end to end
+    books2 = train_pq_codebooks(spark, emb)
+    a2 = {(r.query_id, r.cand_id) for r in pq_topk(queries, pq_encode(emb, books2), books2).collect()}
+    assert a2 == a
