@@ -566,3 +566,18 @@ def pq_topk(
     return scored.select("*", F.row_number().over(w).alias("rn")).filter(
         F.col("rn") <= k
     )
+
+
+@register("sim_cosine_topk_pq")  # deterministic, but a full SQL replay of
+# per-subspace Lloyd would be disproportionate → rows-only driver check;
+# determinism + recall + ADC monotonicity are pinned in the test suite.
+def sim_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC approximate top-k end to end: train per-subspace codebooks,
+    encode the corpus to M-byte codes, search via broadcast distance
+    tables. The registry's memory-compressed ANN path (IVF-PQ's other
+    half next to `sim_cosine_topk_ivf_trained`)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(spark, emb)
+    codes = pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return pq_topk(queries, codes, books)
