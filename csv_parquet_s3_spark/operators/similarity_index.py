@@ -542,12 +542,20 @@ def pq_encode(vectors: DataFrame, codebooks: DataFrame) -> DataFrame:
 
 
 def pq_topk(
-    queries: DataFrame, codes: DataFrame, codebooks: DataFrame, k: int = TOP_K
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    k: int = TOP_K,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """ADC search: per query, distance table to every (sub, code) cell
     (M·PQ_K rows — broadcastable), then approx distance = Σ table lookups
     over each vector's codes. The corpus side touches only the code table;
-    full vectors never load at query time."""
+    full vectors never load at query time.
+
+    ``candidates`` (query_id, cand_id) restricts scoring to a pruned
+    candidate set — the IVF×PQ composition hook: the coarse quantizer
+    prunes lists, ADC ranks inside them."""
     qsv = _subvectors(queries).select(
         F.col("vec_id").alias("query_id"), "sub", F.col("sv").alias("qsv")
     )
@@ -555,10 +563,18 @@ def pq_topk(
         qsv.join(F.broadcast(codebooks), "sub")
         .select("query_id", "sub", "code", _l2sq(F.col("qsv"), F.col("cv")).alias("d"))
     )
+    cand_codes = codes.withColumnRenamed("vec_id", "cand_id")
+    if candidates is not None:
+        # candidate volume tracks nprobe/K of the corpus — a plain join
+        # (AQE picks the strategy), never a broadcast of the corpus side
+        cand_codes = cand_codes.join(
+            candidates.withColumnRenamed("vec_id", "cand_id"), "cand_id"
+        )
+        scored_src = cand_codes.join(dtable, ["query_id", "sub", "code"])
+    else:
+        scored_src = cand_codes.join(F.broadcast(dtable), ["sub", "code"])
     scored = (
-        codes.withColumnRenamed("vec_id", "cand_id")
-        .join(F.broadcast(dtable), ["sub", "code"])
-        .filter(F.col("cand_id") != F.col("query_id"))
+        scored_src.filter(F.col("cand_id") != F.col("query_id"))
         .groupBy("query_id", "cand_id")
         .agg(F.round(F.sum("d"), 6).alias("approx_dist"))
     )
@@ -581,3 +597,47 @@ def sim_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = pq_encode(emb, books)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return pq_topk(queries, codes, books)
+
+
+@register("sim_cosine_topk_ivf_pq")  # composition is deterministic; rows-only
+# at the driver (see sim_cosine_topk_pq) — structure pinned in tests.
+def sim_cosine_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ — the canonical billion-scale ANN recipe in one query: the
+    coarse quantizer prunes each search to its nprobe nearest inverted
+    lists, and ADC ranks ONLY those lists' compressed codes. Cost per query
+    = (nprobe/K)·corpus code lookups; memory = M bytes per vector. The
+    same coarse assignment as `sim_cosine_topk_ivf_probe`, the same
+    codebooks as `sim_cosine_topk_pq` — composed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = _with_norm(emb).select("vec_id", "vd", "norm")
+    cent = _centroid_frame(
+        vec.filter(
+            (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + K_LISTS)
+        ).select(
+            F.dense_rank().over(W.orderBy("vec_id")).cast("bigint").alias("list_id"),
+            "vd",
+            "norm",
+        )
+    )
+    assign = _assign(vec, cent).select("vec_id", "list_id")
+    # probe the N_PROBE nearest lists per query (not just the argmax)
+    wq = W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("list_id"))
+    probes = (
+        vec.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cent))
+        .withColumn(
+            "csim",
+            F.round(
+                _dot(F.col("vd"), F.col("cv")) / (F.col("norm") * F.col("cnorm")), 6
+            ).cast("double"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= N_PROBE)
+        .select(F.col("vec_id").alias("query_id"), "list_id")
+    )
+    candidates = probes.join(assign, "list_id").select("query_id", "vec_id")
+
+    books = train_pq_codebooks(spark, emb)
+    codes = pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return pq_topk(queries, codes, books, candidates=candidates)

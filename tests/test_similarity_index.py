@@ -227,3 +227,56 @@ def test_pq_adc_search_recall_and_shape(spark):
     books2 = train_pq_codebooks(spark, emb)
     a2 = {(r.query_id, r.cand_id) for r in pq_topk(queries, pq_encode(emb, books2), books2).collect()}
     assert a2 == a
+
+
+def test_ivf_pq_composition_prunes_to_probed_lists(spark):
+    """IVF×PQ: every returned candidate must live in one of its query's
+    nprobe probed lists (pruning is real, not decorative), results are
+    deterministic, and per-query result counts are bounded by k."""
+    from csv_parquet_s3_spark.operators.similarity import (
+        TOP_K,
+        sim_cosine_topk_ivf_probe,
+    )
+    from csv_parquet_s3_spark.operators.similarity_index import (
+        sim_cosine_topk_ivf_pq,
+    )
+
+    got = sim_cosine_topk_ivf_pq(spark, SF).collect()
+    assert got, "composition returned nothing"
+    per_q: dict = {}
+    for r in got:
+        per_q.setdefault(r.query_id, []).append(r.cand_id)
+    assert all(len(v) <= TOP_K for v in per_q.values())
+
+    # the exact-IVF operator scores precisely the probed-lists population,
+    # so its candidate universe per query is the allowed set
+    allowed: dict = {}
+    from csv_parquet_s3_spark.operators.similarity import (
+        K_LISTS, N_PROBE, N_QUERIES, _dot, _with_norm,
+    )
+    emb = _with_norm(load_table(spark, SF, "embeddings"))
+    cent = emb.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + K_LISTS)
+    ).select(
+        F.dense_rank().over(__import__("pyspark.sql", fromlist=["Window"]).Window.orderBy("vec_id")).alias("list_id"),
+        F.col("vd").alias("cv"), F.col("norm").alias("cnorm"),
+    )
+    sim = F.round(_dot(F.col("vd"), F.col("cv")) / (F.col("norm") * F.col("cnorm")), 6)
+    from pyspark.sql import Window as W2
+    w = W2.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("list_id"))
+    assign = (emb.crossJoin(F.broadcast(cent)).withColumn("csim", sim)
+              .withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+              .select("vec_id", "list_id"))
+    probes = (emb.filter(F.col("vec_id") < N_QUERIES)
+              .crossJoin(F.broadcast(cent)).withColumn("csim", sim)
+              .withColumn("rn", F.row_number().over(w)).filter(f"rn <= {N_PROBE}")
+              .select(F.col("vec_id").alias("query_id"), "list_id"))
+    allowed_pairs = {
+        (r.query_id, r.vec_id)
+        for r in probes.join(assign, "list_id").select("query_id", "vec_id").collect()
+    }
+    for r in got:
+        assert (r.query_id, r.cand_id) in allowed_pairs, (r.query_id, r.cand_id)
+
+    got2 = {(r.query_id, r.cand_id, r.rn) for r in sim_cosine_topk_ivf_pq(spark, SF).collect()}
+    assert got2 == {(r.query_id, r.cand_id, r.rn) for r in got}
