@@ -177,3 +177,125 @@ def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jacc >= JACCARD_THRESHOLD)
         .select("doc_id_a", "doc_id_b", F.round(jacc, 6).cast("double").alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup pairs blocked by REAL IVF cells (multi-probe).
+# ---------------------------------------------------------------------------
+N_SEED_CELLS = 8     # seed centroids = vec_id 5..12 (as the IVF operators)
+CELL_ASSIGN = 2      # multi-probe: each vector joins its top-2 cells
+_SEED_LO, _SEED_HI = 5, 13
+
+
+@register(
+    "dedup_embedding_ivf_blocked",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding, {_NORM.format(v='embedding')} AS nrm
+        FROM embeddings WHERE vec_id < {MAX_VEC_ID}
+    ),
+    cent AS (
+        SELECT vec_id - {_SEED_LO} AS list_id, embedding AS cv,
+               {_NORM.format(v='embedding')} AS cnorm
+        FROM embeddings WHERE vec_id >= {_SEED_LO} AND vec_id < {_SEED_HI}
+    ),
+    assign AS (
+        SELECT vec_id, list_id FROM (
+            SELECT e.vec_id, c.list_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY CAST(ROUND({_DOT.format(a='e.embedding', b='c.cv')}
+                                / (e.nrm * c.cnorm), 6) AS DOUBLE) DESC, c.list_id
+                   ) AS rn
+            FROM e, cent c
+        ) z WHERE rn <= {CELL_ASSIGN}
+    ),
+    candidates AS (
+        SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+        FROM assign a JOIN assign b
+          ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_id_a, c.vec_id_b,
+           CAST(ROUND({_DOT.format(a='ea.embedding', b='eb.embedding')}
+                / (ea.nrm * eb.nrm), 6) AS DOUBLE) AS cos_sim
+    FROM candidates c
+    JOIN e ea ON ea.vec_id = c.vec_id_a
+    JOIN e eb ON eb.vec_id = c.vec_id_b
+    WHERE {_DOT.format(a='ea.embedding', b='eb.embedding')} / (ea.nrm * eb.nrm)
+          >= {COSINE_DUP_THRESHOLD}
+    """,
+)
+def dedup_embedding_ivf_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs blocked by an actual IVF partitioner instead
+    of the label stand-in: each vector joins its top-{CELL_ASSIGN} coarse
+    cells (multi-probe assignment recovers pairs straddling a cell
+    boundary), candidate pairs come only from shared cells, then exact
+    cosine verifies. Pair volume is Σ cell² · probe², never n² — and the
+    blocking needs no pre-existing cluster column at 100 TB.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < MAX_VEC_ID)
+    vd = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    norm = F.sqrt(
+        F.aggregate(
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    e = emb.select("vec_id", vd.alias("vd"), norm.alias("nrm"))
+    cent = (
+        emb.filter((F.col("vec_id") >= _SEED_LO) & (F.col("vec_id") < _SEED_HI))
+        .select(
+            (F.col("vec_id") - _SEED_LO).alias("list_id"),
+            vd.alias("cv"),
+            norm.alias("cnorm"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    csim = F.round(
+        F.aggregate(
+            F.zip_with(F.col("vd"), F.col("cv"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        / (F.col("nrm") * F.col("cnorm")),
+        6,
+    ).cast("double")
+    w = W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("list_id"))
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("csim", csim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= CELL_ASSIGN)
+        .select("vec_id", "list_id")
+    )
+    a = assign.select(F.col("vec_id").alias("vec_id_a"), "list_id")
+    b = assign.select(F.col("vec_id").alias("vec_id_b"), F.col("list_id").alias("list_b"))
+    candidates = (
+        a.join(b, (F.col("list_id") == F.col("list_b")) & (F.col("vec_id_a") < F.col("vec_id_b")))
+        .select("vec_id_a", "vec_id_b")
+        .distinct()
+    )
+    ea = e.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("vd").alias("vd_a"), F.col("nrm").alias("nrm_a")
+    )
+    eb = e.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("vd").alias("vd_b"), F.col("nrm").alias("nrm_b")
+    )
+    cos = (
+        F.aggregate(
+            F.zip_with(F.col("vd_a"), F.col("vd_b"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        / (F.col("nrm_a") * F.col("nrm_b"))
+    )
+    return (
+        candidates.join(ea, "vec_id_a")
+        .join(eb, "vec_id_b")
+        .filter(cos >= COSINE_DUP_THRESHOLD)
+        .select(
+            "vec_id_a", "vec_id_b", F.round(cos, 6).cast("double").alias("cos_sim")
+        )
+    )
