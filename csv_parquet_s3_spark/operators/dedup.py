@@ -364,3 +364,87 @@ def dedup_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash Hamming-ball pairs (Manku et al., WWW'07 banding).
+# ---------------------------------------------------------------------------
+HAMMING_MAX = 2
+_H_BANDS = ((1, 6), (7, 5), (12, 5))  # 3 bands over 16 bits: pigeonhole for k≤2
+
+
+@register(
+    "dedup_simhash_hamming_pairs",
+    oracle=f"""
+    WITH sigs AS ({_ORACLE_SIMHASH_SIGS}),
+    bands AS (
+        {" UNION ALL ".join(
+            f"SELECT doc_id, simhash, {bi} AS band, substr(simhash, {st}, {ln}) AS key FROM sigs"
+            for bi, (st, ln) in enumerate(_H_BANDS)
+        )}
+    ),
+    candidates AS (
+        SELECT DISTINCT a.doc_id AS doc_id_a, a.simhash AS sig_a,
+                        b.doc_id AS doc_id_b, b.simhash AS sig_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_id_a, doc_id_b, hamming FROM (
+        SELECT doc_id_a, doc_id_b,
+               CAST(list_sum(list_transform(range(1, {SIMHASH_BITS} + 1),
+                    i -> CASE WHEN substr(sig_a, i, 1) <> substr(sig_b, i, 1)
+                              THEN 1 ELSE 0 END)) AS INT) AS hamming
+        FROM candidates
+    ) t WHERE hamming <= {HAMMING_MAX}
+    """,
+)
+def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs within a Hamming ball of the SimHash signature: split
+    the {SIMHASH_BITS}-bit signature into {len(_H_BANDS)} bands — any pair
+    within Hamming ≤ {HAMMING_MAX} must agree on at least one full band
+    (pigeonhole), so candidates come from band-key buckets, then the exact
+    bit distance verifies. The banded shuffle keys are ≤ 6 chars; candidate
+    volume tracks signature collisions, never n² — the standard web-scale
+    SimHash dedup shape.
+    """
+    sigs = dedup_simhash_signatures(spark, sf_dir).persist()
+    bands = None
+    for bi, (st, ln) in enumerate(_H_BANDS):
+        part = sigs.select(
+            "doc_id", "simhash",
+            F.lit(bi).alias("band"),
+            F.substring("simhash", st, ln).alias("key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("simhash").alias("sig_a"),
+        "band", "key",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("simhash").alias("sig_b"),
+        F.col("band").alias("band_b"), F.col("key").alias("key_b"),
+    )
+    candidates = (
+        a.join(
+            b,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("key") == F.col("key_b"))
+            & (F.col("doc_id_a") < F.col("doc_id_b")),
+        )
+        .select("doc_id_a", "sig_a", "doc_id_b", "sig_b")
+        .distinct()
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            F.split(F.col("sig_a"), ""),
+            F.split(F.col("sig_b"), ""),
+            lambda x, y: F.when(x != y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda s, x: s + x,
+    ).cast("int")
+    return (
+        candidates.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("doc_id_a", "doc_id_b", "hamming")
+    )
