@@ -13,6 +13,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from csv_parquet_s3_spark.operators.dedup import (
+    _ORACLE_BANDS as _BAND_CTES,
+    _ORACLE_PAIR_CTES as _PAIR_CTES,
+    _ORACLE_SHINGLES as _SHINGLE_CTES,
+)
 from csv_parquet_s3_spark.operators.registry import register
 from csv_parquet_s3_spark.sources.tables import load_table
 
@@ -298,4 +303,104 @@ def dedup_embedding_ivf_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id_a", "vec_id_b", F.round(cos, 6).cast("double").alias("cos_sim")
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-modality agreement: do text near-dups and embedding near-dups find
+# the same pairs? The pipeline-quality dashboard number for dedup tuning.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_modality_agreement",
+    oracle=f"""
+    WITH {_SHINGLE_CTES},
+    {_BAND_CTES},
+    {_PAIR_CTES},
+    e AS (
+        SELECT vec_id, embedding, {_NORM.format(v='embedding')} AS nrm
+        FROM embeddings WHERE vec_id < {MAX_VEC_ID}
+    ),
+    epairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE {_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm)
+              >= {COSINE_DUP_THRESHOLD}
+    ),
+    tpairs AS (SELECT doc_id_a AS id_a, doc_id_b AS id_b FROM lsh_pairs),
+    merged AS (
+        SELECT COALESCE(t.id_a, ep.id_a) AS id_a,
+               t.id_a IS NOT NULL AS in_text,
+               ep.id_a IS NOT NULL AS in_embed
+        FROM tpairs t FULL OUTER JOIN epairs ep
+          ON t.id_a = ep.id_a AND t.id_b = ep.id_b
+    )
+    SELECT CAST(SUM(CASE WHEN in_text THEN 1 ELSE 0 END) AS BIGINT) AS n_text_pairs,
+           CAST(SUM(CASE WHEN in_embed THEN 1 ELSE 0 END) AS BIGINT) AS n_embed_pairs,
+           CAST(SUM(CASE WHEN in_text AND in_embed THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_both,
+           CAST(COUNT(*) AS BIGINT) AS n_union
+    FROM merged
+    """,
+)
+def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row agreement summary between the MinHash-LSH text pairs and the
+    exact embedding-cosine pairs over the same id space (documents ↔
+    embeddings are 1:1 here): how many pairs each modality finds and how
+    many both do. This is the number a pipeline owner watches when tuning
+    thresholds — high text-only counts mean boilerplate, high embed-only
+    counts mean paraphrase dups the shingles miss.
+
+    Both pair generators are the blocked/banded formulations (never n² on
+    the corpus side at scale; the embedding side here is exact over the
+    bounded test id range, as in `dedup_embedding_cosine_pairs`).
+    """
+    from csv_parquet_s3_spark.operators.dedup import (
+        _shingles,
+        signature_table,
+        verified_pairs_from_signatures,
+    )
+
+    tpairs = (
+        verified_pairs_from_signatures(signature_table(_shingles(spark, sf_dir)))
+        .select(F.col("doc_id_a").alias("id_a"), F.col("doc_id_b").alias("id_b"))
+        .withColumn("in_text", F.lit(True))
+    )
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < MAX_VEC_ID)
+    vd = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    norm = F.sqrt(
+        F.aggregate(
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    e = emb.select("vec_id", vd.alias("vd"), norm.alias("nrm"))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("vd").alias("vd_a"), F.col("nrm").alias("nrm_a"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("vd").alias("vd_b"), F.col("nrm").alias("nrm_b"))
+    cos = (
+        F.aggregate(
+            F.zip_with(F.col("vd_a"), F.col("vd_b"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        / (F.col("nrm_a") * F.col("nrm_b"))
+    )
+    epairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(cos >= COSINE_DUP_THRESHOLD)
+        .select("id_a", "id_b")
+        .withColumn("in_embed", F.lit(True))
+    )
+    merged = tpairs.join(epairs, ["id_a", "id_b"], "full_outer").select(
+        F.coalesce("in_text", F.lit(False)).alias("in_text"),
+        F.coalesce("in_embed", F.lit(False)).alias("in_embed"),
+    )
+    one = F.when
+    return merged.agg(
+        F.sum(one(F.col("in_text"), 1).otherwise(0)).cast("bigint").alias("n_text_pairs"),
+        F.sum(one(F.col("in_embed"), 1).otherwise(0)).cast("bigint").alias("n_embed_pairs"),
+        F.sum(one(F.col("in_text") & F.col("in_embed"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_both"),
+        F.count("*").cast("bigint").alias("n_union"),
     )
