@@ -24,6 +24,8 @@ from pyspark.sql import functions as F
 from csv_parquet_s3_spark.maintenance import upsert
 from csv_parquet_s3_spark.operators.registry import register
 from csv_parquet_s3_spark.operators.similarity import (
+    _ORACLE_DOT,
+    _ORACLE_NORM,
     K_LISTS,
     N_PROBE,
     N_QUERIES,
@@ -584,14 +586,96 @@ def pq_topk(
     )
 
 
-@register("sim_cosine_topk_pq")  # deterministic, but a full SQL replay of
-# per-subspace Lloyd would be disproportionate → rows-only driver check;
-# determinism + recall + ADC monotonicity are pinned in the test suite.
+# DuckDB fragment: rounded squared-L2 between two DOUBLE[] (sequential sum).
+_L2_D = (
+    "ROUND(list_sum(list_transform(range(1, len({a}) + 1),"
+    " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), 9)"
+)
+
+
+def _pq_oracle(iters: int = PQ_TRAIN_ITERS) -> str:
+    """Unrolled per-subspace Lloyd replay + ADC search — same technique as
+    the IVF trained-quantizer oracle: 9-digit rounded distances and means
+    make every argmin and the final 6-digit distance engine-portable
+    (verified exact at sf0.01 and sf0.1)."""
+    parts = [f"""
+    base AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE) /
+                   sqrt(list_sum(list_transform(embedding,
+                        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS vd
+        FROM embeddings
+    ),
+    sv AS (
+        SELECT vec_id, CAST(t.s AS BIGINT) AS sub,
+               list_transform(range(1, len(vd) // {PQ_M} + 1),
+                   i -> vd[CAST(t.s AS INT) * (len(vd) // {PQ_M}) + i]) AS sv
+        FROM base, UNNEST(range(0, {PQ_M})) AS t(s)
+    ),
+    cb0 AS (
+        SELECT sub, vec_id AS code, sv AS cv FROM sv WHERE vec_id < {PQ_K}
+    )"""]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(f"""
+    asg{t} AS (
+        SELECT sub, code, sv FROM (
+            SELECT s.sub, c.code, s.sv,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                       ORDER BY {_L2_D.format(a='s.sv', b='c.cv')} ASC, c.code) AS rn
+            FROM sv s JOIN cb{p} c ON s.sub = c.sub
+        ) z WHERE rn = 1
+    ),
+    means{t} AS (
+        SELECT sub, code, CAST(u.i AS INT) - 1 AS dim,
+               ROUND(SUM(sv[u.i]) / COUNT(*), 9) AS c
+        FROM asg{t}, UNNEST(range(1, len(sv) + 1)) AS u(i)
+        GROUP BY sub, code, dim
+    ),
+    upd{t} AS (
+        SELECT sub, code, list(c ORDER BY dim) AS cv_new
+        FROM means{t} GROUP BY sub, code
+    ),
+    cb{t} AS (
+        SELECT c.sub, c.code, COALESCE(u.cv_new, c.cv) AS cv
+        FROM cb{p} c LEFT JOIN upd{t} u ON c.sub = u.sub AND c.code = u.code
+    )""")
+    parts.append(f"""
+    codes AS (
+        SELECT vec_id AS cand_id, sub, code FROM (
+            SELECT s.vec_id, s.sub, c.code,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                       ORDER BY {_L2_D.format(a='s.sv', b='c.cv')} ASC, c.code) AS rn
+            FROM sv s JOIN cb{iters} c ON s.sub = c.sub
+        ) z WHERE rn = 1
+    ),
+    dtable AS (
+        SELECT s.vec_id AS query_id, s.sub, c.code,
+               {_L2_D.format(a='s.sv', b='c.cv')} AS d
+        FROM sv s JOIN cb{iters} c ON s.sub = c.sub
+        WHERE s.vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT dt.query_id, k.cand_id, ROUND(SUM(dt.d), 6) AS approx_dist
+        FROM codes k JOIN dtable dt ON k.sub = dt.sub AND k.code = dt.code
+        WHERE k.cand_id <> dt.query_id
+        GROUP BY dt.query_id, k.cand_id
+    )
+    SELECT query_id, cand_id, approx_dist, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY approx_dist ASC, cand_id) AS rn
+        FROM scored
+    ) t WHERE rn <= {TOP_K}""")
+    return "WITH" + ",".join(parts)
+
+
+@register("sim_cosine_topk_pq", oracle=_pq_oracle())
 def sim_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ/ADC approximate top-k end to end: train per-subspace codebooks,
     encode the corpus to M-byte codes, search via broadcast distance
     tables. The registry's memory-compressed ANN path (IVF-PQ's other
-    half next to `sim_cosine_topk_ivf_trained`)."""
+    half next to `sim_cosine_topk_ivf_trained`); hash-checked against an
+    unrolled per-subspace-Lloyd SQL oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
     books = train_pq_codebooks(spark, emb)
     codes = pq_encode(emb, books)
@@ -599,8 +683,63 @@ def sim_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(queries, codes, books)
 
 
-@register("sim_cosine_topk_ivf_pq")  # composition is deterministic; rows-only
-# at the driver (see sim_cosine_topk_pq) — structure pinned in tests.
+def _ivf_pq_oracle(iters: int = PQ_TRAIN_ITERS) -> str:
+    """The PQ oracle with the coarse-probe candidate restriction composed
+    in: same seed-centroid assignment CTEs as the ivf_probe oracle, and
+    scoring joins only (query, candidate) pairs from probed lists."""
+    pq = _pq_oracle(iters)
+    head, tail = pq.rsplit("    SELECT query_id, cand_id, approx_dist, rn FROM (", 1)
+    # the PQ `scored` CTE is replaced by a candidate-restricted variant
+    head = head.replace(
+        """    scored AS (
+        SELECT dt.query_id, k.cand_id, ROUND(SUM(dt.d), 6) AS approx_dist
+        FROM codes k JOIN dtable dt ON k.sub = dt.sub AND k.code = dt.code
+        WHERE k.cand_id <> dt.query_id
+        GROUP BY dt.query_id, k.cand_id
+    )""",
+        f"""    cent AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS list_id,
+               embedding AS cv, {_ORACLE_NORM.format(v='embedding')} AS cnorm
+        FROM embeddings
+        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + K_LISTS}
+    ),
+    coarse AS (
+        SELECT vec_id, list_id FROM (
+            SELECT e.vec_id, c.list_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY CAST(ROUND({_ORACLE_DOT.format(a='e.embedding', b='c.cv')}
+                                / ({_ORACLE_NORM.format(v='e.embedding')} * c.cnorm), 6)
+                                AS DOUBLE) DESC, c.list_id) AS rn
+            FROM embeddings e, cent c
+        ) z WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, list_id FROM (
+            SELECT e.vec_id, c.list_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY CAST(ROUND({_ORACLE_DOT.format(a='e.embedding', b='c.cv')}
+                                / ({_ORACLE_NORM.format(v='e.embedding')} * c.cnorm), 6)
+                                AS DOUBLE) DESC, c.list_id) AS rn
+            FROM embeddings e, cent c WHERE e.vec_id < {N_QUERIES}
+        ) z WHERE rn <= {N_PROBE}
+    ),
+    cand AS (
+        SELECT DISTINCT p.query_id, a.vec_id AS cand_id
+        FROM probes p JOIN coarse a ON a.list_id = p.list_id
+    ),
+    scored AS (
+        SELECT dt.query_id, k.cand_id, ROUND(SUM(dt.d), 6) AS approx_dist
+        FROM codes k
+        JOIN dtable dt ON k.sub = dt.sub AND k.code = dt.code
+        JOIN cand ON cand.query_id = dt.query_id AND cand.cand_id = k.cand_id
+        WHERE k.cand_id <> dt.query_id
+        GROUP BY dt.query_id, k.cand_id
+    )""",
+    )
+    return head + "    SELECT query_id, cand_id, approx_dist, rn FROM (" + tail
+
+
+@register("sim_cosine_topk_ivf_pq", oracle=_ivf_pq_oracle())
 def sim_cosine_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF×PQ — the canonical billion-scale ANN recipe in one query: the
     coarse quantizer prunes each search to its nprobe nearest inverted
