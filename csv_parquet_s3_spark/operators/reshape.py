@@ -714,3 +714,77 @@ def q_events_error_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(
         (F.col("n_errors") > 2.0 * F.col("baseline")) & (F.col("n_errors") >= 3)
     ).select("hour_start", "n_errors", F.round("baseline", 6).cast("double").alias("baseline"))
+
+
+# ---------------------------------------------------------------------------
+# Association mining: event-type co-occurrence with support and lift.
+# ---------------------------------------------------------------------------
+@register(
+    "q_event_type_affinity",
+    oracle="""
+    WITH per_user AS (
+        SELECT DISTINCT user_id, event_type FROM events
+    ),
+    totals AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM events),
+    singles AS (
+        SELECT event_type, COUNT(*) AS n FROM per_user GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_both
+        FROM per_user a JOIN per_user b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.type_a, p.type_b, p.n_both,
+           CAST(p.n_both AS DOUBLE) / t.n_users AS support,
+           CAST(ROUND(CAST(p.n_both AS DOUBLE) * t.n_users
+                      / (sa.n * CAST(sb.n AS DOUBLE)), 6) AS DOUBLE) AS lift
+    FROM pairs p
+    JOIN singles sa ON sa.event_type = p.type_a
+    JOIN singles sb ON sb.event_type = p.type_b
+    CROSS JOIN totals t
+    """,
+)
+def q_event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity over event types: for every type pair, the
+    users exhibiting both, the pair support, and the lift vs independence —
+    the association-mining shape (frequent itemsets at itemset size 2).
+
+    Scale shape: one distinct projection (user, type) — the "basket"
+    relation — then a self-join keyed on user_id whose volume is
+    Σ types-per-user², bounded by the (small) type vocabulary, never by
+    users². Single-division doubles keep the oracle exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.select("user_id", "event_type").distinct()
+    n_users = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    singles = per_user.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = per_user.select(F.col("user_id"), F.col("event_type").alias("type_a"))
+    b = per_user.select(F.col("user_id"), F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    sa = singles.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = singles.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            (F.col("n_both").cast("double") / F.col("n_users")).alias("support"),
+            F.round(
+                F.col("n_both").cast("double")
+                * F.col("n_users")
+                / (F.col("n_a") * F.col("n_b").cast("double")),
+                6,
+            )
+            .cast("double")
+            .alias("lift"),
+        )
+    )
