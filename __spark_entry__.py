@@ -42,67 +42,62 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-robin verification window (see PARITY.md "Driver verification
 # rotation"): the driver's correctness check covers the FIRST 50 entries of
 # queries(), so each round the entries still lacking a green driver row are
-# listed first. Round 1 verified 50 queries (CORRECTNESS_r01.json); round 2
-# front-loads the 46 entries that fell outside that window, the repaired
-# mm_byte_histogram_features, the newly oracle-backed q_events_user_ewma,
-# and the two new index-lifecycle queries.
+# listed first. Rounds 1+2 verified 96 distinct queries hash-green; round 3
+# front-loads the 14 entries still lacking a driver row (12 mid-r02 additions
+# plus dedup_cluster_components / mm_frame_samples whose r01 rows predate
+# their oracles, and the inherently rows-only q_approx_sketches), then
+# re-pins the oldest r01 greens (see PARITY.md re-pin schedule).
 VERIFY_PRIORITY: list[str] = [
-    # tpch_ext (16) — unchecked in r01
-    "q02_cheapest_supplier_per_part",
-    "q07_nation_trade_volume",
-    "q08_market_share",
-    "q09_profit_by_nation_year",
-    "q11_brand_value_concentration",
-    "q12_priority_by_returnflag",
-    "q13_order_count_distribution",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q16_supplier_diversity",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q19_disjunctive_revenue",
-    "q20_bulk_small_part_suppliers",
-    "q21_last_shipper_counts",
-    "q22_idle_rich_customers",
-    # similarity (5) — unchecked in r01
-    "sim_cosine_topk_bruteforce",
-    "sim_cosine_topk_ivf_label",
-    "sim_cosine_topk_ivf_probe",
-    "sim_label_centroid_distance",
-    "sim_cosine_topk_vectorized",
-    # textstats (8) — unchecked in r01
-    "text_token_counts",
-    "text_doc_stats",
-    "text_langid_heuristic",
-    "text_fingerprint",
-    "text_lang_distribution",
-    "text_langid_ngram",
-    "text_feature_hash_embedding",
-    "text_tfidf_top_terms",
-    # reshape (15 of 18) — unchecked in r01
-    "q_window_value_functions",
-    "q_string_agg_statuses",
-    "q_events_hourly_gapfill",
-    "q_events_weekly_retention",
-    "q_order_value_histogram",
-    "q_revenue_month_over_month",
-    "q_supplier_balance_zscore",
-    "q_priority_share_of_total",
-    "q_part_size_price_correlation",
-    "q_customer_value_deciles",
-    "q_events_dau_wau_stickiness",
-    "q_customer_reorder_gaps",
-    "q_user_journey_paths",
-    "q_supplier_balance_mad",
-    "q_events_error_spikes",
-    # sampling (2) — unchecked in r01
-    "split_documents_train_test",
-    "sample_documents_stratified",
-    # repaired / upgraded / new this round (4)
-    "mm_byte_histogram_features",
-    "q_events_user_ewma",
-    "sim_cosine_topk_ivf_trained",
-    "dedup_minhash_incremental",
+    "q_kmv_distinct_users",
+    "q_kmv_cohort_overlap",
+    "dedup_simhash_hamming_pairs",
+    "dedup_embedding_ivf_blocked",
+    "dedup_modality_agreement",
+    "q_event_type_affinity",
+    "sim_cosine_topk_pq",
+    "sim_cosine_topk_ivf_pq",
+    "text_repetition_ratio",
+    "text_benchmark_contamination",
+    "pii_redact_customers",
+    "text_bpe_token_stats",
+    "dedup_cluster_components",
+    "mm_frame_samples",
+    "q_approx_sketches",
+    "q_asof_error_to_purchase",
+    "q_range_join_price_bands",
+    "q_order_value_quantiles",
+    "q_grouping_sets_revenue",
+    "dedup_exact_documents",
+    "dedup_keep_first_events",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_signatures",
+    "dedup_simhash_buckets",
+    "mm_payload_stats",
+    "dedup_embedding_cosine_pairs",
+    "dedup_ngram_jaccard_blocked",
+    "q01_pricing_summary",
+    "q03_top_unshipped",
+    "q04_order_priority",
+    "q05_regional_revenue",
+    "q06_forecast_revenue",
+    "q10_top_customers",
+    "q_semi_customers_with_open_orders",
+    "q_anti_customers_without_open_orders",
+    "q_window_top3_parts_per_brand",
+    "q_window_supplier_rank",
+    "q_window_running_revenue",
+    "q_rollup_revenue",
+    "q_cube_order_status",
+    "q_pivot_revenue_by_status",
+    "q_union_active_parties",
+    "q_except_only_open_customers",
+    "q_intersect_both_status_customers",
+    "q_distinct_agg",
+    "q_filter_predicates",
+    "q_topk_orders_by_value",
+    "q_scalar_string_funcs",
+    "q_scalar_date_math_funcs",
+    "q_events_hourly",
 ]
 
 

@@ -407,15 +407,21 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume tracks signature collisions, never n² — the standard web-scale
     SimHash dedup shape.
     """
-    sigs = dedup_simhash_signatures(spark, sf_dir).persist()
-    bands = None
-    for bi, (st, ln) in enumerate(_H_BANDS):
-        part = sigs.select(
-            "doc_id", "simhash",
+    # One scan, no cache: explode each signature into its band keys instead
+    # of unioning three scans (r02 used persist() here and leaked the cache).
+    sigs = dedup_simhash_signatures(spark, sf_dir)
+    band_structs = F.array(*[
+        F.struct(
             F.lit(bi).alias("band"),
             F.substring("simhash", st, ln).alias("key"),
         )
-        bands = part if bands is None else bands.unionByName(part)
+        for bi, (st, ln) in enumerate(_H_BANDS)
+    ])
+    bands = (
+        sigs.select("doc_id", "simhash", F.explode(band_structs).alias("bk"))
+        .select("doc_id", "simhash", F.col("bk.band").alias("band"),
+                F.col("bk.key").alias("key"))
+    )
     a = bands.select(
         F.col("doc_id").alias("doc_id_a"), F.col("simhash").alias("sig_a"),
         "band", "key",

@@ -690,6 +690,7 @@ def _ivf_pq_oracle(iters: int = PQ_TRAIN_ITERS) -> str:
     pq = _pq_oracle(iters)
     head, tail = pq.rsplit("    SELECT query_id, cand_id, approx_dist, rn FROM (", 1)
     # the PQ `scored` CTE is replaced by a candidate-restricted variant
+    unreplaced = head
     head = head.replace(
         """    scored AS (
         SELECT dt.query_id, k.cand_id, ROUND(SUM(dt.d), 6) AS approx_dist
@@ -736,6 +737,9 @@ def _ivf_pq_oracle(iters: int = PQ_TRAIN_ITERS) -> str:
         GROUP BY dt.query_id, k.cand_id
     )""",
     )
+    # If _pq_oracle's `scored` CTE text drifts, replace() silently no-ops and
+    # the composed oracle loses its candidate restriction — fail loudly instead.
+    assert head != unreplaced, "_ivf_pq_oracle: PQ `scored` CTE not found; oracle text drifted"
     return head + "    SELECT query_id, cand_id, approx_dist, rn FROM (" + tail
 
 

@@ -188,6 +188,8 @@ def user_lifetime_totals_tws(
             SpendMonitor(),
             outputStructType=OUTPUT_SCHEMA,
             outputMode="Update",
-            timeMode="None",
+            # Spark only honours state TTL in ProcessingTime mode; with
+            # timeMode="None" a non-None ttl raises at runtime.
+            timeMode="ProcessingTime" if ttl_ms is not None else "None",
         )
     )
