@@ -2,17 +2,21 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
 
-Per-query timing measures full plan execution: the result is consumed with a
-count-style action (``df.count()`` would let Catalyst prune aggregates, so we
-use ``df.foreach-free collect of agg(count)`` via ``df.toLocalIterator`` —
-no: we materialize with ``df.write.format("noop")``, Spark's sink that
-executes the whole plan without writing, exactly what a benchmark wants).
+Per-query timing measures full plan execution by materializing with
+``df.write.format("noop")`` — Spark's sink that executes the whole plan
+without writing (a ``count()`` would let Catalyst prune columns/aggregates).
+
+Each query runs ``SPARK_GRAFT_BENCH_REPS`` times (default 3) and the headline
+number is the per-query MEDIAN; all raw runs are kept in the JSON under
+``"runs"`` so a reviewer can separate drift from noise (a single cold run
+cannot — the r02→r03 ±5% swings were indistinguishable from JVM jitter).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -21,7 +25,10 @@ if REPO_DIR not in sys.path:
     sys.path.insert(0, REPO_DIR)
 
 # Headline set: one per operator family, weighted toward the scale-relevant
-# shapes (fact-fact joins, windows, LSH, vector search).
+# shapes (fact-fact joins, windows, LSH, vector search). r04 swapped the two
+# cheapest map-only entries (text_token_counts, mm_payload_stats) for the two
+# most scale-relevant r02 additions: the composed IVF×PQ ANN search and the
+# Gopher-style repetition filter.
 HEADLINE = [
     "q01_pricing_summary",
     "q03_top_unshipped",
@@ -41,13 +48,14 @@ HEADLINE = [
     "dedup_embedding_cosine_pairs",
     "sim_cosine_topk_bruteforce",
     "q_asof_error_to_purchase",
-    "text_token_counts",
-    "mm_payload_stats",
+    "sim_cosine_topk_ivf_pq",
+    "text_repetition_ratio",
 ]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     from csv_parquet_s3_spark.operators import QUERIES
     from csv_parquet_s3_spark.session import get_spark
 
@@ -61,27 +69,28 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
 
-    # SPARK_GRAFT_BENCH_WARM=1 → time the second run of each query (steady-
-    # state plan execution, codegen amortized). Default is cold (first run),
-    # which is what the driver records.
-    warm = os.environ.get("SPARK_GRAFT_BENCH_WARM") == "1"
-    timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        if warm:
+        per_run: list[float] = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+            per_run.append(round(time.perf_counter() - t0, 4))
+        runs[name] = per_run
+        medians[name] = round(statistics.median(per_run), 4)
 
-    total = round(sum(timings.values()), 4)
+    total = round(sum(medians.values()), 4)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": medians,
+                "runs": runs,
+                "reps": reps,
                 "sf": float(sf_label) if sf_label.replace(".", "").isdigit() else sf_label,
             }
         )

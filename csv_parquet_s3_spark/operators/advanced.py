@@ -191,7 +191,9 @@ def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # KMV distinct-count sketch: a portable, EXACTLY-reproducible sketch.
 # ---------------------------------------------------------------------------
-KMV_K = 64
+# k=256 keeps the sketch trivially small but halves the ~1/sqrt(k) estimator
+# error vs the original k=64 (±20-30% observed at sf0.1 → ~±10%).
+KMV_K = 256
 
 # First 8 hex chars of md5 as an integer in [0, 16^8), same arithmetic text
 # in Spark SQL and DuckDB (neither needs a hex→int cast).

@@ -42,15 +42,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark has no type for.
-        # Read the raw int64 nanos (legacy conf) and integer-divide to micros
-        # — exact, matching DuckDB's nanos→micros truncation on read.
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) (no Spark type —
+        # read raw int64 nanos via the legacy conf and divide to micros) and,
+        # since the 2026-08 regeneration, as plain timestamp[us] with no
+        # timezone (reads as TIMESTAMP_NTZ). Normalize both to TIMESTAMP
+        # (LTZ): with the session timezone pinned to UTC the NTZ→LTZ cast is
+        # wall-clock-identity and matches DuckDB's naive read exactly.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
             )
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(table_path(sf_dir, name))
 

@@ -38,7 +38,10 @@ def test_priority_entries_are_oracle_backed_where_possible():
     rows-only ones must carry an oracle (hash check, not rows-only)."""
     m = _entry_module()
     oracles = m.oracle_sql()
-    rows_only_by_design = set()
+    # q_approx_sketches is inherently rows-only (engine-specific HLL/quantile
+    # estimates have no DuckDB-replayable oracle); its estimates are instead
+    # property-pinned within theoretical error bounds in tests/.
+    rows_only_by_design = {"q_approx_sketches"}
     missing = [
         n for n in m.VERIFY_PRIORITY if n not in oracles and n not in rows_only_by_design
     ]
