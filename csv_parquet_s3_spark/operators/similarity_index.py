@@ -453,17 +453,26 @@ PQ_K = 16         # codes per subspace codebook
 PQ_TRAIN_ITERS = 3
 
 
-def _subvectors(vectors: DataFrame, m: int = PQ_M) -> DataFrame:
-    """(vec_id, sub, sv): split each UNIT-NORMALIZED vector into m
-    contiguous subvectors. Normalizing first makes squared-L2 ADC ordering
-    agree with cosine ordering (||a-b||² = 2 - 2·cos on the unit sphere),
-    so PQ search approximates the same ranking the exact operators use."""
-    emb = _with_norm(vectors).select(
+def _unit(vectors: DataFrame) -> DataFrame:
+    """(vec_id, vd): unit-normalized double vectors. On the unit sphere
+    squared-L2 ordering agrees with cosine ordering (||a-b||² = 2 - 2·cos),
+    so L2-based PQ search approximates the same ranking the exact cosine
+    operators use."""
+    return _with_norm(vectors).select(
         "vec_id",
         F.expr("transform(vd, x -> x / norm)").alias("vd"),
     )
-    return emb.select(
-        "vec_id",
+
+
+def _slice_subvectors(
+    df: DataFrame, m: int = PQ_M, keys: tuple[str, ...] = ("vec_id",)
+) -> DataFrame:
+    """(*keys, sub, sv) from an already-prepared (*keys, vd) frame — the
+    shared slicing step for plain (unit-vector) and residual PQ. ``keys``
+    widens to (query_id, list_id) for the residual query side, where each
+    probed list gets its own residual."""
+    return df.select(
+        *keys,
         F.explode(
             F.expr(
                 f"transform(sequence(0, {m - 1}),"
@@ -471,7 +480,13 @@ def _subvectors(vectors: DataFrame, m: int = PQ_M) -> DataFrame:
                 f" size(vd) div {m}) AS sv))"
             )
         ).alias("e"),
-    ).select("vec_id", F.col("e.sub").alias("sub"), F.col("e.sv").alias("sv"))
+    ).select(*keys, F.col("e.sub").alias("sub"), F.col("e.sv").alias("sv"))
+
+
+def _subvectors(vectors: DataFrame, m: int = PQ_M) -> DataFrame:
+    """(vec_id, sub, sv): split each UNIT-NORMALIZED vector into m
+    contiguous subvectors."""
+    return _slice_subvectors(_unit(vectors), m)
 
 
 def _l2sq(a, b) -> F.Column:
@@ -493,8 +508,22 @@ def train_pq_codebooks(
     """Per-subspace k-means codebooks (sub, code, cv): Lloyd over the
     subvector population of each subspace, deterministic seeds (lowest
     PQ_K vec_ids), per-dim means rounded like the IVF quantizer."""
-    sv = _subvectors(vectors).persist()
-    seeds = sv.filter(F.col("vec_id") < PQ_K).select(
+    return _train_codebooks_sv(_subvectors(vectors), iters)
+
+
+def _train_codebooks_sv(
+    subvectors: DataFrame,
+    iters: int = PQ_TRAIN_ITERS,
+    seed_range: tuple[int, int] = (0, PQ_K),
+) -> DataFrame:
+    """Lloyd core over a prepared (vec_id, sub, sv) frame — shared by the
+    unit-vector and residual PQ paths. ``seed_range`` picks the [lo, hi)
+    vec_ids whose subvectors seed the codebooks: the residual path must NOT
+    seed from the coarse-centroid vectors (their residuals are ~0, which
+    collapses half the initial codebook onto the origin)."""
+    lo, hi = seed_range
+    sv = subvectors.persist()
+    seeds = sv.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)).select(
         "sub", F.col("vec_id").cast("bigint").alias("code"), F.col("sv").alias("cv")
     ).localCheckpoint(eager=True)
     cent = seeds
@@ -532,7 +561,10 @@ def train_pq_codebooks(
 def pq_encode(vectors: DataFrame, codebooks: DataFrame) -> DataFrame:
     """(vec_id, sub, code): nearest codebook entry per subspace — the
     compressed representation (M small ints per vector)."""
-    sv = _subvectors(vectors)
+    return _encode_sv(_subvectors(vectors), codebooks)
+
+
+def _encode_sv(sv: DataFrame, codebooks: DataFrame) -> DataFrame:
     w = W.partitionBy("vec_id", "sub").orderBy(F.asc("d"), F.asc("code"))
     return (
         sv.join(F.broadcast(codebooks), "sub")
@@ -593,27 +625,16 @@ _L2_D = (
 )
 
 
-def _pq_oracle(iters: int = PQ_TRAIN_ITERS) -> str:
-    """Unrolled per-subspace Lloyd replay + ADC search — same technique as
-    the IVF trained-quantizer oracle: 9-digit rounded distances and means
-    make every argmin and the final 6-digit distance engine-portable
-    (verified exact at sf0.01 and sf0.1)."""
+def _lloyd_cte_parts(iters: int, seed_where: str | None = None) -> list[str]:
+    """The unrolled per-subspace Lloyd CTEs (asg{{t}}/means{{t}}/upd{{t}}/
+    cb{{t}}) plus the final ``codes`` encoding CTE. Generic over whatever
+    the preceding ``sv`` CTE holds — unit subvectors for plain PQ, residual
+    subvectors for the residual variant (which also overrides the codebook
+    seed predicate to match its shifted seed range)."""
+    seed_where = seed_where or f"vec_id < {PQ_K}"
     parts = [f"""
-    base AS (
-        SELECT vec_id,
-               list_transform(embedding, x -> CAST(x AS DOUBLE) /
-                   sqrt(list_sum(list_transform(embedding,
-                        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS vd
-        FROM embeddings
-    ),
-    sv AS (
-        SELECT vec_id, CAST(t.s AS BIGINT) AS sub,
-               list_transform(range(1, len(vd) // {PQ_M} + 1),
-                   i -> vd[CAST(t.s AS INT) * (len(vd) // {PQ_M}) + i]) AS sv
-        FROM base, UNNEST(range(0, {PQ_M})) AS t(s)
-    ),
     cb0 AS (
-        SELECT sub, vec_id AS code, sv AS cv FROM sv WHERE vec_id < {PQ_K}
+        SELECT sub, vec_id AS code, sv AS cv FROM sv WHERE {seed_where}
     )"""]
     for t in range(1, iters + 1):
         p = t - 1
@@ -648,7 +669,40 @@ def _pq_oracle(iters: int = PQ_TRAIN_ITERS) -> str:
                        ORDER BY {_L2_D.format(a='s.sv', b='c.cv')} ASC, c.code) AS rn
             FROM sv s JOIN cb{iters} c ON s.sub = c.sub
         ) z WHERE rn = 1
+    )""")
+    return parts
+
+
+# Final ranking, shared by every PQ-family oracle.
+_TOPK_TAIL = f"""
+    SELECT query_id, cand_id, approx_dist, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY approx_dist ASC, cand_id) AS rn
+        FROM scored
+    ) t WHERE rn <= {TOP_K}"""
+
+
+def _pq_oracle(iters: int = PQ_TRAIN_ITERS) -> str:
+    """Unrolled per-subspace Lloyd replay + ADC search — same technique as
+    the IVF trained-quantizer oracle: 9-digit rounded distances and means
+    make every argmin and the final 6-digit distance engine-portable
+    (verified exact at sf0.01 and sf0.1)."""
+    parts = [f"""
+    base AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE) /
+                   sqrt(list_sum(list_transform(embedding,
+                        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS vd
+        FROM embeddings
     ),
+    sv AS (
+        SELECT vec_id, CAST(t.s AS BIGINT) AS sub,
+               list_transform(range(1, len(vd) // {PQ_M} + 1),
+                   i -> vd[CAST(t.s AS INT) * (len(vd) // {PQ_M}) + i]) AS sv
+        FROM base, UNNEST(range(0, {PQ_M})) AS t(s)
+    )"""]
+    parts.extend(_lloyd_cte_parts(iters))
+    parts.append(f"""
     dtable AS (
         SELECT s.vec_id AS query_id, s.sub, c.code,
                {_L2_D.format(a='s.sv', b='c.cv')} AS d
@@ -660,12 +714,7 @@ def _pq_oracle(iters: int = PQ_TRAIN_ITERS) -> str:
         FROM codes k JOIN dtable dt ON k.sub = dt.sub AND k.code = dt.code
         WHERE k.cand_id <> dt.query_id
         GROUP BY dt.query_id, k.cand_id
-    )
-    SELECT query_id, cand_id, approx_dist, rn FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                   ORDER BY approx_dist ASC, cand_id) AS rn
-        FROM scored
-    ) t WHERE rn <= {TOP_K}""")
+    )""" + _TOPK_TAIL)
     return "WITH" + ",".join(parts)
 
 
@@ -784,3 +833,203 @@ def sim_cosine_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = pq_encode(emb, books)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return pq_topk(queries, codes, books, candidates=candidates)
+
+
+# ---------------------------------------------------------------------------
+# IVF×PQ with RESIDUAL encoding (Jégou et al., TPAMI'11 §IV): quantize
+# r = v − c(v) instead of v. Residuals concentrate near the origin once the
+# coarse quantizer has absorbed the between-cluster variance, so the same
+# M×PQ_K codebook budget spends its resolution on within-cluster detail —
+# the standard recall lift of production IVF-PQ systems. The query side
+# builds one ADC table per PROBED LIST (q − c_l), not one per query.
+# ---------------------------------------------------------------------------
+
+
+def _residual_frames(
+    spark: SparkSession,
+    emb: DataFrame,
+    k_lists: int = K_LISTS,
+    n_probe: int = N_PROBE,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(assign, resid_sv, probes): coarse assignment over UNIT vectors with
+    unit seed centroids, per-vector residual subvectors, and the per-query
+    probe set carrying each probed centroid (for query-side residuals)."""
+    u = _unit(emb)
+    cent = u.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + k_lists)
+    ).select(
+        F.dense_rank().over(W.orderBy("vec_id")).cast("bigint").alias("list_id"),
+        F.col("vd").alias("cv"),
+    )
+    sim = F.round(_dot(F.col("vd"), F.col("cv")), 6).cast("double")
+    wv = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("list_id"))
+    assign = (
+        u.crossJoin(F.broadcast(cent))
+        .withColumn("sim", sim)
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "list_id", "vd", "cv")
+    )
+    resid_sv = _slice_subvectors(
+        assign.select(
+            "vec_id",
+            F.zip_with("vd", "cv", lambda x, y: F.round(x - y, 9)).alias("vd"),
+        )
+    )
+    probes = (
+        u.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cent))
+        .withColumn("sim", sim)
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") <= n_probe)
+        .select(F.col("vec_id").alias("query_id"), "list_id", "vd", "cv")
+    )
+    return assign, resid_sv, probes
+
+
+def _ivf_pq_residual_oracle(iters: int = PQ_TRAIN_ITERS) -> str:
+    """Residual IVF×PQ replay: unit vectors, unit seed centroids, 9-digit
+    rounded residuals, the shared unrolled-Lloyd codebook CTEs over the
+    residual subvectors, and per-(query, probed-list) ADC tables."""
+    dot = f"CAST(ROUND({_DOT_D.format(a='b.vd', b='c.cv')}, 6) AS DOUBLE)"
+    parts = [f"""
+    base AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE) /
+                   sqrt(list_sum(list_transform(embedding,
+                        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS vd
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS list_id, vd AS cv
+        FROM base
+        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + K_LISTS}
+    ),
+    asg AS (
+        SELECT vec_id, list_id, vd, cv FROM (
+            SELECT b.vec_id, c.list_id, b.vd, c.cv,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                       ORDER BY {dot} DESC, c.list_id) AS rn
+            FROM base b, cent c
+        ) z WHERE rn = 1
+    ),
+    resid AS (
+        SELECT vec_id,
+               list_transform(range(1, len(vd) + 1),
+                   i -> ROUND(vd[i] - cv[i], 9)) AS rv
+        FROM asg
+    ),
+    sv AS (
+        SELECT vec_id, CAST(t.s AS BIGINT) AS sub,
+               list_transform(range(1, len(rv) // {PQ_M} + 1),
+                   i -> rv[CAST(t.s AS INT) * (len(rv) // {PQ_M}) + i]) AS sv
+        FROM resid, UNNEST(range(0, {PQ_M})) AS t(s)
+    )"""]
+    parts.extend(
+        _lloyd_cte_parts(
+            iters,
+            seed_where=(
+                f"vec_id >= {N_QUERIES + K_LISTS}"
+                f" AND vec_id < {N_QUERIES + K_LISTS + PQ_K}"
+            ),
+        )
+    )
+    parts.append(f"""
+    probes AS (
+        SELECT vec_id AS query_id, list_id, vd, cv FROM (
+            SELECT b.vec_id, c.list_id, b.vd, c.cv,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                       ORDER BY {dot} DESC, c.list_id) AS rn
+            FROM base b, cent c WHERE b.vec_id < {N_QUERIES}
+        ) z WHERE rn <= {N_PROBE}
+    ),
+    qsv AS (
+        SELECT query_id, list_id, CAST(t.s AS BIGINT) AS sub,
+               list_transform(range(1, len(rv) // {PQ_M} + 1),
+                   i -> rv[CAST(t.s AS INT) * (len(rv) // {PQ_M}) + i]) AS sv
+        FROM (
+            SELECT query_id, list_id,
+                   list_transform(range(1, len(vd) + 1),
+                       i -> ROUND(vd[i] - cv[i], 9)) AS rv
+            FROM probes
+        ) qr, UNNEST(range(0, {PQ_M})) AS t(s)
+    ),
+    dtable AS (
+        SELECT q.query_id, q.list_id, q.sub, c.code,
+               {_L2_D.format(a='q.sv', b='c.cv')} AS d
+        FROM qsv q JOIN cb{iters} c ON q.sub = c.sub
+    ),
+    cand AS (
+        SELECT p.query_id, p.list_id, a.vec_id AS cand_id
+        FROM probes p JOIN asg a ON a.list_id = p.list_id
+        WHERE a.vec_id <> p.query_id
+    ),
+    scored AS (
+        SELECT dt.query_id, cand.cand_id, ROUND(SUM(dt.d), 6) AS approx_dist
+        FROM cand
+        JOIN codes k ON k.cand_id = cand.cand_id
+        JOIN dtable dt ON dt.query_id = cand.query_id
+                      AND dt.list_id = cand.list_id
+                      AND dt.sub = k.sub AND dt.code = k.code
+        GROUP BY dt.query_id, cand.cand_id
+    )""" + _TOPK_TAIL)
+    return "WITH" + ",".join(parts)
+
+
+@register("sim_cosine_topk_ivf_pq_residual", oracle=_ivf_pq_residual_oracle())
+def sim_cosine_topk_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ with residual encoding end to end: coarse-assign every vector
+    (unit sphere, seed centroids), train per-subspace codebooks on the
+    RESIDUALS r = u − c(u), encode, then ADC-rank each query's probed lists
+    with a per-(query, list) distance table built from q − c_l. Same
+    deterministic discipline as the other trained-index queries (9-digit
+    rounded means/distances, id tie-breaks) → exact SQL-oracle replay.
+    Recall advantage over non-residual PQ on clustered data is pinned in
+    tests/test_similarity_index.py (planted-cluster fixture)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_residual_topk(spark, emb)
+
+
+def ivf_pq_residual_topk(
+    spark: SparkSession,
+    emb: DataFrame,
+    k_lists: int = K_LISTS,
+    n_probe: int = N_PROBE,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Residual IVF×PQ core over any (vec_id, embedding) frame."""
+    assign, resid_sv, probes = _residual_frames(spark, emb, k_lists, n_probe)
+
+    books = _train_codebooks_sv(
+        resid_sv,
+        seed_range=(N_QUERIES + k_lists, N_QUERIES + k_lists + PQ_K),
+    )
+    codes = _encode_sv(resid_sv, books)
+
+    # per-(query, probed-list) residual subvectors → ADC distance table
+    q_rsv = _slice_subvectors(
+        probes.select(
+            "query_id",
+            "list_id",
+            F.zip_with("vd", "cv", lambda x, y: F.round(x - y, 9)).alias("vd"),
+        ),
+        keys=("query_id", "list_id"),
+    ).withColumnRenamed("sv", "qsv")
+    dtable = q_rsv.join(F.broadcast(books), "sub").select(
+        "query_id", "list_id", "sub", "code", _l2sq(F.col("qsv"), F.col("cv")).alias("d")
+    )
+
+    cand = probes.select("query_id", "list_id").join(
+        assign.select(F.col("vec_id").alias("cand_id"), "list_id"), "list_id"
+    )
+    scored = (
+        cand.filter(F.col("cand_id") != F.col("query_id"))
+        .join(codes.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+        .join(dtable, ["query_id", "list_id", "sub", "code"])
+        .groupBy("query_id", "cand_id")
+        .agg(F.round(F.sum("d"), 6).alias("approx_dist"))
+    )
+    wk = W.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("cand_id"))
+    return scored.select("*", F.row_number().over(wk).alias("rn")).filter(
+        F.col("rn") <= k
+    )

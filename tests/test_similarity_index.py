@@ -280,3 +280,107 @@ def test_ivf_pq_composition_prunes_to_probed_lists(spark):
 
     got2 = {(r.query_id, r.cand_id, r.rn) for r in sim_cosine_topk_ivf_pq(spark, SF).collect()}
     assert got2 == {(r.query_id, r.cand_id, r.rn) for r in got}
+
+
+# ---------------------------------------------------------------------------
+# Residual IVF×PQ (Jégou et al., TPAMI'11 §IV): on clustered data the
+# residuals r = u − c(u) carry less variance than the raw vectors, so the
+# same codebook budget quantizes them strictly better, and ADC search over
+# residual codes must not lose recall vs plain-PQ codes at an identical
+# candidate restriction. The planted-cluster fixture is fully deterministic
+# (fixed numpy seed + deterministic Lloyd), so these pins are stable.
+# The margin GROWS with #cells/codebook-size; at the test's toy budget
+# (16 codes, 40 cells) recall parity + strictly lower MSE is the honest pin.
+# ---------------------------------------------------------------------------
+
+
+def _planted_cluster_embeddings(spark, k_clusters=40, n=600, noise=0.03):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim = 64
+    centers = rng.normal(size=(k_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    cl = np.array([i % k_clusters for i in range(n)])
+    # one coarse seed per cluster (vec_id N_QUERIES..N_QUERIES+k)
+    cl[N_QUERIES : N_QUERIES + k_clusters] = np.arange(k_clusters)
+    V = centers[cl] + noise * rng.normal(size=(n, dim))
+    U = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = U @ U.T
+    np.fill_diagonal(S, -2)
+    exact = {q: set(np.argsort(-S[q])[:10]) for q in range(N_QUERIES)}
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in V[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<float>",
+    )
+    return emb, exact
+
+
+def _recall_at_10(df, exact):
+    got = {}
+    for r in df.collect():
+        got.setdefault(r.query_id, set()).add(r.cand_id)
+    return sum(len(got.get(q, set()) & exact[q]) for q in exact) / (len(exact) * 10)
+
+
+def test_residual_encoding_quantizes_strictly_better(spark):
+    """Core residual claim: same Lloyd budget, strictly lower MSE."""
+    from pyspark.sql import Window as W
+
+    from csv_parquet_s3_spark.operators.similarity_index import (
+        PQ_K,
+        _l2sq,
+        _residual_frames,
+        _subvectors,
+        _train_codebooks_sv,
+        train_pq_codebooks,
+    )
+
+    k_clusters = 40
+    emb, _ = _planted_cluster_embeddings(spark, k_clusters=k_clusters)
+
+    def mse(sv, books):
+        w = W.partitionBy("vec_id", "sub").orderBy(F.asc("d"), F.asc("code"))
+        best = (
+            sv.join(F.broadcast(books), "sub")
+            .withColumn("d", _l2sq(F.col("sv"), F.col("cv")))
+            .withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+        )
+        return best.agg(F.avg("d")).collect()[0][0]
+
+    plain_mse = mse(_subvectors(emb), train_pq_codebooks(spark, emb))
+    _, resid_sv, _ = _residual_frames(spark, emb, k_clusters, 4)
+    resid_books = _train_codebooks_sv(
+        resid_sv, seed_range=(N_QUERIES + k_clusters, N_QUERIES + k_clusters + PQ_K)
+    )
+    resid_mse = mse(resid_sv, resid_books)
+    assert resid_mse < plain_mse, (
+        f"residual MSE {resid_mse} not below plain MSE {plain_mse} — residual "
+        f"encoding should spend codebook resolution on within-cell detail"
+    )
+
+
+def test_residual_ivf_pq_recall_not_below_plain_pq(spark):
+    from csv_parquet_s3_spark.operators.similarity_index import (
+        _residual_frames,
+        ivf_pq_residual_topk,
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    k_clusters, n_probe = 40, 4
+    emb, exact = _planted_cluster_embeddings(spark, k_clusters=k_clusters)
+    assign, _, probes = _residual_frames(spark, emb, k_clusters, n_probe)
+    books = train_pq_codebooks(spark, emb)
+    codes = pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    candidates = (
+        probes.select("query_id", F.col("list_id").alias("_l"))
+        .join(assign.select("vec_id", F.col("list_id").alias("_l")), "_l")
+        .select("query_id", "vec_id")
+    )
+    plain = _recall_at_10(pq_topk(queries, codes, books, candidates=candidates), exact)
+    resid = _recall_at_10(ivf_pq_residual_topk(spark, emb, k_clusters, n_probe), exact)
+    assert resid >= plain, f"residual recall {resid} < plain-PQ recall {plain}"
