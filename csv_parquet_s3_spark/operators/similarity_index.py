@@ -528,24 +528,39 @@ def _train_codebooks_sv(
     ).localCheckpoint(eager=True)
     cent = seeds
     for _ in range(iters):
-        w = W.partitionBy("vec_id", "sub").orderBy(F.asc("d"), F.asc("code"))
+        # argmin via min_by (hash agg, map-side partials) instead of a
+        # row_number window — same (d ASC, code ASC) tie-break through the
+        # lexicographic struct ordering, one less sort per Lloyd iteration.
+        # sv is functionally determined by (vec_id, sub), so first() is safe.
         assign = (
             sv.join(F.broadcast(cent), "sub")
             .withColumn("d", _l2sq(F.col("sv"), F.col("cv")))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("sub", "code", "sv")
+            .groupBy("vec_id", "sub")
+            .agg(
+                F.min_by("code", F.struct("d", "code")).alias("code"),
+                F.first("sv").alias("sv"),
+            )
         )
-        elems = assign.select(
-            "sub", "code", F.posexplode("sv").alias("dim", "x")
-        )
-        means = elems.groupBy("sub", "code", "dim").agg(
-            F.round(F.avg("x"), 9).alias("c")
-        )
-        updated = means.groupBy("sub", "code").agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(dim, c))), s -> s.c)"
-            ).alias("cv_new")
+        # per-code mean in ONE aggregation: element-wise fold over the
+        # members (sorted by vec_id → deterministic fp accumulation order),
+        # instead of posexplode → per-dim groupBy → re-collect. Same
+        # round(sum/count, 9) the SQL oracle replays.
+        updated = (
+            assign.groupBy("sub", "code")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr("array_sort(collect_list(struct(vec_id, sv)))").alias("vs"),
+            )
+            .select(
+                "sub",
+                "code",
+                F.expr(
+                    "transform(aggregate(vs, cast(null as array<double>),"
+                    " (acc, s) -> CASE WHEN acc IS NULL THEN s.sv"
+                    " ELSE zip_with(acc, s.sv, (a, b) -> a + b) END),"
+                    " x -> round(x / n, 9))"
+                ).alias("cv_new"),
+            )
         )
         cent = (
             cent.join(updated, ["sub", "code"], "left")
@@ -565,12 +580,12 @@ def pq_encode(vectors: DataFrame, codebooks: DataFrame) -> DataFrame:
 
 
 def _encode_sv(sv: DataFrame, codebooks: DataFrame) -> DataFrame:
-    w = W.partitionBy("vec_id", "sub").orderBy(F.asc("d"), F.asc("code"))
+    # same argmin-as-aggregation shape as the Lloyd loop (d ASC, code ASC)
     return (
         sv.join(F.broadcast(codebooks), "sub")
         .withColumn("d", _l2sq(F.col("sv"), F.col("cv")))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .groupBy("vec_id", "sub")
+        .agg(F.min_by("code", F.struct("d", "code")).alias("code"))
         .select("vec_id", "sub", "code")
     )
 
