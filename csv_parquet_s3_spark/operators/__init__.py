@@ -13,6 +13,7 @@ from csv_parquet_s3_spark.operators import (  # noqa: F401
     multimodal,
     neardup,
     outer_json,
+    packing,
     relational,
     reshape,
     sampling,

@@ -124,3 +124,77 @@ def sample_documents_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(keep)
         .select("doc_id", "text", "lang", "source", "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted sampling + corpus rebalancing — both with EXACT integer
+# keep rules (hash·scale < weight·2^32 comparisons in bigint), so the sampled
+# set is a pure function of the data: reproducible across engines, runs, and
+# cluster sizes, and stable under appends. No engine RNG anywhere.
+# ---------------------------------------------------------------------------
+
+# First 8 hex chars of md5 as an integer in [0, 16^8) — same arithmetic text
+# on both engines (shared with the KMV sketches).
+from csv_parquet_s3_spark.operators.advanced import _KMV_HEX_INT  # noqa: E402
+
+_DOC_HASH_SPARK = _KMV_HEX_INT.format(h="md5(cast(cast(doc_id as string) as binary))")
+_DOC_HASH_DUCK = _KMV_HEX_INT.format(h="md5(CAST(doc_id AS VARCHAR))")
+
+QUALITY_SCALE = 512  # docs with n_chars >= this are always kept
+
+
+@register(
+    "sample_documents_quality_weighted",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE {_DOC_HASH_DUCK} * {QUALITY_SCALE}
+          < LEAST(n_chars, {QUALITY_SCALE}) * {16 ** 8}
+    """,
+)
+def sample_documents_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling by a quality proxy: keep probability
+    min(1, n_chars/512) — longer documents survive, short ones thin out.
+    The Bernoulli trial is hash(doc_id)·512 < min(n_chars,512)·2^32 in exact
+    bigint arithmetic (no float thresholds → no engine-dependent edge rows).
+    At 100 TB this is a map-only filter with full predicate pushdown above
+    the scan; the weight column can be swapped for any model-scored quality
+    signal without changing the shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep = F.expr(
+        f"{_DOC_HASH_SPARK} * {QUALITY_SCALE}"
+        f" < least(n_chars, {QUALITY_SCALE}) * {16 ** 8}"
+    )
+    return docs.filter(keep).select("doc_id", "lang", "source", "n_chars")
+
+
+@register(
+    "rebalance_documents_by_lang",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang
+    ),
+    target AS (SELECT MIN(n_lang) AS t FROM counts)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    JOIN counts c ON c.lang = d.lang
+    CROSS JOIN target
+    WHERE {_DOC_HASH_DUCK} * c.n_lang < target.t * {16 ** 8}
+    """,
+)
+def rebalance_documents_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance a skewed corpus to a uniform language mixture: every
+    language is hash-downsampled toward the size of the SMALLEST language
+    (keep rate target/n_lang, applied as hash·n_lang < target·2^32 in exact
+    bigint). The per-language rates come from one keyed aggregation joined
+    back as a broadcast (|langs| rows) — the mixture-reweighting step of a
+    training-data pipeline, with no collect and no RNG."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    target = counts.agg(F.min("n_lang").alias("t"))
+    return (
+        docs.join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(target))
+        .filter(F.expr(f"{_DOC_HASH_SPARK} * n_lang") < F.col("t") * (16 ** 8))
+        .select("doc_id", "lang", "source")
+    )
