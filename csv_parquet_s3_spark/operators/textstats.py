@@ -551,3 +551,76 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_bytes.cast("double") / n_bpe).alias("bytes_per_token"),
         )
     )
+
+
+@register(
+    "text_unigram_perplexity",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, t AS token
+        FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+        WHERE t <> ''
+    ),
+    vocab AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+    total AS (SELECT COUNT(*) AS n_total FROM toks),
+    doc_tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+    nll AS (
+        SELECT d.doc_id,
+               SUM(CAST(d.tf AS BIGINT)) AS n_tokens,
+               SUM(d.tf * CAST(ROUND(LN(CAST(t.n_total AS DOUBLE) / v.cnt), 6)
+                               AS DECIMAL(20, 6))) AS nll_sum
+        FROM doc_tf d JOIN vocab v ON d.token = v.token, total t
+        GROUP BY d.doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(ROUND(CAST(nll_sum AS DOUBLE) / n_tokens, 6) AS DOUBLE)
+               AS avg_nll,
+           CAST(ROUND(EXP(ROUND(CAST(nll_sum AS DOUBLE) / n_tokens, 6)), 4)
+               AS DOUBLE) AS perplexity
+    FROM nll
+    """,
+)
+def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity filtering, the classic LLM data-quality signal, with the
+    corpus itself as the unigram LM: p(tok) = cnt/total, per-doc score
+    avg(-ln p) and its exp (perplexity). Rare-token-heavy (low-quality or
+    off-domain) documents surface with high perplexity.
+
+    Determinism: each token's negative log-prob is rounded to 6 digits and
+    summed as DECIMAL(20,6) — exact, order-independent accumulation, so
+    Spark's and DuckDB's different reduce orders cannot diverge (same
+    discipline as the monetary aggregates). 6 digits, not 9: the JVM's and
+    DuckDB's libm LN differ in the last ulp, and a 9-digit round sits close
+    enough to that noise to flip on ~3% of values (observed at sf0.01).
+
+    Scale shape: vocabulary is one keyed aggregation broadcast back onto
+    per-doc term frequencies; the corpus total is a one-row broadcast. At
+    100 TB the LM table is vocabulary-sized, never corpus-sized; swap in a
+    reference-corpus LM by replacing the ``vocab`` frame.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    vocab = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = toks.agg(F.count("*").alias("n_total"))
+    doc_tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    tok_nll = F.round(
+        F.log(F.col("n_total").cast("double") / F.col("cnt")), 6
+    ).cast("decimal(20,6)")
+    nll = (
+        doc_tf.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("tf") * tok_nll).alias("nll_sum"),
+        )
+    )
+    avg_nll = F.round(F.col("nll_sum").cast("double") / F.col("n_tokens"), 6)
+    return nll.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        avg_nll.cast("double").alias("avg_nll"),
+        F.round(F.exp(avg_nll), 4).cast("double").alias("perplexity"),
+    )
