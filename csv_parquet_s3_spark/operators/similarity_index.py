@@ -1048,3 +1048,131 @@ def ivf_pq_residual_topk(
     return scored.select("*", F.row_number().over(wk).alias("rn")).filter(
         F.col("rn") <= k
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8): the third standard ANN memory lever next to PQ
+# and residual-PQ. Each dimension is affinely mapped to an 8-bit code using
+# per-dimension corpus min/max; search decodes candidates on the fly and
+# ranks by asymmetric L2 against the full-precision query. 4 bytes/dim →
+# 1 byte/dim, with far better fidelity than PQ at 4 bits/dim — the usual
+# first step before PQ is worth its training cost.
+# ---------------------------------------------------------------------------
+SQ_LEVELS = 255
+
+
+def sq8_stats(u_long: DataFrame) -> DataFrame:
+    """(dim, mn, mx): per-dimension corpus range — one keyed aggregation,
+    dimension-sized output (broadcast everywhere downstream)."""
+    return u_long.groupBy("dim").agg(
+        F.min("xv").alias("mn"), F.max("xv").alias("mx")
+    )
+
+
+def _unit_long(emb: DataFrame) -> DataFrame:
+    """(vec_id, dim, xv): unit-normalized vectors in long form."""
+    return _unit(emb).select(
+        "vec_id", F.posexplode("vd").alias("dim", "xv")
+    )
+
+
+@register(
+    "sim_cosine_topk_sq8",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE) /
+                   sqrt(list_sum(list_transform(embedding,
+                        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS vd
+        FROM embeddings
+    ),
+    x AS (
+        SELECT vec_id, CAST(u.i AS INT) - 1 AS dim, vd[u.i] AS xv
+        FROM base, UNNEST(range(1, len(vd) + 1)) AS u(i)
+    ),
+    stats AS (SELECT dim, MIN(xv) AS mn, MAX(xv) AS mx FROM x GROUP BY dim),
+    codes AS (
+        SELECT x.vec_id, x.dim,
+               CASE WHEN s.mx = s.mn THEN 0
+                    ELSE CAST(ROUND((x.xv - s.mn) / (s.mx - s.mn)
+                                    * {SQ_LEVELS}, 0) AS INT)
+               END AS code
+        FROM x JOIN stats s ON s.dim = x.dim
+    ),
+    decoded AS (
+        SELECT c.vec_id AS cand_id, c.dim,
+               s.mn + CAST(c.code AS DOUBLE) / {SQ_LEVELS} * (s.mx - s.mn)
+                   AS xhat
+        FROM codes c JOIN stats s ON s.dim = c.dim
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, d.cand_id,
+               CAST(ROUND(CAST(SUM(CAST(ROUND((q.xv - d.xhat)
+                        * (q.xv - d.xhat), 9) AS DECIMAL(20, 9)))
+                    AS DOUBLE), 6) AS DOUBLE) AS approx_dist
+        FROM x q JOIN decoded d ON d.dim = q.dim
+        WHERE q.vec_id < {N_QUERIES} AND d.cand_id <> q.vec_id
+        GROUP BY q.vec_id, d.cand_id
+    )
+    SELECT query_id, cand_id, approx_dist, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY approx_dist ASC, cand_id) AS rn
+        FROM scored
+    ) t WHERE rn <= {TOP_K}
+    """,
+)
+def sim_cosine_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 asymmetric top-k on the unit sphere (L2 ordering ≡ cosine).
+
+    Determinism: every arithmetic step after the norm is pure IEEE
+    +,−,×,÷ on identical inputs (sqrt is correctly rounded), so Spark and
+    DuckDB produce bit-identical distances; per-pair terms still sum as
+    exact DECIMAL so reduce order cannot matter.
+
+    Scale shape: stats is a dimension-sized aggregate (broadcast); encoding
+    is map-only; search joins the query's long form (|Q|·d rows, broadcast)
+    against decoded codes and aggregates by (query, cand) — one narrow
+    shuffle whose volume is |Q|·corpus, the same bound as brute force but
+    on 1-byte codes instead of floats, and restrictable by any IVF
+    candidate set exactly like `pq_topk`."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = _unit_long(emb)
+    stats = sq8_stats(x)
+    codes = x.join(F.broadcast(stats), "dim").select(
+        "vec_id",
+        "dim",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.round(
+                (F.col("xv") - F.col("mn"))
+                / (F.col("mx") - F.col("mn"))
+                * SQ_LEVELS,
+                0,
+            ).cast("int")
+        )
+        .alias("code"),
+    )
+    decoded = codes.join(F.broadcast(stats), "dim").select(
+        F.col("vec_id").alias("cand_id"),
+        "dim",
+        (
+            F.col("mn")
+            + F.col("code").cast("double") / SQ_LEVELS * (F.col("mx") - F.col("mn"))
+        ).alias("xhat"),
+    )
+    q = x.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "dim", F.col("xv").alias("qv")
+    )
+    term = F.round(
+        (F.col("qv") - F.col("xhat")) * (F.col("qv") - F.col("xhat")), 9
+    ).cast("decimal(20,9)")
+    scored = (
+        decoded.join(F.broadcast(q), "dim")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.round(F.sum(term).cast("double"), 6).alias("approx_dist"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("cand_id"))
+    return scored.select("*", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= TOP_K
+    )

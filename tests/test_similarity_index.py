@@ -384,3 +384,28 @@ def test_residual_ivf_pq_recall_not_below_plain_pq(spark):
     plain = _recall_at_10(pq_topk(queries, codes, books, candidates=candidates), exact)
     resid = _recall_at_10(ivf_pq_residual_topk(spark, emb, k_clusters, n_probe), exact)
     assert resid >= plain, f"residual recall {resid} < plain-PQ recall {plain}"
+
+
+def test_sq8_recall_near_exact(spark):
+    """SQ8 keeps ~7 significant bits per dim — its top-10 should almost
+    coincide with exact cosine top-10 (far tighter than PQ's 4 bits/dim)."""
+    import numpy as np
+
+    from csv_parquet_s3_spark.operators.similarity_index import (
+        sim_cosine_topk_sq8,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    V = np.array(
+        [r.embedding for r in emb.orderBy("vec_id").collect()], dtype=np.float64
+    )
+    U = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = U @ U.T
+    np.fill_diagonal(S, -2)
+    exact = {q: set(np.argsort(-S[q])[:10]) for q in range(N_QUERIES)}
+
+    got: dict = {}
+    for r in sim_cosine_topk_sq8(spark, SF).collect():
+        got.setdefault(r.query_id, set()).add(r.cand_id)
+    recall = sum(len(got[q] & exact[q]) for q in exact) / (len(exact) * 10)
+    assert recall >= 0.9, f"SQ8 recall@10 {recall} below 0.9"
