@@ -122,3 +122,71 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
         )
     )
+
+
+@register(
+    "dedup_canonical_docs",
+    oracle=f"""
+    WITH RECURSIVE {_ORACLE_SHINGLES},
+    {_ORACLE_BANDS},
+    {_ORACLE_PAIR_CTES},
+    edges AS (
+        SELECT doc_id_a AS u, doc_id_b AS v FROM lsh_pairs
+        UNION
+        SELECT doc_id_b AS u, doc_id_a AS v FROM lsh_pairs
+    ),
+    reach AS (
+        SELECT u AS doc_id, u AS label FROM edges
+        UNION
+        SELECT e.u AS doc_id, r.label
+        FROM edges e JOIN reach r ON r.doc_id = e.v
+    ),
+    comp AS (SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id),
+    all_docs AS (
+        SELECT d.doc_id, d.n_chars,
+               COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    canon AS (
+        SELECT cluster_id, doc_id AS canonical_id FROM (
+            SELECT cluster_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY cluster_id
+                       ORDER BY n_chars DESC, doc_id ASC) AS rn
+            FROM all_docs
+        ) z WHERE rn = 1
+    )
+    SELECT a.doc_id, a.cluster_id, c.canonical_id,
+           a.doc_id = c.canonical_id AS is_canonical
+    FROM all_docs a JOIN canon c ON c.cluster_id = a.cluster_id
+    """,
+)
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship: the keep-list a dedup pipeline actually ships. Every
+    document maps to a canonical representative — within a near-dup cluster
+    the LONGEST document wins (tie: lowest doc_id); singletons are their own
+    canonical. Downstream keeps ``is_canonical`` rows and rewrites references
+    through ``canonical_id``.
+
+    Scale shape: clusters from min-label propagation (bounded by |edges|),
+    survivor choice is one ``max_by`` aggregation keyed by cluster — no
+    window over the corpus, no collect."""
+    from csv_parquet_s3_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    comp = dedup_cluster_components(spark, sf_dir).select("doc_id", "cluster_id")
+    all_docs = docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        "n_chars",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+    )
+    canon = all_docs.groupBy("cluster_id").agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg"))
+        ).alias("canonical_id")
+    )
+    return all_docs.join(canon, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "canonical_id",
+        (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+    )
