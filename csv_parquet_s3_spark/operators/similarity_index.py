@@ -523,9 +523,18 @@ def _train_codebooks_sv(
     collapses half the initial codebook onto the origin)."""
     lo, hi = seed_range
     sv = subvectors.persist()
-    seeds = sv.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)).select(
-        "sub", F.col("vec_id").cast("bigint").alias("code"), F.col("sv").alias("cv")
-    ).localCheckpoint(eager=True)
+    # Intermediate centroid frames are persist()ed and released as soon as
+    # the next iteration supersedes them: an eager localCheckpoint here
+    # costs ~1 s of partition-write overhead PER CALL in local mode (3× the
+    # whole training time); only the FINAL frame checkpoints, to cut the
+    # iteration lineage for downstream consumers.
+    seeds = (
+        sv.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        .select(
+            "sub", F.col("vec_id").cast("bigint").alias("code"), F.col("sv").alias("cv")
+        )
+        .persist()
+    )
     cent = seeds
     for _ in range(iters):
         # argmin via min_by (hash agg, map-side partials) instead of a
@@ -562,15 +571,20 @@ def _train_codebooks_sv(
                 ).alias("cv_new"),
             )
         )
+        prev = cent
         cent = (
             cent.join(updated, ["sub", "code"], "left")
             .select(
                 "sub", "code", F.coalesce("cv_new", "cv").alias("cv")
             )
-            .localCheckpoint(eager=True)
+            .persist()
         )
+        cent.count()  # materialize before releasing the frame it reads
+        prev.unpersist()
+    final = cent.localCheckpoint(eager=True)
+    cent.unpersist()
     sv.unpersist()
-    return cent
+    return final
 
 
 def pq_encode(vectors: DataFrame, codebooks: DataFrame) -> DataFrame:
