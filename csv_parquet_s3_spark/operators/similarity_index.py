@@ -830,6 +830,17 @@ def sim_cosine_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     same coarse assignment as `sim_cosine_topk_ivf_probe`, the same
     codebooks as `sim_cosine_topk_pq` — composed."""
     emb = load_table(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(spark, emb)
+    codes = pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return pq_topk(queries, codes, books, candidates=_coarse_candidates(emb))
+
+
+def _coarse_candidates(emb: DataFrame) -> DataFrame:
+    """(query_id, vec_id): the coarse prober's candidate pairs — every
+    corpus vector whose inverted list is among a query's N_PROBE nearest
+    (raw-vector cosine quantizer, seed centroids). Shared by every IVF×
+    quantizer composition."""
     vec = _with_norm(emb).select("vec_id", "vd", "norm")
     cent = _centroid_frame(
         vec.filter(
@@ -856,12 +867,7 @@ def sim_cosine_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= N_PROBE)
         .select(F.col("vec_id").alias("query_id"), "list_id")
     )
-    candidates = probes.join(assign, "list_id").select("query_id", "vec_id")
-
-    books = train_pq_codebooks(spark, emb)
-    codes = pq_encode(emb, books)
-    queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    return pq_topk(queries, codes, books, candidates=candidates)
+    return probes.join(assign, "list_id").select("query_id", "vec_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1090,10 +1096,12 @@ def _unit_long(emb: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "sim_cosine_topk_sq8",
-    oracle=f"""
-    WITH base AS (
+def _sq8_oracle(ivf: bool = False) -> str:
+    """SQ8 replay; with ``ivf=True`` the scoring joins only (query, cand)
+    pairs from the coarse prober's lists — the same candidate CTEs as the
+    IVF×PQ oracle."""
+    parts = [f"""
+    base AS (
         SELECT vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE) /
                    sqrt(list_sum(list_transform(embedding,
@@ -1118,7 +1126,52 @@ def _unit_long(emb: DataFrame) -> DataFrame:
                s.mn + CAST(c.code AS DOUBLE) / {SQ_LEVELS} * (s.mx - s.mn)
                    AS xhat
         FROM codes c JOIN stats s ON s.dim = c.dim
+    )"""]
+    if ivf:
+        parts.append(f"""
+    cent AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS list_id,
+               embedding AS cv, {_ORACLE_NORM.format(v='embedding')} AS cnorm
+        FROM embeddings
+        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + K_LISTS}
     ),
+    coarse AS (
+        SELECT vec_id, list_id FROM (
+            SELECT e.vec_id, c.list_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY CAST(ROUND({_ORACLE_DOT.format(a='e.embedding', b='c.cv')}
+                                / ({_ORACLE_NORM.format(v='e.embedding')} * c.cnorm), 6)
+                                AS DOUBLE) DESC, c.list_id) AS rn
+            FROM embeddings e, cent c
+        ) z WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, list_id FROM (
+            SELECT e.vec_id, c.list_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY CAST(ROUND({_ORACLE_DOT.format(a='e.embedding', b='c.cv')}
+                                / ({_ORACLE_NORM.format(v='e.embedding')} * c.cnorm), 6)
+                                AS DOUBLE) DESC, c.list_id) AS rn
+            FROM embeddings e, cent c WHERE e.vec_id < {N_QUERIES}
+        ) z WHERE rn <= {N_PROBE}
+    ),
+    cand AS (
+        SELECT DISTINCT p.query_id, a.vec_id AS cand_id
+        FROM probes p JOIN coarse a ON a.list_id = p.list_id
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, d.cand_id,
+               CAST(ROUND(CAST(SUM(CAST(ROUND((q.xv - d.xhat)
+                        * (q.xv - d.xhat), 9) AS DECIMAL(20, 9)))
+                    AS DOUBLE), 6) AS DOUBLE) AS approx_dist
+        FROM x q
+        JOIN decoded d ON d.dim = q.dim
+        JOIN cand ON cand.query_id = q.vec_id AND cand.cand_id = d.cand_id
+        WHERE q.vec_id < {N_QUERIES} AND d.cand_id <> q.vec_id
+        GROUP BY q.vec_id, d.cand_id
+    )""")
+    else:
+        parts.append(f"""
     scored AS (
         SELECT q.vec_id AS query_id, d.cand_id,
                CAST(ROUND(CAST(SUM(CAST(ROUND((q.xv - d.xhat)
@@ -1127,14 +1180,12 @@ def _unit_long(emb: DataFrame) -> DataFrame:
         FROM x q JOIN decoded d ON d.dim = q.dim
         WHERE q.vec_id < {N_QUERIES} AND d.cand_id <> q.vec_id
         GROUP BY q.vec_id, d.cand_id
-    )
-    SELECT query_id, cand_id, approx_dist, rn FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                   ORDER BY approx_dist ASC, cand_id) AS rn
-        FROM scored
-    ) t WHERE rn <= {TOP_K}
-    """,
-)
+    )""")
+    parts.append(_TOPK_TAIL)
+    return "WITH" + ",".join(parts[:-1]) + parts[-1]
+
+
+@register("sim_cosine_topk_sq8", oracle=_sq8_oracle())
 def sim_cosine_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 asymmetric top-k on the unit sphere (L2 ordering ≡ cosine).
 
@@ -1150,6 +1201,14 @@ def sim_cosine_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     on 1-byte codes instead of floats, and restrictable by any IVF
     candidate set exactly like `pq_topk`."""
     emb = load_table(spark, sf_dir, "embeddings")
+    return sq8_topk(spark, emb)
+
+
+def sq8_topk(
+    spark: SparkSession, emb: DataFrame, candidates: DataFrame | None = None
+) -> DataFrame:
+    """SQ8 core; ``candidates`` (query_id, vec_id) restricts scoring to a
+    pruned set — the IVF composition hook, mirroring ``pq_topk``."""
     x = _unit_long(emb)
     stats = sq8_stats(x)
     codes = x.join(F.broadcast(stats), "dim").select(
@@ -1174,14 +1233,21 @@ def sim_cosine_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("code").cast("double") / SQ_LEVELS * (F.col("mx") - F.col("mn"))
         ).alias("xhat"),
     )
+    if candidates is not None:
+        # restrict BEFORE the per-dimension product: decoded volume drops to
+        # the probed share of the corpus (plain join, AQE picks the strategy)
+        decoded = decoded.join(
+            candidates.withColumnRenamed("vec_id", "cand_id"), "cand_id"
+        )
     q = x.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "dim", F.col("xv").alias("qv")
     )
     term = F.round(
         (F.col("qv") - F.col("xhat")) * (F.col("qv") - F.col("xhat")), 9
     ).cast("decimal(20,9)")
+    join_keys = ["dim"] if candidates is None else ["query_id", "dim"]
     scored = (
-        decoded.join(F.broadcast(q), "dim")
+        decoded.join(F.broadcast(q), join_keys)
         .filter(F.col("cand_id") != F.col("query_id"))
         .groupBy("query_id", "cand_id")
         .agg(F.round(F.sum(term).cast("double"), 6).alias("approx_dist"))
@@ -1190,3 +1256,13 @@ def sim_cosine_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("*", F.row_number().over(w).alias("rn")).filter(
         F.col("rn") <= TOP_K
     )
+
+
+@register("sim_cosine_topk_ivf_sq8", oracle=_sq8_oracle(ivf=True))
+def sim_cosine_topk_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×SQ8: the coarse prober prunes each query to its nprobe lists
+    (same quantizer as `sim_cosine_topk_ivf_pq`) and SQ8 asymmetric L2
+    ranks only those lists' byte codes — completing the quantization ×
+    pruning matrix (PQ, residual-PQ, SQ8 each compose with IVF)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sq8_topk(spark, emb, candidates=_coarse_candidates(emb))
