@@ -130,3 +130,79 @@ def pack_documents_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("fill_ratio"),
     )
+
+
+@register(
+    "pack_documents_consolidated",
+    oracle=_PACK_ORACLE_CTE
+    + f""",
+    tails AS (
+        SELECT p.source, p.bin_id, CAST(SUM(p.n_tokens) AS INT) AS fill
+        FROM pack p
+        JOIN (SELECT source, MAX(bin_id) AS mb FROM pack GROUP BY source) m
+          ON m.source = p.source AND p.bin_id = m.mb
+        GROUP BY p.source, p.bin_id
+    ),
+    ordered AS (
+        SELECT source, bin_id, fill,
+               ROW_NUMBER() OVER (ORDER BY source) AS rn
+        FROM tails
+    ),
+    consol AS (
+        SELECT source, bin_id, fill, rn,
+               CAST(0 AS BIGINT) AS merged_group, fill AS gfill
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.source, o.bin_id, o.fill, o.rn,
+               CASE WHEN c.gfill + o.fill > {CONTEXT_TOKENS}
+                    THEN c.merged_group + 1 ELSE c.merged_group END,
+               CASE WHEN c.gfill + o.fill > {CONTEXT_TOKENS}
+                    THEN o.fill ELSE c.gfill + o.fill END
+        FROM consol c JOIN ordered o ON o.rn = c.rn + 1
+    )
+    SELECT source, bin_id, fill, merged_group FROM consol
+    """,
+)
+def pack_documents_consolidated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-stage packing: per-shard greedy packing leaves each shard's
+    LAST bin under-full; this consolidates those tail bins across shards
+    into shared context windows (greedy fold over shard-ordered tail
+    fills) — the global step that recovers the padding a purely per-shard
+    packing wastes.
+
+    Scale shape: stage 1 is the per-shard fold; stage 2's input is ONE ROW
+    PER SHARD (the tail bin's fill), so the cross-shard fold runs over a
+    shard-count-sized frame in a single bounded task — at thousands of
+    shards, group by a shard-prefix first and consolidate hierarchically.
+    Both folds replay exactly in the recursive-CTE oracle."""
+    packed = pack_greedy(load_table(spark, sf_dir, "documents"))
+    fills = packed.groupBy("source", "bin_id").agg(
+        F.sum("n_tokens").cast("int").alias("fill")
+    )
+    tails = fills.join(
+        packed.groupBy("source").agg(F.max("bin_id").alias("bin_id")),
+        ["source", "bin_id"],
+    )
+    context = CONTEXT_TOKENS
+    schema = "source string, bin_id bigint, fill int, merged_group bigint"
+
+    def consolidate(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("source").reset_index(drop=True)
+        groups, gfill, group = [], None, 0
+        for fill in pdf["fill"]:
+            if gfill is None:
+                gfill = fill
+            elif gfill + fill > context:
+                group += 1
+                gfill = fill
+            else:
+                gfill += fill
+            groups.append(group)
+        pdf["merged_group"] = pd.Series(groups, dtype="int64")
+        return pdf[["source", "bin_id", "fill", "merged_group"]]
+
+    return (
+        tails.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(lambda pdf: consolidate(pdf), schema=schema)
+    )
