@@ -62,3 +62,33 @@ def test_dedup_clusters_on_real_pairs(spark):
     # one survivor per component
     survivors = out.filter(F.col("doc_id") == F.col("cluster_id")).count()
     assert survivors == len(set(model.values()))
+
+
+def test_canonical_docs_survivorship(spark):
+    """Every doc maps into its own cluster; the canonical member is the
+    longest (tie: lowest doc_id); exactly one canonical per cluster."""
+    from csv_parquet_s3_spark.operators.components import (
+        dedup_canonical_docs,
+        dedup_cluster_components,
+    )
+    from csv_parquet_s3_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = dedup_canonical_docs(spark, sf).collect()
+    docs = {
+        r.doc_id: r.n_chars
+        for r in load_table(spark, sf, "documents").select("doc_id", "n_chars").collect()
+    }
+    comp = {r.doc_id: r.cluster_id for r in dedup_cluster_components(spark, sf).collect()}
+
+    assert {r.doc_id for r in out} == set(docs)
+    by_cluster: dict = {}
+    for r in out:
+        assert r.cluster_id == comp.get(r.doc_id, r.doc_id)
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cluster, members in by_cluster.items():
+        canonical = [r for r in members if r.is_canonical]
+        assert len(canonical) == 1
+        best = max(members, key=lambda r: (docs[r.doc_id], -r.doc_id))
+        assert canonical[0].doc_id == best.doc_id
+        assert all(r.canonical_id == best.doc_id for r in members)
