@@ -20,6 +20,7 @@ from csv_parquet_s3_spark.operators import (  # noqa: F401
     sampling,
     similarity,
     similarity_index,
+    streaming_batch,
     textstats,
     tpch_ext,
 )

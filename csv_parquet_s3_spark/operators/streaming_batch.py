@@ -1,0 +1,113 @@
+"""Driver-checkable Structured Streaming: registered queries that REALLY run
+a streaming query (readStream → watermarked aggregation → availableNow →
+memory sink) and return the drained result as a batch DataFrame.
+
+This closes the "streaming is only test-pinned" gap: on a bounded input
+drained with ``availableNow`` the watermarked aggregation must produce
+exactly the batch answer, so the DuckDB oracle hash-checks an actual
+streaming execution — sink, trigger, state store and all — not a batch
+twin. ``complete`` output mode keeps every window in the memory sink
+(append would withhold windows the final watermark hasn't closed).
+
+At scale the same code runs unbounded: the watermark bounds state, the
+trigger becomes processingTime/continuous, and the sink becomes
+kafka/parquet — none of which changes the aggregation's semantics, which
+is precisely what the oracle pins.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from csv_parquet_s3_spark.operators.registry import register
+from csv_parquet_s3_spark.sources.tables import table_path
+from csv_parquet_s3_spark.streaming.events_stream import (
+    hourly_event_rollup,
+    sliding_event_rollup,
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A streaming view of the events table with the same ts normalization
+    as the batch loader (nanos-int64 and timestamp_ntz vintages both → LTZ)."""
+    path = table_path(sf_dir, "events")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    # FileStreamSource wants a DIRECTORY; select just the events file from
+    # the shared sf dir with a glob filter.
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+        )
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
+def _drain(spark: SparkSession, df: DataFrame, timeout_s: int = 180) -> DataFrame:
+    """Run the streaming frame to completion (availableNow) into a memory
+    sink and return the sink's content as a batch DataFrame."""
+    name = "stream_drain_" + uuid.uuid4().hex
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(timeout_s), "streaming drain did not finish"
+    return spark.table(name)
+
+
+@register(
+    "stream_events_hourly_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+               AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window rollup executed AS A STREAM and drained;
+    must equal the batch GROUP BY hour — the bounded-input equivalence that
+    licenses running the same code unbounded."""
+    return _drain(spark, hourly_event_rollup(_events_stream(spark, sf_dir)))
+
+
+@register(
+    "stream_events_sliding_rollup",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(0 AS BIGINT) + 900 * CAST(k.k AS BIGINT) AS off
+        FROM UNNEST(range(0, 4)) AS k(k)
+    )
+    SELECT to_timestamp(
+               (CAST(floor((epoch(ts) - b.off) / 3600) AS BIGINT) * 3600
+                + b.off)) AS window_start,
+           to_timestamp(
+               (CAST(floor((epoch(ts) - b.off) / 3600) AS BIGINT) * 3600
+                + b.off + 3600)) AS window_end,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events, bounds b
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_events_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour/15-minute windows executed as a stream and drained.
+    The oracle replays the window assignment arithmetically: each event
+    lands in length/slide = 4 overlapping windows, one per 15-minute
+    phase offset."""
+    return _drain(spark, sliding_event_rollup(_events_stream(spark, sf_dir)))
