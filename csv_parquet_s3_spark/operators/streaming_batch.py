@@ -26,6 +26,7 @@ from csv_parquet_s3_spark.operators.registry import register
 from csv_parquet_s3_spark.sources.tables import table_path
 from csv_parquet_s3_spark.streaming.events_stream import (
     hourly_event_rollup,
+    session_window_counts,
     sliding_event_rollup,
 )
 
@@ -111,3 +112,37 @@ def stream_events_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lands in length/slide = 4 overlapping windows, one per 15-minute
     phase offset."""
     return _drain(spark, sliding_event_rollup(_events_stream(spark, sf_dir)))
+
+
+@register(
+    "stream_events_session_windows",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            >= 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM ordered
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native gap-based session windows (`session_window`, 30-minute gap)
+    executed as a stream and drained. The oracle replays the gap rule with
+    lag + running sum: a new session opens when the inter-event gap reaches
+    the 30-minute horizon (Spark's session end = last event + gap,
+    end-exclusive), session_end = last ts + gap."""
+    return _drain(spark, session_window_counts(_events_stream(spark, sf_dir)))
