@@ -54,14 +54,19 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-def _drain(spark: SparkSession, df: DataFrame, timeout_s: int = 180) -> DataFrame:
+def _drain(
+    spark: SparkSession, df: DataFrame, timeout_s: int = 180, mode: str = "complete"
+) -> DataFrame:
     """Run the streaming frame to completion (availableNow) into a memory
-    sink and return the sink's content as a batch DataFrame."""
+    sink and return the sink's content as a batch DataFrame. Aggregations
+    drain in ``complete`` mode (keeps windows the final watermark hasn't
+    closed); stream-stream INNER joins drain in ``append`` (their only
+    supported mode — matches emit eagerly, so a bounded drain is lossless)."""
     name = "stream_drain_" + uuid.uuid4().hex
     q = (
         df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -146,3 +151,33 @@ def stream_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame
     the 30-minute horizon (Spark's session end = last event + gap,
     end-exclusive), session_end = last ts + gap."""
     return _drain(spark, session_window_counts(_events_stream(spark, sf_dir)))
+
+
+@register(
+    "stream_click_purchase_attribution",
+    oracle="""
+    SELECT c.user_id, c.ts AS click_ts, p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def stream_click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click → purchase attribution within one
+    hour) executed as TWO streams joined with watermark-evictable state and
+    drained via availableNow — the hardest built-in streaming operator,
+    hash-checked against the plain batch self-join. Inner joins emit
+    matches eagerly, so the bounded drain in append mode is lossless."""
+    from csv_parquet_s3_spark.streaming.stream_join import click_purchase_attribution
+
+    clicks = _events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    purchases = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    return _drain(
+        spark, click_purchase_attribution(clicks, purchases), mode="append"
+    )
