@@ -181,3 +181,32 @@ def stream_click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataF
     return _drain(
         spark, click_purchase_attribution(clicks, purchases), mode="append"
     )
+
+
+@register(
+    "stream_user_lifetime_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS lifetime_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+               AS lifetime_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_user_lifetime_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (`applyInPandasWithState` running totals)
+    executed as a stream and drained: on a bounded input each key emits its
+    final state, which must equal the batch per-user aggregate. The event
+    values are exact 2-decimal, so the state's float accumulation rounds to
+    the same cents as the oracle's DECIMAL sum (fp error ~1e-12 vs the
+    0.005 rounding margin). Update output mode: state rows re-emit per
+    batch; availableNow over the single-file source yields one batch, so
+    the memory sink holds exactly one row per key."""
+    from csv_parquet_s3_spark.streaming.stateful import user_lifetime_totals
+
+    return _drain(
+        spark,
+        user_lifetime_totals(_events_stream(spark, sf_dir)),
+        mode="update",
+    )
