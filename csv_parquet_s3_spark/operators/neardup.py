@@ -192,19 +192,21 @@ CELL_ASSIGN = 2      # multi-probe: each vector joins its top-2 cells
 _SEED_LO, _SEED_HI = 5, 13
 
 
-@register(
-    "dedup_embedding_ivf_blocked",
-    oracle=f"""
-    WITH e AS (
+# CTE block shared by every oracle that needs IVF-blocked embedding pairs:
+# defines `ivf_pairs(vec_id_a, vec_id_b, cos_sim)`. Kept as one fragment so
+# the registered blocked-pairs query and the modality-agreement oracle replay
+# the IDENTICAL candidate generation.
+_IVF_EPAIR_CTES = f"""
+    ivf_e AS (
         SELECT vec_id, embedding, {_NORM.format(v='embedding')} AS nrm
         FROM embeddings WHERE vec_id < {MAX_VEC_ID}
     ),
-    cent AS (
+    ivf_cent AS (
         SELECT vec_id - {_SEED_LO} AS list_id, embedding AS cv,
                {_NORM.format(v='embedding')} AS cnorm
         FROM embeddings WHERE vec_id >= {_SEED_LO} AND vec_id < {_SEED_HI}
     ),
-    assign AS (
+    ivf_assign AS (
         SELECT vec_id, list_id FROM (
             SELECT e.vec_id, c.list_id,
                    ROW_NUMBER() OVER (
@@ -212,33 +214,33 @@ _SEED_LO, _SEED_HI = 5, 13
                        ORDER BY CAST(ROUND({_DOT.format(a='e.embedding', b='c.cv')}
                                 / (e.nrm * c.cnorm), 6) AS DOUBLE) DESC, c.list_id
                    ) AS rn
-            FROM e, cent c
+            FROM ivf_e e, ivf_cent c
         ) z WHERE rn <= {CELL_ASSIGN}
     ),
-    candidates AS (
+    ivf_candidates AS (
         SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
-        FROM assign a JOIN assign b
+        FROM ivf_assign a JOIN ivf_assign b
           ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+    ),
+    ivf_pairs AS (
+        SELECT c.vec_id_a, c.vec_id_b,
+               CAST(ROUND({_DOT.format(a='ea.embedding', b='eb.embedding')}
+                    / (ea.nrm * eb.nrm), 6) AS DOUBLE) AS cos_sim
+        FROM ivf_candidates c
+        JOIN ivf_e ea ON ea.vec_id = c.vec_id_a
+        JOIN ivf_e eb ON eb.vec_id = c.vec_id_b
+        WHERE {_DOT.format(a='ea.embedding', b='eb.embedding')} / (ea.nrm * eb.nrm)
+              >= {COSINE_DUP_THRESHOLD}
     )
-    SELECT c.vec_id_a, c.vec_id_b,
-           CAST(ROUND({_DOT.format(a='ea.embedding', b='eb.embedding')}
-                / (ea.nrm * eb.nrm), 6) AS DOUBLE) AS cos_sim
-    FROM candidates c
-    JOIN e ea ON ea.vec_id = c.vec_id_a
-    JOIN e eb ON eb.vec_id = c.vec_id_b
-    WHERE {_DOT.format(a='ea.embedding', b='eb.embedding')} / (ea.nrm * eb.nrm)
-          >= {COSINE_DUP_THRESHOLD}
-    """,
-)
-def dedup_embedding_ivf_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic near-dup pairs blocked by an actual IVF partitioner instead
-    of the label stand-in: each vector joins its top-{CELL_ASSIGN} coarse
-    cells (multi-probe assignment recovers pairs straddling a cell
-    boundary), candidate pairs come only from shared cells, then exact
-    cosine verifies. Pair volume is Σ cell² · probe², never n² — and the
-    blocking needs no pre-existing cluster column at 100 TB.
-    """
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < MAX_VEC_ID)
+"""
+
+
+def ivf_blocked_pairs(emb: DataFrame) -> DataFrame:
+    """IVF-cell-blocked embedding near-dup pairs over an embeddings frame
+    (columns vec_id, embedding): multi-probe top-{CELL_ASSIGN} coarse-cell
+    assignment → candidate pairs from shared cells only → exact cosine
+    verify. Pair volume is Σ cell² · probe², never n². Reused by the
+    registered blocked-pairs query AND the modality-agreement summary."""
     vd = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
     norm = F.sqrt(
         F.aggregate(
@@ -306,6 +308,25 @@ def dedup_embedding_ivf_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_embedding_ivf_blocked",
+    oracle=f"""
+    WITH {_IVF_EPAIR_CTES}
+    SELECT vec_id_a, vec_id_b, cos_sim FROM ivf_pairs
+    """,
+)
+def dedup_embedding_ivf_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs blocked by an actual IVF partitioner instead
+    of the label stand-in: each vector joins its top-{CELL_ASSIGN} coarse
+    cells (multi-probe assignment recovers pairs straddling a cell
+    boundary), candidate pairs come only from shared cells, then exact
+    cosine verifies. Pair volume is Σ cell² · probe², never n² — and the
+    blocking needs no pre-existing cluster column at 100 TB.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < MAX_VEC_ID)
+    return ivf_blocked_pairs(emb)
+
+
 # ---------------------------------------------------------------------------
 # Cross-modality agreement: do text near-dups and embedding near-dups find
 # the same pairs? The pipeline-quality dashboard number for dedup tuning.
@@ -316,15 +337,9 @@ def dedup_embedding_ivf_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_SHINGLE_CTES},
     {_BAND_CTES},
     {_PAIR_CTES},
-    e AS (
-        SELECT vec_id, embedding, {_NORM.format(v='embedding')} AS nrm
-        FROM embeddings WHERE vec_id < {MAX_VEC_ID}
-    ),
+    {_IVF_EPAIR_CTES},
     epairs AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM e a JOIN e b ON a.vec_id < b.vec_id
-        WHERE {_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm)
-              >= {COSINE_DUP_THRESHOLD}
+        SELECT vec_id_a AS id_a, vec_id_b AS id_b FROM ivf_pairs
     ),
     tpairs AS (SELECT doc_id_a AS id_a, doc_id_b AS id_b FROM lsh_pairs),
     merged AS (
@@ -344,15 +359,20 @@ def dedup_embedding_ivf_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row agreement summary between the MinHash-LSH text pairs and the
-    exact embedding-cosine pairs over the same id space (documents ↔
+    IVF-blocked embedding-cosine pairs over the same id space (documents ↔
     embeddings are 1:1 here): how many pairs each modality finds and how
     many both do. This is the number a pipeline owner watches when tuning
     thresholds — high text-only counts mean boilerplate, high embed-only
     counts mean paraphrase dups the shingles miss.
 
-    Both pair generators are the blocked/banded formulations (never n² on
-    the corpus side at scale; the embedding side here is exact over the
-    bounded test id range, as in `dedup_embedding_cosine_pairs`).
+    BOTH pair generators are the blocked/banded formulations — the text
+    side the LSH band join, the embedding side the multi-probe IVF-cell
+    candidate generator (`ivf_blocked_pairs`, shared with
+    `dedup_embedding_ivf_blocked` and mirrored CTE-for-CTE in the oracle).
+    Nothing in this operator is n² on the corpus: the r04 version's
+    all-pairs `id_a < id_b` theta join (a BroadcastNestedLoopJoin) is gone,
+    so the agreement numbers are computed over exactly the candidate sets a
+    100 TB pipeline would actually score.
     """
     from csv_parquet_s3_spark.operators.dedup import (
         _shingles,
@@ -366,29 +386,9 @@ def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("in_text", F.lit(True))
     )
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < MAX_VEC_ID)
-    vd = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
-    norm = F.sqrt(
-        F.aggregate(
-            F.expr("transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-    )
-    e = emb.select("vec_id", vd.alias("vd"), norm.alias("nrm"))
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("vd").alias("vd_a"), F.col("nrm").alias("nrm_a"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("vd").alias("vd_b"), F.col("nrm").alias("nrm_b"))
-    cos = (
-        F.aggregate(
-            F.zip_with(F.col("vd_a"), F.col("vd_b"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        )
-        / (F.col("nrm_a") * F.col("nrm_b"))
-    )
     epairs = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .filter(cos >= COSINE_DUP_THRESHOLD)
-        .select("id_a", "id_b")
+        ivf_blocked_pairs(emb)
+        .select(F.col("vec_id_a").alias("id_a"), F.col("vec_id_b").alias("id_b"))
         .withColumn("in_embed", F.lit(True))
     )
     merged = tpairs.join(epairs, ["id_a", "id_b"], "full_outer").select(
