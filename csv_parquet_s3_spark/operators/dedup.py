@@ -272,7 +272,13 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero extra shuffles of shingle rows. A document's shingle set is bounded
     by its length, so the array row stays small at any corpus scale.
     """
-    shingle_sets = signature_table(_shingles(spark, sf_dir)).persist()
+    # localCheckpoint, not persist(): the signature table feeds the band join
+    # and both verification sides, so it must materialize once — but a bare
+    # persist() with no reachable unpersist leaks cache in a long-lived
+    # session (the returned frame is lazy, so there is no safe in-function
+    # release point). localCheckpoint blocks are released by the
+    # ContextCleaner when the frame is garbage collected.
+    shingle_sets = signature_table(_shingles(spark, sf_dir)).localCheckpoint()
     return verified_pairs_from_signatures(shingle_sets)
 
 

@@ -73,7 +73,11 @@ def pairs_against_index(
         bands_from_signatures,
     )
 
-    new_sigs = signature_table(_shingles_of(new_docs)).persist()
+    # localCheckpoint, not persist(): materializes once for the band join +
+    # verification reuse, and its blocks are auto-released by the
+    # ContextCleaner on GC (a bare persist() here leaked cache — there is no
+    # in-function point where the lazy result has materialized).
+    new_sigs = signature_table(_shingles_of(new_docs)).localCheckpoint()
     idx_sigs = spark.read.parquet(index_path)
     nb = bands_from_signatures(new_sigs).alias("n")
     ib = bands_from_signatures(idx_sigs).alias("i")

@@ -174,27 +174,45 @@ def sample_documents_quality_weighted(spark: SparkSession, sf_dir: str) -> DataF
     WITH counts AS (
         SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang
     ),
-    target AS (SELECT MIN(n_lang) AS t FROM counts)
+    target AS (SELECT MIN(n_lang) AS t FROM counts),
+    thresholds AS (
+        SELECT lang,
+               CAST((CAST(t AS HUGEINT) * {16 ** 8} - 1) // n_lang AS BIGINT)
+                   AS keep_max
+        FROM counts CROSS JOIN target
+    )
     SELECT d.doc_id, d.lang, d.source
     FROM documents d
-    JOIN counts c ON c.lang = d.lang
-    CROSS JOIN target
-    WHERE {_DOC_HASH_DUCK} * c.n_lang < target.t * {16 ** 8}
+    JOIN thresholds c ON c.lang = d.lang
+    WHERE {_DOC_HASH_DUCK} <= c.keep_max
     """,
 )
 def rebalance_documents_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rebalance a skewed corpus to a uniform language mixture: every
     language is hash-downsampled toward the size of the SMALLEST language
-    (keep rate target/n_lang, applied as hash·n_lang < target·2^32 in exact
-    bigint). The per-language rates come from one keyed aggregation joined
-    back as a broadcast (|langs| rows) — the mixture-reweighting step of a
-    training-data pipeline, with no collect and no RNG."""
+    (keep rate target/n_lang). The Bernoulli trial is hash ≤ keep_max where
+    keep_max = ⌊(target·2³² − 1)/n_lang⌋ is PRECOMPUTED per language in the
+    |langs|-row counts frame using wide-decimal arithmetic — equivalent to
+    hash·n_lang < target·2³² but with bounded per-row integers: the old
+    formulation's hash·n_lang overflows signed 64-bit once a language holds
+    ≳2³¹ documents (Spark wraps silently, DuckDB raises — engines diverge
+    exactly at the scale the operator targets). The per-language thresholds
+    come from one keyed aggregation joined back as a broadcast — the
+    mixture-reweighting step of a training-data pipeline, with no collect
+    and no RNG."""
     docs = load_table(spark, sf_dir, "documents")
     counts = docs.groupBy("lang").agg(F.count("*").alias("n_lang"))
     target = counts.agg(F.min("n_lang").alias("t"))
+    thresholds = counts.crossJoin(F.broadcast(target)).select(
+        "lang",
+        F.floor(
+            (F.col("t").cast("decimal(38,0)") * (16 ** 8) - 1) / F.col("n_lang")
+        )
+        .cast("bigint")
+        .alias("keep_max"),
+    )
     return (
-        docs.join(F.broadcast(counts), "lang")
-        .crossJoin(F.broadcast(target))
-        .filter(F.expr(f"{_DOC_HASH_SPARK} * n_lang") < F.col("t") * (16 ** 8))
+        docs.join(F.broadcast(thresholds), "lang")
+        .filter(F.expr(_DOC_HASH_SPARK) <= F.col("keep_max"))
         .select("doc_id", "lang", "source")
     )

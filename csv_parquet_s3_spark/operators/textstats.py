@@ -609,7 +609,11 @@ def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log(F.col("n_total").cast("double") / F.col("cnt")), 6
     ).cast("decimal(20,6)")
     nll = (
-        doc_tf.join(F.broadcast(vocab), "token")
+        # No broadcast hint on vocab: a web-scale vocabulary (unbounded
+        # distinct tokens) need not fit in executor memory. AQE still picks
+        # broadcast at any realistic vocab size; at the pathological tail it
+        # degrades to a shuffled join instead of OOMing.
+        doc_tf.join(vocab, "token")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
