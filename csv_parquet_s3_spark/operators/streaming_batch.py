@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from csv_parquet_s3_spark.operators.registry import register
-from csv_parquet_s3_spark.sources.tables import table_path
+from csv_parquet_s3_spark.sources.tables import load_table, table_path
 from csv_parquet_s3_spark.streaming.events_stream import (
     hourly_event_rollup,
     session_window_counts,
@@ -99,12 +99,12 @@ def stream_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(0 AS BIGINT) + 900 * CAST(k.k AS BIGINT) AS off
         FROM UNNEST(range(0, 4)) AS k(k)
     )
-    SELECT to_timestamp(
+    SELECT CAST(to_timestamp(
                (CAST(floor((epoch(ts) - b.off) / 3600) AS BIGINT) * 3600
-                + b.off)) AS window_start,
-           to_timestamp(
+                + b.off)) AS TIMESTAMP) AS window_start,
+           CAST(to_timestamp(
                (CAST(floor((epoch(ts) - b.off) / 3600) AS BIGINT) * 3600
-                + b.off + 3600)) AS window_end,
+                + b.off + 3600)) AS TIMESTAMP) AS window_end,
            event_type,
            COUNT(*) AS n_events
     FROM events, bounds b
@@ -200,13 +200,68 @@ def stream_user_lifetime_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     final state, which must equal the batch per-user aggregate. The event
     values are exact 2-decimal, so the state's float accumulation rounds to
     the same cents as the oracle's DECIMAL sum (fp error ~1e-12 vs the
-    0.005 rounding margin). Update output mode: state rows re-emit per
-    batch; availableNow over the single-file source yields one batch, so
-    the memory sink holds exactly one row per key."""
+    0.005 rounding margin). Update output mode APPENDS a row per key per
+    batch into the memory sink, so the drain reduces to the final state per
+    key (argmax on the strictly-increasing event count) — the result is
+    independent of how the source splits into batches (multi-file layouts,
+    maxFilesPerTrigger)."""
     from csv_parquet_s3_spark.streaming.stateful import user_lifetime_totals
 
-    return _drain(
+    drained = _drain(
         spark,
         user_lifetime_totals(_events_stream(spark, sf_dir)),
         mode="update",
+    )
+    return drained.groupBy("user_id").agg(
+        F.max("lifetime_events").alias("lifetime_events"),
+        F.max_by("lifetime_value", "lifetime_events").alias("lifetime_value"),
+    )
+
+
+@register(
+    "stream_events_dedup_first_seen",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def stream_events_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup (`dropDuplicatesWithinWatermark`) executed as a
+    stream and drained: an at-least-once source becomes effectively-once,
+    with state bounded to keys seen inside the watermark horizon. Only the
+    key columns are emitted (which FULL row survives per key is first-seen
+    order, a race on an unordered source; the surviving KEY SET is exact) —
+    so the drained result is deterministic and equals DISTINCT keys."""
+    from csv_parquet_s3_spark.streaming.events_stream import dedup_event_stream
+
+    deduped = dedup_event_stream(
+        _events_stream(spark, sf_dir), keys=["user_id", "event_type"]
+    ).select("user_id", "event_type")
+    return _drain(spark, deduped, mode="append")
+
+
+@register(
+    "stream_segment_hourly_rollup",
+    oracle="""
+    SELECT date_trunc('hour', e.ts) AS hour_start, c.c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(12,2))), 2) AS DOUBLE)
+               AS total_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def stream_segment_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join + windowed rollup executed as a stream and
+    drained: the event stream enriches against the batch customer dimension
+    (re-read every micro-batch — dim refreshes flow through), then
+    aggregates value by market segment per hour under the watermark. Must
+    equal the batch join + GROUP BY — the bounded-input equivalence for the
+    stream-static operator."""
+    from csv_parquet_s3_spark.streaming.events_stream import segment_hourly_rollup
+
+    customers = load_table(spark, sf_dir, "customer")
+    return _drain(
+        spark,
+        segment_hourly_rollup(_events_stream(spark, sf_dir), customers),
     )

@@ -106,3 +106,37 @@ def sliding_event_rollup(
             "n_events",
         )
     )
+
+
+def segment_hourly_rollup(
+    events: DataFrame, customers: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Stream-static enrichment join + tumbling rollup: the event stream
+    joins the (batch) customer dimension on user_id and aggregates value by
+    market segment per hour — the canonical "enrich a stream against a
+    slowly-refreshed dim table" pipeline stage. The static side re-plans per
+    micro-batch (Spark re-reads it each trigger, picking up dim refreshes);
+    the broadcast hint keeps the join shuffle-free, which is the right call
+    for any dimension that fits an executor (customer at 100 TB fact scale
+    is still dimension-sized relative to events).
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        src.join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("c_mktsegment"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(
+                "CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)"
+            ).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "c_mktsegment",
+            "n_events",
+            "total_value",
+        )
+    )
