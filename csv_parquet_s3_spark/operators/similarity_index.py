@@ -1204,14 +1204,10 @@ def sim_cosine_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq8_topk(spark, emb)
 
 
-def sq8_topk(
-    spark: SparkSession, emb: DataFrame, candidates: DataFrame | None = None
-) -> DataFrame:
-    """SQ8 core; ``candidates`` (query_id, vec_id) restricts scoring to a
-    pruned set — the IVF composition hook, mirroring ``pq_topk``."""
-    x = _unit_long(emb)
-    stats = sq8_stats(x)
-    codes = x.join(F.broadcast(stats), "dim").select(
+def _sq8_encode(x: DataFrame, stats: DataFrame) -> DataFrame:
+    """(vec_id, dim, code): uniform 8-bit quantization of the unit-vector
+    long form against the per-dimension corpus range."""
+    return x.join(F.broadcast(stats), "dim").select(
         "vec_id",
         "dim",
         F.when(F.col("mx") == F.col("mn"), F.lit(0))
@@ -1225,7 +1221,11 @@ def sq8_topk(
         )
         .alias("code"),
     )
-    decoded = codes.join(F.broadcast(stats), "dim").select(
+
+
+def _sq8_decode(codes: DataFrame, stats: DataFrame) -> DataFrame:
+    """(cand_id, dim, xhat): reconstruct each code to its cell value."""
+    return codes.join(F.broadcast(stats), "dim").select(
         F.col("vec_id").alias("cand_id"),
         "dim",
         (
@@ -1233,6 +1233,17 @@ def sq8_topk(
             + F.col("code").cast("double") / SQ_LEVELS * (F.col("mx") - F.col("mn"))
         ).alias("xhat"),
     )
+
+
+def sq8_topk(
+    spark: SparkSession, emb: DataFrame, candidates: DataFrame | None = None
+) -> DataFrame:
+    """SQ8 core; ``candidates`` (query_id, vec_id) restricts scoring to a
+    pruned set — the IVF composition hook, mirroring ``pq_topk``."""
+    x = _unit_long(emb)
+    stats = sq8_stats(x)
+    codes = _sq8_encode(x, stats)
+    decoded = _sq8_decode(codes, stats)
     if candidates is not None:
         # restrict BEFORE the per-dimension product: decoded volume drops to
         # the probed share of the corpus (plain join, AQE picks the strategy)
@@ -1242,10 +1253,22 @@ def sq8_topk(
     q = x.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "dim", F.col("xv").alias("qv")
     )
+    return _sq8_rank(decoded, q, restricted=candidates is not None)
+
+
+def _sq8_rank(decoded: DataFrame, q: DataFrame, restricted: bool) -> DataFrame:
+    """Shared SQ8 ADC ranking tail over a decoded (cand_id, dim, xhat[,
+    query_id]) frame and a query long form (query_id, dim, qv). With
+    ``restricted`` the decoded side already carries query_id from the
+    candidate join, so the per-dimension product joins per (query, dim)."""
     term = F.round(
         (F.col("qv") - F.col("xhat")) * (F.col("qv") - F.col("xhat")), 9
     ).cast("decimal(20,9)")
-    join_keys = ["dim"] if candidates is None else ["query_id", "dim"]
+    join_keys = ["query_id", "dim"] if restricted else ["dim"]
+    # Broadcast bound: q is |Q|·d rows (N_QUERIES query vectors exploded by
+    # dimension) — KiBs here, and in production ANN serving the query batch
+    # is sized to fit an executor by construction. If a bulk all-pairs run
+    # ever ships an unbounded query side, drop the hint and let AQE choose.
     scored = (
         decoded.join(F.broadcast(q), join_keys)
         .filter(F.col("cand_id") != F.col("query_id"))
@@ -1266,3 +1289,201 @@ def sim_cosine_topk_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning matrix (PQ, residual-PQ, SQ8 each compose with IVF)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sq8_topk(spark, emb, candidates=_coarse_candidates(emb))
+
+
+# ---------------------------------------------------------------------------
+# Stored-index IVF×PQ: train ONCE → persist (codebooks, codes, coarse index)
+# → search many. The end-to-end `sim_cosine_topk_ivf_pq` query retrains its
+# codebooks on every call, which is the right correctness artifact but the
+# wrong serving shape: at 100 TB you amortize one training/encode job over
+# trillions of queries. This variant separates the two — `build_ivf_pq_index`
+# is the (idempotent, fingerprint-guarded) offline job, and
+# `ivf_pq_topk_from_index` touches only the stored parquet: probe the coarse
+# centroids, join the probed lists' M-byte codes against per-query ADC
+# tables. Same deterministic training ⇒ same results ⇒ the identical
+# `_ivf_pq_oracle` hash-checks the stored-index path.
+# ---------------------------------------------------------------------------
+
+
+def _pq_index_root(sf_dir: str) -> str:
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    return os.path.join(repo, "spark-warehouse", "ivf_pq_index", tag)
+
+
+def _embeddings_fingerprint(sf_dir: str) -> dict:
+    """Identity of the source the index was built from — (path, size,
+    mtime). A regenerated testdata drop invalidates the stored index
+    instead of silently serving stale codes."""
+    import os
+
+    from csv_parquet_s3_spark.sources.tables import table_path
+
+    p = table_path(sf_dir, "embeddings")
+    st = os.stat(p)
+    # "format" versions the artifact SET: bump it whenever the build writes
+    # new datasets (e.g. the sq8_* additions), so an index from an older
+    # build rebuilds instead of failing on a missing artifact.
+    return {"path": p, "size": st.st_size, "mtime_ns": st.st_mtime_ns, "format": 2}
+
+
+def build_ivf_pq_index(spark: SparkSession, emb: DataFrame, index_path: str) -> None:
+    """Offline index build: PQ codebooks (deterministic Lloyd), corpus
+    codes (M small ints per vector), and the coarse quantizer (seed
+    centroids + full inverted-list assignment) — four parquet datasets
+    under one root. Each stage reads the previous stage back from parquet,
+    so the stored artifacts are exactly what search will consume."""
+    books = train_pq_codebooks(spark, emb)
+    books.write.mode("overwrite").parquet(f"{index_path}/codebooks")
+    books_s = spark.read.parquet(f"{index_path}/codebooks")
+    pq_encode(emb, books_s).write.mode("overwrite").parquet(f"{index_path}/codes")
+    vec = _with_norm(emb).select("vec_id", "vd", "norm")
+    cent = _centroid_frame(
+        vec.filter(
+            (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + K_LISTS)
+        ).select(
+            F.dense_rank().over(W.orderBy("vec_id")).cast("bigint").alias("list_id"),
+            "vd",
+            "norm",
+        )
+    )
+    cent.write.mode("overwrite").parquet(f"{index_path}/centroids")
+    cent_s = spark.read.parquet(f"{index_path}/centroids")
+    _assign(vec, cent_s).select("vec_id", "list_id").write.mode("overwrite").parquet(
+        f"{index_path}/coarse_assign"
+    )
+    # SQ8 artifacts share the root (and the coarse quantizer): per-dimension
+    # corpus range + 1-byte-per-dim codes — the other compressed serving path.
+    x = _unit_long(emb)
+    stats = sq8_stats(x)
+    stats.write.mode("overwrite").parquet(f"{index_path}/sq8_stats")
+    stats_s = spark.read.parquet(f"{index_path}/sq8_stats")
+    _sq8_encode(x, stats_s).write.mode("overwrite").parquet(f"{index_path}/sq8_codes")
+
+
+def ivf_pq_topk_from_index(
+    spark: SparkSession,
+    queries: DataFrame,
+    index_path: str,
+    k: int = TOP_K,
+    nprobe: int = N_PROBE,
+) -> DataFrame:
+    """Serve top-k from the STORED index only: no training, no corpus
+    vectors — the query side probes its nprobe nearest stored centroids
+    (|Q|×K broadcast), pulls those lists' members from the stored coarse
+    assignment, and ADC-ranks their codes. Per-query cost is
+    (nprobe/K)·corpus code lookups; the raw embedding column is never read
+    at query time."""
+    books = spark.read.parquet(f"{index_path}/codebooks")
+    codes = spark.read.parquet(f"{index_path}/codes")
+    candidates = _stored_coarse_candidates(spark, queries, index_path, nprobe)
+    return pq_topk(queries, codes, books, candidates=candidates)
+
+
+def _stored_coarse_candidates(
+    spark: SparkSession, queries: DataFrame, index_path: str, nprobe: int = N_PROBE
+) -> DataFrame:
+    """(query_id, vec_id): candidate pairs from the STORED coarse quantizer
+    — probe each query's nprobe nearest stored centroids and pull those
+    lists' members from the stored assignment. Shared by every
+    quantizer-from-index search (PQ, SQ8)."""
+    cent = spark.read.parquet(f"{index_path}/centroids")
+    assign = spark.read.parquet(f"{index_path}/coarse_assign")
+    q = _with_norm(queries).select("vec_id", "vd", "norm")
+    wq = W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("list_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "csim",
+            F.round(
+                _dot(F.col("vd"), F.col("cv")) / (F.col("norm") * F.col("cnorm")), 6
+            ).cast("double"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select(F.col("vec_id").alias("query_id"), "list_id")
+    )
+    return probes.join(assign, "list_id").select("query_id", "vec_id")
+
+
+def ensure_ivf_pq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotent index materialization: build only if absent or if the
+    source embeddings file changed (fingerprint marker). Builds land in a
+    temp sibling then rename into place, so a concurrent reader never sees
+    a half-written index."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    root = _pq_index_root(sf_dir)
+    marker = os.path.join(root, "_INDEX_META.json")
+    fp = _embeddings_fingerprint(sf_dir)
+    if os.path.exists(marker):
+        try:
+            with open(marker) as fh:
+                if json.load(fh) == fp:
+                    return root
+        except (ValueError, OSError):
+            pass
+    emb = load_table(spark, sf_dir, "embeddings")
+    tmp = f"{root}.build-{uuid.uuid4().hex}"
+    build_ivf_pq_index(spark, emb, tmp)
+    with open(os.path.join(tmp, "_INDEX_META.json"), "w") as fh:
+        json.dump(fp, fh)
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    os.rename(tmp, root)
+    return root
+
+
+@register("sim_cosine_topk_ivf_pq_from_index", oracle=_ivf_pq_oracle())
+def sim_cosine_topk_ivf_pq_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ search FROM THE STORED INDEX — the serving shape of the
+    canonical billion-scale ANN recipe: train/encode once (amortized,
+    fingerprint-guarded), then every search touches only stored centroids,
+    coarse assignment, and M-byte codes. Hash-checked against the same
+    unrolled-Lloyd oracle as the end-to-end `sim_cosine_topk_ivf_pq` —
+    pinning stored-index search ≡ end-to-end compute."""
+    root = ensure_ivf_pq_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return ivf_pq_topk_from_index(spark, queries, root)
+
+
+def sq8_topk_from_index(
+    spark: SparkSession,
+    queries: DataFrame,
+    index_path: str,
+    nprobe: int = N_PROBE,
+) -> DataFrame:
+    """SQ8 serving from the STORED index: decode the probed lists' stored
+    byte codes against the stored per-dimension range and rank with the
+    shared ADC tail — no range re-computation, no corpus re-encoding."""
+    stats = spark.read.parquet(f"{index_path}/sq8_stats")
+    codes = spark.read.parquet(f"{index_path}/sq8_codes")
+    candidates = _stored_coarse_candidates(spark, queries, index_path, nprobe)
+    decoded = _sq8_decode(codes, stats).join(
+        candidates.withColumnRenamed("vec_id", "cand_id"), "cand_id"
+    )
+    q = _unit_long(queries).select(
+        F.col("vec_id").alias("query_id"), "dim", F.col("xv").alias("qv")
+    )
+    return _sq8_rank(decoded, q, restricted=True)
+
+
+@register("sim_cosine_topk_ivf_sq8_from_index", oracle=_sq8_oracle(ivf=True))
+def sim_cosine_topk_ivf_sq8_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×SQ8 search FROM THE STORED INDEX — the serving shape of the
+    byte-quantized path: the offline build persists the per-dimension range
+    + 1-byte codes next to the PQ artifacts (one ANN index root, one
+    fingerprint guard), and each query probes stored centroids then
+    ADC-ranks stored codes. Hash-checked against the same oracle as the
+    end-to-end `sim_cosine_topk_ivf_sq8`, pinning stored-index serving ≡
+    end-to-end compute."""
+    root = ensure_ivf_pq_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return sq8_topk_from_index(spark, queries, root)
