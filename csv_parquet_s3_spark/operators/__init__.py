@@ -18,6 +18,7 @@ from csv_parquet_s3_spark.operators import (  # noqa: F401
     relational,
     reshape,
     sampling,
+    scd,
     similarity,
     similarity_index,
     streaming_batch,
