@@ -42,63 +42,65 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-robin verification window (see PARITY.md "Driver verification
 # rotation"): the driver's correctness check covers the FIRST 50 entries of
 # queries(), so each round the entries most in need of a fresh signal are
-# listed first. After r03 every oracle-backed entry has a hash-green driver
-# row (109/110; q_approx_sketches is inherently rows-only and is re-run each
-# round for its execution check). The r04 window, generated by
-# tools/rotate_window.py, re-pins the 49 STALEST greens — r01-era events/
-# window/reshape/sampling entries, the similarity and text families, and the
-# oldest tpch_ext rows — so no green ages past two rounds unverified.
+# listed first. The r05 window (tools/rotate_window.py output, hand-adjusted)
+# fronts: the new stored-index IVF×PQ query; the r04 red row
+# stream_events_sliding_rollup (oracle type fixed this round); every operator
+# whose implementation changed in r05 (modality agreement + IVF-blocked pairs
+# de-cartesianed, rebalance overflow fix, lifetime-totals drain hardening,
+# perplexity broadcast-hint removal, LSH persist→localCheckpoint); then the
+# rows-only sketch check and the stalest r02 greens, so no green ages past
+# two rounds unverified.
 VERIFY_PRIORITY: list[str] = [
-    "sim_cosine_topk_ivf_pq_residual",
-    "pack_documents_greedy",
-    "pack_documents_efficiency",
-    "pack_documents_consolidated",
-    "sample_documents_quality_weighted",
-    "rebalance_documents_by_lang",
-    "text_unigram_perplexity",
-    "emb_random_projection",
-    "sim_cosine_topk_sq8",
-    "sim_cosine_topk_ivf_sq8",
-    "dedup_canonical_docs",
-    "stream_events_hourly_rollup",
+    "sim_cosine_topk_ivf_pq_from_index",
+    "sim_cosine_topk_ivf_sq8_from_index",
+    "stream_events_dedup_first_seen",
+    "stream_segment_hourly_rollup",
+    "scd2_customer_priority_history",
     "stream_events_sliding_rollup",
-    "stream_events_session_windows",
-    "stream_click_purchase_attribution",
+    "dedup_modality_agreement",
+    "dedup_embedding_ivf_blocked",
+    "rebalance_documents_by_lang",
     "stream_user_lifetime_totals",
-    "q_approx_sketches",
-    "q_events_sessionize",
-    "q_events_user_daily_activity",
-    "q_events_funnel",
-    "q_left_join_customer_order_counts",
-    "q_full_outer_nation_presence",
-    "q_window_lead_ntile",
-    "q_events_json_extract",
-    "q_events_trailing_hour",
-    "q_unpivot_lineitem_metrics",
-    "q_null_safe_join",
-    "q_events_user_ewma",
+    "text_unigram_perplexity",
+    "dedup_minhash_lsh_pairs",
     "dedup_minhash_incremental",
-    "mm_byte_histogram_features",
-    "q_window_value_functions",
-    "q_string_agg_statuses",
-    "q_events_hourly_gapfill",
-    "q_events_weekly_retention",
-    "q_order_value_histogram",
-    "q_revenue_month_over_month",
-    "q_supplier_balance_zscore",
-    "q_priority_share_of_total",
-    "q_part_size_price_correlation",
-    "q_customer_value_deciles",
-    "q_events_dau_wau_stickiness",
-    "q_customer_reorder_gaps",
-    "q_user_journey_paths",
-    "q_supplier_balance_mad",
-    "q_events_error_spikes",
-    "split_documents_train_test",
-    "sample_documents_stratified",
-    "sim_cosine_topk_bruteforce",
-    "sim_cosine_topk_ivf_label",
-    "sim_cosine_topk_ivf_probe",
+    "q_approx_sketches",
+    "sim_label_centroid_distance",
+    "sim_cosine_topk_vectorized",
+    "sim_cosine_topk_ivf_trained",
+    "text_token_counts",
+    "text_doc_stats",
+    "text_langid_heuristic",
+    "text_fingerprint",
+    "text_lang_distribution",
+    "text_langid_ngram",
+    "text_feature_hash_embedding",
+    "text_tfidf_top_terms",
+    "q02_cheapest_supplier_per_part",
+    "q07_nation_trade_volume",
+    "q08_market_share",
+    "q09_profit_by_nation_year",
+    "q11_brand_value_concentration",
+    "q12_priority_by_returnflag",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_share",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_revenue",
+    "q22_idle_rich_customers",
+    "q15_top_supplier",
+    "q16_supplier_diversity",
+    "q20_bulk_small_part_suppliers",
+    "q21_last_shipper_counts",
+    "q_asof_error_to_purchase",
+    "q_range_join_price_bands",
+    "q_order_value_quantiles",
+    "q_grouping_sets_revenue",
+    "q_kmv_distinct_users",
+    "q_kmv_cohort_overlap",
+    "dedup_exact_documents",
+    "dedup_keep_first_events",
+    "dedup_simhash_signatures",
 ]
 
 
