@@ -460,3 +460,215 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= HAMMING_MAX)
         .select("doc_id_a", "doc_id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-substring spans (Lee et al., "Deduplicating Training Data
+# Makes Language Models Better"): a token position is "duplicated" when it is
+# covered by any SPAN_N-token window whose exact text recurs in >= 2 distinct
+# documents corpus-wide. Reference scope: the reference engine has no text
+# pipeline at all (529 Java + 505 PL/SQL ETL lines, zero query code) — this
+# is part of the driver-mandated training-data surface.
+# ---------------------------------------------------------------------------
+SPAN_N = 8  # tokens per exact-match window
+
+
+@register(
+    "dedup_exact_substring_spans",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, i,
+               md5(array_to_string(toks[i:i+{SPAN_N - 1}], ' ')) AS digest
+        FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - {SPAN_N - 1})) AS i) g
+        WHERE len(toks) >= {SPAN_N}
+    ),
+    dup AS (
+        SELECT digest FROM sh GROUP BY digest HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    cover AS (
+        SELECT DISTINCT sh.doc_id, p.pos
+        FROM sh JOIN dup USING (digest),
+             LATERAL (SELECT unnest(generate_series(sh.i, sh.i + {SPAN_N - 1})) AS pos) p
+    ),
+    perdoc AS (
+        SELECT t.doc_id, len(t.toks) AS n_tokens, COALESCE(c.n_dup, 0) AS n_dup
+        FROM t LEFT JOIN (
+            SELECT doc_id, COUNT(*) AS n_dup FROM cover GROUP BY doc_id
+        ) c USING (doc_id)
+    )
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(n_dup AS INT) AS n_dup_tokens,
+           CAST(ROUND(CAST(n_dup AS DOUBLE) / n_tokens, 6) AS DOUBLE) AS dup_fraction
+    FROM perdoc
+    """,
+)
+def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fraction of tokens covered by an exact {SPAN_N}-token
+    window that recurs in another document (the Lee-et-al. exact-substring
+    dedup signal, windowed rather than suffix-array based).
+
+    Scale shape: windows are md5-digested BEFORE the corpus-wide groupBy, so
+    the shuffle key is a fixed 32-char digest, never window text; the digest
+    groupBy + semi-join back is the inverted-index pattern, linear in corpus
+    token count (x SPAN_N for coverage expansion, a constant). A suffix-array
+    would find variable-length duplicates but needs a global sort; fixed
+    windows at 100 TB shuffle bounded keys and parallelize embarrassingly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    sh = (
+        t.filter(F.size("toks") >= SPAN_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {SPAN_N - 1}),"
+                    f" i -> struct(i AS i,"
+                    f" md5(cast(concat_ws(' ', slice(toks, i, {SPAN_N})) as binary)) AS digest))"
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", F.col("w.i").alias("i"), F.col("w.digest").alias("digest"))
+    )
+    dup = (
+        sh.groupBy("digest")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("digest")
+    )
+    cover = (
+        sh.join(dup, "digest")
+        .select("doc_id", F.explode(F.expr(f"sequence(i, i + {SPAN_N - 1})")).alias("pos"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup"))
+    )
+    perdoc = t.select("doc_id", F.size("toks").alias("n_tokens")).join(
+        cover, "doc_id", "left"
+    )
+    n_dup = F.coalesce(F.col("n_dup"), F.lit(0))
+    return perdoc.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        n_dup.cast("int").alias("n_dup_tokens"),
+        F.round(n_dup.cast("double") / F.col("n_tokens"), 6)
+        .cast("double")
+        .alias("dup_fraction"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Bloom-filter blocklist probe: membership screening against an
+# existing corpus WITHOUT shuffling the candidate side. The filter is built
+# with portable md5 arithmetic (k salted hashes -> bit positions -> 32-bit
+# words OR-folded into a 256-row table), so the DuckDB oracle replays the
+# identical bit math, false positives included.
+# ---------------------------------------------------------------------------
+BLOOM_M_BITS = 8192  # filter width (bits); 256 x 32-bit words
+BLOOM_K = 4          # hash functions
+
+# First 8 hex chars of md5 as a BIGINT — same arithmetic text in Spark SQL
+# and DuckDB (shared idiom with the KMV sketches in advanced.py).
+_BLOOM_HEX_INT = "(" + " + ".join(
+    f"CAST(instr('0123456789abcdef', substr({{h}}, {i + 1}, 1)) - 1 AS BIGINT)"
+    f" * {16 ** (7 - i)}"
+    for i in range(8)
+) + ")"
+
+
+def _bloom_pos_sql(seed: int, text_expr: str, engine: str) -> str:
+    """SQL fragment: bit position of hash #seed of ``text_expr``.
+
+    The hex->int arithmetic is the identical text on both engines; only the
+    md5 call differs (Spark hashes BINARY, DuckDB hashes VARCHAR).
+    """
+    if engine == "spark":
+        h = f"md5(cast(concat('{seed}:', {text_expr}) as binary))"
+    else:
+        h = f"md5('{seed}:' || {text_expr})"
+    return f"({_BLOOM_HEX_INT.format(h=h)} % {BLOOM_M_BITS})"
+
+
+_BLOOM_POSITIONS = ", ".join(
+    f"{_bloom_pos_sql(i, 'text', 'duck')} AS p{i}" for i in range(BLOOM_K)
+)
+_BLOOM_PLIST = ", ".join(f"p{i}" for i in range(BLOOM_K))
+
+
+@register(
+    "dedup_bloom_blocklist",
+    oracle=f"""
+    WITH block AS (SELECT text FROM documents WHERE source = 'src0'),
+    bpos AS (SELECT {_BLOOM_POSITIONS} FROM block),
+    bits AS (
+        SELECT p // 32 AS w, bit_or(CAST(1 AS BIGINT) << (p % 32)) AS mask
+        FROM (SELECT unnest([{_BLOOM_PLIST}]) AS p FROM bpos)
+        GROUP BY w
+    ),
+    cand AS (SELECT doc_id, source, {_BLOOM_POSITIONS} FROM documents),
+    probe AS (
+        SELECT c.doc_id, c.source,
+               COUNT(*) FILTER (COALESCE(b.mask, 0) & (CAST(1 AS BIGINT) << (u.p % 32)) <> 0) AS hits
+        FROM cand c, LATERAL (SELECT unnest([{_BLOOM_PLIST}]) AS p) u
+        LEFT JOIN bits b ON b.w = u.p // 32
+        GROUP BY c.doc_id, c.source
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(*) FILTER (hits = {BLOOM_K}) AS n_flagged
+    FROM probe GROUP BY source
+    """,
+)
+def dedup_bloom_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source counts of documents whose text may be in the blocklist (all
+    of ``src0``) according to a {BLOOM_M_BITS}-bit / {BLOOM_K}-hash Bloom
+    filter.
+
+    Scale shape: screening 100 TB of candidates against an existing corpus as
+    an anti-join shuffles both sides on text digests; a Bloom filter reduces
+    the corpus side to a KB-scale bitset that BROADCASTS, so candidates are
+    screened in a map-only pass (false-positive rate (nk/m)^k, tunable via
+    BLOOM_M_BITS) and only the tiny maybe-set needs the exact anti-join. The
+    bitset is built with ``bit_or`` partial aggregation (map-side combine on
+    {BLOOM_M_BITS // 32} word keys). Deterministic md5 hashing means the
+    DuckDB oracle reproduces exact membership AND false positives.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pos_cols = [
+        F.expr(_bloom_pos_sql(i, "text", "spark")).alias(f"p{i}")
+        for i in range(BLOOM_K)
+    ]
+    block = docs.filter(F.col("source") == "src0").select(*pos_cols)
+    bits = (
+        block.select(F.explode(F.array(*[F.col(f"p{i}") for i in range(BLOOM_K)])).alias("p"))
+        .groupBy(F.expr("p div 32").alias("w"))
+        .agg(F.bit_or(F.expr("shiftleft(cast(1 as bigint), cast(p % 32 as int))")).alias("mask"))
+    )
+    cand = docs.select("doc_id", "source", *pos_cols)
+    probe = (
+        cand.select(
+            "doc_id",
+            "source",
+            F.explode(F.array(*[F.col(f"p{i}") for i in range(BLOOM_K)])).alias("p"),
+        )
+        .join(F.broadcast(bits), F.expr("p div 32") == F.col("w"), "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr(
+                        "coalesce(mask, cast(0 as bigint))"
+                        " & shiftleft(cast(1 as bigint), cast(p % 32 as int))"
+                    )
+                    != 0,
+                    1,
+                ).otherwise(0)
+            ).alias("hits")
+        )
+    )
+    return probe.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("hits") == BLOOM_K, 1).otherwise(0)).alias("n_flagged"),
+    )
