@@ -190,3 +190,155 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canonical_id",
         (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted PageRank over the nation-level trade graph: the canonical
+# "iterative algorithm as a DataFrame loop" shape. Edges come from ONE pass
+# over the fact tables (supplier-nation -> customer-nation revenue); the
+# iterations then run on the aggregated graph, which is dimension-sized —
+# at 100 TB the fact scan dominates and the loop is noise. Rank mass from
+# dangling nodes (no out-edges) redistributes uniformly, the standard
+# PageRank completion (Page et al. 1999).
+#
+# Determinism: edge weights aggregate in DECIMAL (exact); the single
+# weight/out-weight division to DOUBLE is IEEE-identical on both engines;
+# iteration sums are ~25-term double adds whose associativity error is
+# O(1e-16), far inside the final ROUND(.., 6).
+# ---------------------------------------------------------------------------
+PR_DAMPING = 0.85
+PR_ITERS = 5
+
+_PR_EDGES_ORACLE = """
+    edges_raw AS (
+        SELECT ns.n_name AS src, nc.n_name AS dst,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                   * CAST(1 - CAST(l.l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+        WHERE ns.n_name <> nc.n_name
+        GROUP BY ns.n_name, nc.n_name
+    ),
+    nodes AS (SELECT n_name AS node FROM nation),
+    edges AS (
+        SELECT src, dst,
+               CAST(w AS DOUBLE) / CAST(SUM(w) OVER (PARTITION BY src) AS DOUBLE) AS share
+        FROM edges_raw
+    ),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT COUNT(*) FROM nodes) AS rank
+           FROM nodes)
+"""
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled-iteration oracle (same style as the Lloyd unrolls in
+    similarity_index): r0..r{PR_ITERS} as chained CTEs, each one damped
+    step with dangling-mass redistribution."""
+    n_nodes = "(SELECT COUNT(*) FROM nodes)"
+    its = []
+    for t in range(1, PR_ITERS + 1):
+        p = f"r{t - 1}"
+        its.append(f"""
+    r{t} AS (
+        SELECT n.node,
+               (1.0 - {PR_DAMPING}) / {n_nodes}
+               + {PR_DAMPING} * (COALESCE(m.mass, 0.0)
+                   + (SELECT COALESCE(SUM(r.rank), 0.0) FROM {p} r
+                      WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = r.node))
+                     / {n_nodes}) AS rank
+        FROM nodes n
+        LEFT JOIN (
+            SELECT e.dst AS node, SUM(r.rank * e.share) AS mass
+            FROM edges e JOIN {p} r ON r.node = e.src
+            GROUP BY e.dst
+        ) m ON m.node = n.node
+    )""")
+    return (
+        "WITH " + _PR_EDGES_ORACLE + "," + ",".join(its) + f"""
+    SELECT node AS nation, CAST(ROUND(rank, 6) AS DOUBLE) AS pagerank
+    FROM r{PR_ITERS}
+    """
+    )
+
+
+@register("graph_pagerank_nation_trade", oracle=_pagerank_oracle())
+def graph_pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{PR_ITERS}-iteration weighted PageRank of nations in the trade graph
+    (supplier nation -> customer nation, edge weight = discounted revenue).
+
+    Reference scope: SURVEY.md §2.2 — the reference has no iterative
+    operators at all; this demonstrates the Spark-first shape for them:
+    aggregate the fact tables down to a graph ONCE (the only scan that sees
+    data volume), then loop tiny dimension-sized frames with explicit
+    ``localCheckpoint`` lineage truncation so round k never replays rounds
+    1..k-1 (same discipline as ``connected_components`` above).
+    """
+    from csv_parquet_s3_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    ns = nation.select(F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("src"))
+    nc = nation.select(F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("dst"))
+    w = F.expr(
+        "CAST(l_extendedprice AS DECIMAL(12,2))"
+        " * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))"
+    )
+    edges_raw = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum(w).alias("w"))
+    )
+    from pyspark.sql import Window
+
+    out_w = Window.partitionBy("src")
+    edges = edges_raw.select(
+        "src",
+        "dst",
+        (F.col("w").cast("double") / F.sum("w").over(out_w).cast("double")).alias("share"),
+    ).localCheckpoint(eager=True)
+
+    nodes = nation.select(F.col("n_name").alias("node")).localCheckpoint(eager=True)
+    n_nodes = nodes.count()  # dimension-sized scalar (bounded), not data volume
+
+    ranks = nodes.select("node", (F.lit(1.0) / n_nodes).alias("rank"))
+    srcs = edges.select("src").distinct()
+    for _ in range(PR_ITERS):
+        dangling = (
+            ranks.join(srcs, ranks.node == srcs.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+        )
+        incoming = (
+            edges.join(ranks, edges.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("share")).alias("mass"))
+        )
+        ranks = (
+            nodes.join(incoming, nodes.node == incoming.dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - PR_DAMPING) / n_nodes)
+                    + PR_DAMPING
+                    * (F.coalesce(F.col("mass"), F.lit(0.0)) + F.col("dmass") / n_nodes)
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.col("node").alias("nation"),
+        F.round("rank", 6).cast("double").alias("pagerank"),
+    )

@@ -849,3 +849,61 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count("*").alias("n_clicked_after_view")))
         .crossJoin(p.agg(F.count("*").alias("n_purchased_after_click")))
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted join: the manual skew-mitigation pattern, registered so the salted
+# plan is hash-checked equal to the plain join it replaces. AQE's skew-join
+# only splits SORT-MERGE partitions after a shuffle materializes the skew;
+# pre-salting applies when the hot keys are KNOWN (boilerplate part, null
+# surrogate key, celebrity user) and avoids the stragglers entirely.
+# ---------------------------------------------------------------------------
+SALT_BUCKETS = 8
+
+
+@register(
+    "q_salted_brand_revenue",
+    oracle=f"""
+    SELECT p.p_brand AS brand,
+           CAST(ROUND(SUM({DEC_PRICE} * {DISC_FACTOR}), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def q_salted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand revenue via an explicitly SALTED fact⋈dim join: the fact side
+    tags each row with ``l_orderkey % {SALT_BUCKETS}``, the dim side
+    replicates each part row to all {SALT_BUCKETS} salts, and the join key
+    becomes (p_partkey, salt) — any single hot part key spreads over
+    {SALT_BUCKETS} reducers instead of one straggler. The oracle is the
+    PLAIN join: salting is a physical rewrite and must be result-invariant
+    (that is precisely what the hash check pins).
+
+    At 100 TB: replication multiplies only the DIM side (bounded ×salt);
+    the fact side — the 100 TB — is mapped once, never replicated. Partial
+    aggregation on (brand) after the join keeps the final shuffle tiny.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    fact = li.select(
+        "l_partkey",
+        F.expr(REVENUE).alias("rev"),
+        (F.col("l_orderkey") % SALT_BUCKETS).cast("int").alias("salt"),
+    )
+    dim = part.select(
+        "p_partkey",
+        "p_brand",
+        F.explode(F.expr(f"sequence(0, {SALT_BUCKETS - 1})")).alias("salt_d"),
+    )
+    return (
+        fact.join(
+            dim,
+            (fact.l_partkey == dim.p_partkey) & (fact.salt == dim.salt_d),
+        )
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.expr("CAST(ROUND(SUM(rev), 2) AS DOUBLE)").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )

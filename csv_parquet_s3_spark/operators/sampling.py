@@ -216,3 +216,64 @@ def rebalance_documents_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.expr(_DOC_HASH_SPARK) <= F.col("keep_max"))
         .select("doc_id", "lang", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum sharding: boundary-based global bucketing without a global sort.
+# ---------------------------------------------------------------------------
+CURRICULUM_SHARDS = 4
+_CURRICULUM_PS = [i / CURRICULUM_SHARDS for i in range(1, CURRICULUM_SHARDS)]
+
+
+@register(
+    "curriculum_length_shards",
+    oracle=f"""
+    WITH b AS (
+        SELECT quantile_cont(n_chars, {_CURRICULUM_PS}) AS qs FROM documents
+    ),
+    assigned AS (
+        SELECT d.doc_id, d.n_chars,
+               CASE WHEN d.n_chars <= b.qs[1] THEN 0
+                    WHEN d.n_chars <= b.qs[2] THEN 1
+                    WHEN d.n_chars <= b.qs[3] THEN 2
+                    ELSE 3 END AS shard
+        FROM documents d, b
+    )
+    SELECT CAST(shard AS INT) AS shard, COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM assigned GROUP BY shard
+    """,
+)
+def curriculum_length_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth curriculum shards over document length: exact global
+    quantile boundaries (one small aggregate), then a map-only CASE
+    assignment — per-shard counts and length ranges.
+
+    Scale shape: the naive formulation (``ntile()`` over a global ORDER BY)
+    funnels 100 TB through ONE window partition — a non-starter. Computing
+    the {CURRICULUM_SHARDS - 1} boundaries first costs one aggregate whose
+    result is a single row; broadcasting it back turns assignment into a
+    stateless scan, which also means the same boundaries can re-shard future
+    increments consistently (a curriculum must be stable across batches).
+    Spark's exact ``percentile`` and DuckDB's ``quantile_cont`` both
+    linearly interpolate at rank p·(n−1), so the boundaries agree exactly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ps = ", ".join(str(p) for p in _CURRICULUM_PS)
+    b = docs.agg(F.expr(f"percentile(n_chars, array({ps}))").alias("qs"))
+    shard = (
+        F.when(F.col("n_chars") <= F.element_at("qs", 1), 0)
+        .when(F.col("n_chars") <= F.element_at("qs", 2), 1)
+        .when(F.col("n_chars") <= F.element_at("qs", 3), 2)
+        .otherwise(3)
+    )
+    return (
+        docs.crossJoin(F.broadcast(b))
+        .select(shard.cast("int").alias("shard"), "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )

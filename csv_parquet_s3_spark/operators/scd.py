@@ -126,3 +126,57 @@ def scd2_customer_priority_history(spark: SparkSession, sf_dir: str) -> DataFram
         ts="o_orderdate",
         tiebreak="o_orderkey",
     )
+
+
+@register(
+    "scd1_current_customer_priority",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_custkey, o_orderpriority, o_orderdate,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY o_custkey) AS n_changes
+        FROM orders
+    )
+    SELECT c.c_custkey,
+           COALESCE(r.o_orderpriority, 'NONE') AS current_priority,
+           r.o_orderdate AS last_change,
+           CAST(COALESCE(r.n_changes, 0) AS BIGINT) AS n_changes
+    FROM customer c
+    LEFT JOIN ranked r ON r.o_custkey = c.c_custkey AND r.rn = 1
+    """,
+)
+def scd1_current_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type 1 (latest-wins upsert): the current-state dimension the SCD2
+    history above collapses to. One window pass picks each key's newest
+    observation (total order via the o_orderkey tiebreak), then a left join
+    merges it over the base dimension — the batch equivalent of
+    ``MERGE INTO dim USING changes WHEN MATCHED THEN UPDATE`` for engines
+    without MERGE. Keys with no feed rows keep their default.
+
+    Scale shape: one shuffle on the dimension key for the window, one
+    key-partitioned join; the feed never re-sorts globally. At 100 TB the
+    window's per-key state is one row (rn=1 short-circuits via the
+    rank-pushdown filter), and AQE splits hot customer keys.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    wk = W.partitionBy("o_custkey")
+    ranked = (
+        orders.select(
+            "o_custkey",
+            "o_orderpriority",
+            "o_orderdate",
+            F.row_number()
+            .over(wk.orderBy(F.desc("o_orderdate"), F.desc("o_orderkey")))
+            .alias("rn"),
+            F.count("*").over(wk).alias("n_changes"),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return cust.join(ranked, cust.c_custkey == ranked.o_custkey, "left").select(
+        "c_custkey",
+        F.coalesce("o_orderpriority", F.lit("NONE")).alias("current_priority"),
+        F.col("o_orderdate").alias("last_change"),
+        F.coalesce("n_changes", F.lit(0)).cast("bigint").alias("n_changes"),
+    )
