@@ -311,11 +311,29 @@ def graph_pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
 
     nodes = nation.select(F.col("n_name").alias("node")).localCheckpoint(eager=True)
-    n_nodes = nodes.count()  # dimension-sized scalar (bounded), not data volume
+    return pagerank(nodes, edges).select(
+        F.col("node").alias("nation"),
+        F.round("rank", 6).cast("double").alias("pagerank"),
+    )
 
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iters: int = PR_ITERS,
+    damping: float = PR_DAMPING,
+) -> DataFrame:
+    """(node, rank) after ``n_iters`` damped power iterations.
+
+    ``nodes``: (node); ``edges``: (src, dst, share) with shares summing to 1
+    per src. Dangling-node mass redistributes uniformly each step. Frames
+    are expected graph-sized (post-aggregation); each iteration
+    localCheckpoints so iteration k never replays 1..k-1.
+    """
+    n_nodes = nodes.count()  # graph-sized scalar (bounded), not data volume
     ranks = nodes.select("node", (F.lit(1.0) / n_nodes).alias("rank"))
     srcs = edges.select("src").distinct()
-    for _ in range(PR_ITERS):
+    for _ in range(n_iters):
         dangling = (
             ranks.join(srcs, ranks.node == srcs.src, "left_anti")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
@@ -331,14 +349,11 @@ def graph_pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "node",
                 (
-                    F.lit((1.0 - PR_DAMPING) / n_nodes)
-                    + PR_DAMPING
+                    F.lit((1.0 - damping) / n_nodes)
+                    + damping
                     * (F.coalesce(F.col("mass"), F.lit(0.0)) + F.col("dmass") / n_nodes)
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)
         )
-    return ranks.select(
-        F.col("node").alias("nation"),
-        F.round("rank", 6).cast("double").alias("pagerank"),
-    )
+    return ranks

@@ -517,7 +517,12 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     would find variable-length duplicates but needs a global sort; fixed
     windows at 100 TB shuffle bounded keys and parallelize embarrassingly.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return dup_span_fractions(load_table(spark, sf_dir, "documents"))
+
+
+def dup_span_fractions(docs: DataFrame) -> DataFrame:
+    """Core of :func:`dedup_exact_substring_spans` over any (doc_id, text)
+    frame — separated so property tests can plant known duplicates."""
     t = docs.select("doc_id", F.split("text", " ").alias("toks"))
     sh = (
         t.filter(F.size("toks") >= SPAN_N)
@@ -636,25 +641,37 @@ def dedup_bloom_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle reproduces exact membership AND false positives.
     """
     docs = load_table(spark, sf_dir, "documents")
+    probe = bloom_probe(docs, docs.filter(F.col("source") == "src0"))
+    return probe.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("hits") == BLOOM_K, 1).otherwise(0)).alias("n_flagged"),
+    )
+
+
+def bloom_probe(candidates: DataFrame, blocklist: DataFrame) -> DataFrame:
+    """Candidates + a ``hits`` column (how many of the {BLOOM_K} probe bits
+    are set; == BLOOM_K means possibly-in-blocklist). Both inputs need a
+    ``text`` column; candidate columns pass through. Core of
+    :func:`dedup_bloom_blocklist`, separated for the no-false-negative
+    property test."""
     pos_cols = [
         F.expr(_bloom_pos_sql(i, "text", "spark")).alias(f"p{i}")
         for i in range(BLOOM_K)
     ]
-    block = docs.filter(F.col("source") == "src0").select(*pos_cols)
+    block = blocklist.select(*pos_cols)
     bits = (
         block.select(F.explode(F.array(*[F.col(f"p{i}") for i in range(BLOOM_K)])).alias("p"))
         .groupBy(F.expr("p div 32").alias("w"))
         .agg(F.bit_or(F.expr("shiftleft(cast(1 as bigint), cast(p % 32 as int))")).alias("mask"))
     )
-    cand = docs.select("doc_id", "source", *pos_cols)
-    probe = (
-        cand.select(
+    hits = (
+        candidates.select("doc_id", *pos_cols)
+        .select(
             "doc_id",
-            "source",
             F.explode(F.array(*[F.col(f"p{i}") for i in range(BLOOM_K)])).alias("p"),
         )
         .join(F.broadcast(bits), F.expr("p div 32") == F.col("w"), "left")
-        .groupBy("doc_id", "source")
+        .groupBy("doc_id")
         .agg(
             F.sum(
                 F.when(
@@ -668,7 +685,4 @@ def dedup_bloom_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hits")
         )
     )
-    return probe.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.when(F.col("hits") == BLOOM_K, 1).otherwise(0)).alias("n_flagged"),
-    )
+    return candidates.join(hits, "doc_id")
