@@ -52,6 +52,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # two rounds unverified.
 VERIFY_PRIORITY: list[str] = [
     # never-checked r05 late additions first
+    "retrieval_hybrid_rrf",
+    "dedup_minhash_pairs_from_index",
     "dedup_exact_substring_spans",
     "dedup_bloom_blocklist",
     "graph_pagerank_nation_trade",
@@ -105,10 +107,11 @@ VERIFY_PRIORITY: list[str] = [
     "q_grouping_sets_revenue",
     "q_kmv_distinct_users",
     "q_kmv_cohort_overlap",
-    # (the six r05 late additions above pushed q_grouping_sets_revenue,
-    # q_kmv_distinct_users, q_kmv_cohort_overlap, dedup_exact_documents,
-    # dedup_keep_first_events and dedup_simhash_signatures past the 50-entry
-    # window; all six stay green from r01-r04 and rotate back in r06)
+    # (the eight r05 late additions above pushed q_range_join_price_bands,
+    # q_order_value_quantiles, q_grouping_sets_revenue, q_kmv_distinct_users,
+    # q_kmv_cohort_overlap, dedup_exact_documents, dedup_keep_first_events
+    # and dedup_simhash_signatures past the 50-entry window; all eight stay
+    # green from r01-r04 and rotate back in r06)
 ]
 
 

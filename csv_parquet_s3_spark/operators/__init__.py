@@ -17,6 +17,7 @@ from csv_parquet_s3_spark.operators import (  # noqa: F401
     projection,
     relational,
     reshape,
+    retrieval,
     sampling,
     scd,
     similarity,
