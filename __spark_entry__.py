@@ -52,6 +52,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # two rounds unverified.
 VERIFY_PRIORITY: list[str] = [
     # never-checked r05 late additions first
+    "q_user_value_trend",
+    "mm_wave_window_features",
     "retrieval_hybrid_rrf",
     "dedup_minhash_pairs_from_index",
     "dedup_exact_substring_spans",
@@ -107,11 +109,11 @@ VERIFY_PRIORITY: list[str] = [
     "q_grouping_sets_revenue",
     "q_kmv_distinct_users",
     "q_kmv_cohort_overlap",
-    # (the eight r05 late additions above pushed q_range_join_price_bands,
-    # q_order_value_quantiles, q_grouping_sets_revenue, q_kmv_distinct_users,
-    # q_kmv_cohort_overlap, dedup_exact_documents, dedup_keep_first_events
-    # and dedup_simhash_signatures past the 50-entry window; all eight stay
-    # green from r01-r04 and rotate back in r06)
+    # (the ten r05 late additions above push the tail past the 50-entry
+    # window — q_asof_error_to_purchase through q_kmv_cohort_overlap plus
+    # dedup_exact_documents, dedup_keep_first_events and
+    # dedup_simhash_signatures; all stay green from r01-r04 and rotate back
+    # in r06)
 ]
 
 

@@ -311,3 +311,88 @@ def sample_frames(payload: bytes, every: int = FRAME_BYTES) -> list[bytes]:
     sampler.
     """
     return [payload[i : i + every] for i in range(0, len(payload), every)]
+
+
+# ---------------------------------------------------------------------------
+# Windowed waveform features: the audio-shaped mapInPandas pass. Payload
+# bytes stand in for PCM samples (the codec decode is the stubbed step, as
+# above); per fixed-size window the extractor emits RMS energy + peak — the
+# 1-row → N-windows feature shape of audio/VAD pipelines.
+# ---------------------------------------------------------------------------
+WAVE_WINDOW = 64  # samples (bytes) per analysis window
+
+WAVE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("window_idx", T.IntegerType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+        T.StructField("peak", T.IntegerType(), False),
+    ]
+)
+
+
+def extract_wave_features(docs_with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched windowed energy features over the payload column.
+
+    Per input row the extractor yields ceil(n_bytes / WAVE_WINDOW) windows;
+    sums of squares accumulate in uint64 (exact), so the only floating-point
+    step is the final sqrt — reproducible bit-for-bit in the SQL oracle.
+    Payload rows never shuffle: features are computed in the scan's
+    partitions and only the small feature rows move on.
+    """
+    import numpy as np
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "window_idx": [], "n_samples": [], "rms": [], "peak": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = np.frombuffer(payload, dtype=np.uint8)
+                for w in range(0, len(samples), WAVE_WINDOW):
+                    win = samples[w : w + WAVE_WINDOW].astype(np.uint64)
+                    n = int(win.size)
+                    ss = int((win * win).sum())
+                    out["doc_id"].append(doc_id)
+                    out["window_idx"].append(w // WAVE_WINDOW)
+                    out["n_samples"].append(n)
+                    out["rms"].append(round(float(np.sqrt(ss / n)), 6))
+                    out["peak"].append(int(win.max()))
+            yield pd.DataFrame(out)
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        _extract, schema=WAVE_SCHEMA
+    )
+
+
+@register(
+    "mm_wave_window_features",
+    # Oracle replays the byte math from the hex encoding (ASCII-safe): byte i
+    # = 16*hi + lo nibbles; windows are i // WAVE_WINDOW; RMS = sqrt(avg of
+    # squares) with the squares summed exactly as integers.
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+        FROM documents WHERE octet_length(encode(text)) > 0
+    ),
+    bytes AS (
+        SELECT doc_id,
+               CAST(u.i AS BIGINT) - 1 AS pos,
+               (strpos('0123456789ABCDEF', substr(h, 2 * CAST(u.i AS INT) - 1, 1)) - 1) * 16
+                 + (strpos('0123456789ABCDEF', substr(h, 2 * CAST(u.i AS INT), 1)) - 1)
+                 AS b
+        FROM p, LATERAL (SELECT unnest(range(1, n + 1)) AS i) u
+    )
+    SELECT doc_id,
+           CAST(pos // {WAVE_WINDOW} AS INT) AS window_idx,
+           CAST(COUNT(*) AS INT) AS n_samples,
+           CAST(ROUND(sqrt(CAST(SUM(b * b) AS DOUBLE) / COUNT(*)), 6) AS DOUBLE) AS rms,
+           CAST(MAX(b) AS INT) AS peak
+    FROM bytes
+    GROUP BY doc_id, pos // {WAVE_WINDOW}
+    """,
+)
+def mm_wave_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_wave_features(attach_payload(docs))

@@ -788,3 +788,77 @@ def q_event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-user linear trend of event value over time (OLS slope/intercept from
+# exact integer/decimal moments — same determinism discipline as the
+# correlation above: built-in regr_slope() accumulates doubles in engine
+# order and cannot hash-match).
+# ---------------------------------------------------------------------------
+_TREND_EPOCH_BASE = 1704067200  # 2024-01-01 00:00:00 UTC, below the data range
+
+# Exact second offsets: unix_micros floor-divided to seconds (both engines
+# floor on positives), minus a fixed base to keep the moments narrow.
+_TREND_X_SPARK = f"CAST(unix_micros(ts) DIV 1000000 - {_TREND_EPOCH_BASE} AS DECIMAL(38,0))"
+_TREND_X_DUCK = f"CAST(epoch_us(ts) // 1000000 - {_TREND_EPOCH_BASE} AS DECIMAL(38,0))"
+_TREND_Y = "CAST(value AS DECIMAL(12,2))"
+
+
+@register(
+    "q_user_value_trend",
+    oracle=f"""
+    WITH pts AS (
+        SELECT user_id, {_TREND_X_DUCK} AS x, {_TREND_Y} AS y
+        FROM events WHERE value IS NOT NULL
+    ),
+    moments AS (
+        SELECT user_id, COUNT(*) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx
+        FROM pts GROUP BY user_id
+    )
+    SELECT user_id, n AS n_events,
+           CAST(ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) * 86400, 6)
+                AS DOUBLE) AS slope_per_day,
+           CAST(ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+                AS DOUBLE) AS intercept
+    FROM moments
+    WHERE n >= 5 AND n * sxx - sx * sx <> 0
+    """,
+)
+def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend of event value over time: slope (value/day) and
+    intercept from exact moments (Σx, Σy, Σxy, Σx² in DECIMAL(38,0) —
+    immune to the bigint overflow Σx² hits after ~10 epoch-scale points),
+    cast to DOUBLE only for the final two divisions. One hash aggregate per
+    user; the regression never sees individual points again after the
+    map-side partial sums, so 100 TB of events reduce to 4 numbers per key
+    before the shuffle.
+    """
+    events = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    pts = events.select(
+        "user_id",
+        F.expr(_TREND_X_SPARK).alias("x"),
+        F.expr(_TREND_Y).alias("y"),
+    )
+    m = pts.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.expr("CAST(SUM(x) AS DOUBLE)").alias("sx"),
+        F.expr("CAST(SUM(y) AS DOUBLE)").alias("sy"),
+        F.expr("CAST(SUM(x * y) AS DOUBLE)").alias("sxy"),
+        F.expr("CAST(SUM(x * x) AS DOUBLE)").alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    denom = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / denom
+    return (
+        m.filter((n >= 5) & (denom != 0))
+        .select(
+            "user_id",
+            n.alias("n_events"),
+            F.round(slope * 86400, 6).cast("double").alias("slope_per_day"),
+            F.round((sy - slope * sx) / n, 6).cast("double").alias("intercept"),
+        )
+    )
