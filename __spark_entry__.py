@@ -52,6 +52,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # two rounds unverified.
 VERIFY_PRIORITY: list[str] = [
     # never-checked r05 late additions first
+    "retrieval_bm25_topk",
     "q_user_value_trend",
     "mm_wave_window_features",
     "retrieval_hybrid_rrf",

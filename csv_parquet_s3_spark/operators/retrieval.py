@@ -167,3 +167,115 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.select("*", F.row_number().over(wf).cast("int").alias("rn"))
         .filter(F.col("rn") <= TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 — the lexical ranker production retrieval actually uses (Robertson &
+# Zaragoza 2009). Same determinism discipline as text_unigram_perplexity:
+# each per-term score is rounded to 6 digits and summed as DECIMAL(20,6),
+# so the two engines' different reduce orders cannot diverge (the JVM's and
+# DuckDB's libm LN differ in the last ulp — 6-digit rounding absorbs it).
+# ---------------------------------------------------------------------------
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@register(
+    "retrieval_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, t AS token
+        FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+        WHERE t <> ''
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+        SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+    qterms AS (
+        SELECT DISTINCT doc_id AS query_id, token FROM toks
+        WHERE doc_id < {N_QUERIES}
+    ),
+    doc_tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+    scored AS (
+        SELECT q.query_id, t.doc_id,
+               SUM(CAST(ROUND(
+                   ROUND(LN(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5)), 6)
+                   * (t.tf * ({BM25_K1} + 1.0)
+                      / (t.tf + {BM25_K1}
+                         * (1.0 - {BM25_B} + {BM25_B} * d.dl / s.avgdl))),
+                   6) AS DECIMAL(20,6))) AS score_sum
+        FROM qterms q
+        JOIN doc_tf t ON t.token = q.token AND t.doc_id <> q.query_id
+        JOIN df f ON f.token = q.token
+        JOIN dl d ON d.doc_id = t.doc_id, stats s
+        GROUP BY q.query_id, t.doc_id
+    )
+    SELECT query_id, doc_id,
+           CAST(score_sum AS DOUBLE) AS bm25, CAST(rn AS INT) AS rn
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score_sum DESC, doc_id) AS rn
+        FROM scored
+    ) t WHERE rn <= {TOP_K}
+    """,
+)
+def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_K} BM25(k1={BM25_K1}, b={BM25_B}) documents per probe query
+    (query terms = the probe document's distinct tokens; the corpus itself
+    is the collection).
+
+    Scale shape: df/avgdl are vocabulary- and one-row-sized aggregates that
+    broadcast; per-candidate scoring joins the bounded query-term set
+    against per-doc term frequencies map-side, partial-aggregates the
+    per-term contributions, and only (query, doc, score) rows shuffle for
+    the final per-query top-k. The idf table doubles as the reusable index
+    artifact — at 100 TB it is built once per corpus snapshot.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.expr("CAST(SUM(dl) AS DOUBLE)") / F.count("*")).alias("avgdl"),
+    )
+    df = toks.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    qterms = (
+        toks.filter(F.col("doc_id") < N_QUERIES)
+        .select(F.col("doc_id").alias("query_id"), "token")
+        .distinct()
+    )
+    doc_tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    idf6 = F.round(
+        F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)), 6
+    )
+    tf_w = (
+        F.col("tf")
+        * (BM25_K1 + 1.0)
+        / (F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+    )
+    term_score = F.round(idf6 * tf_w, 6).cast("decimal(20,6)")
+    scored = (
+        doc_tf.join(F.broadcast(qterms), "token")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(df, "token")  # vocabulary-sized: AQE broadcasts, never hinted
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(term_score).alias("score_sum"))
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("score_sum"), F.asc("doc_id"))
+    return (
+        scored.select("*", F.row_number().over(wq).cast("int").alias("rn"))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("score_sum").cast("double").alias("bm25"),
+            "rn",
+        )
+    )
