@@ -102,19 +102,13 @@ VERIFY_PRIORITY: list[str] = [
     "q22_idle_rich_customers",
     "q15_top_supplier",
     "q16_supplier_diversity",
-    "q20_bulk_small_part_suppliers",
-    "q21_last_shipper_counts",
-    "q_asof_error_to_purchase",
-    "q_range_join_price_bands",
-    "q_order_value_quantiles",
-    "q_grouping_sets_revenue",
-    "q_kmv_distinct_users",
-    "q_kmv_cohort_overlap",
-    # (the ten r05 late additions above push the tail past the 50-entry
-    # window — q_asof_error_to_purchase through q_kmv_cohort_overlap plus
-    # dedup_exact_documents, dedup_keep_first_events and
-    # dedup_simhash_signatures; all stay green from r01-r04 and rotate back
-    # in r06)
+    # (the eleven r05 late additions above displaced
+    # q20_bulk_small_part_suppliers, q21_last_shipper_counts,
+    # q_asof_error_to_purchase, q_range_join_price_bands,
+    # q_order_value_quantiles, q_grouping_sets_revenue, q_kmv_distinct_users,
+    # q_kmv_cohort_overlap, dedup_exact_documents, dedup_keep_first_events
+    # and dedup_simhash_signatures from the 50-entry window; all stay green
+    # from r01-r04 and rotate back in r06)
 ]
 
 
