@@ -238,18 +238,23 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).filter(F.col("token") != "")
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # Every statistic chains off doc_tf (dl = Σtf per doc, df = row count
+    # per token, stats from dl): each branch still plans its own text scan
+    # (cheap columnar read), but everything SHUFFLED beyond the first
+    # partial aggregate is distinct (doc, token) pairs, not raw token
+    # occurrences — the naive per-branch `toks` formulation shuffles the
+    # full occurrence stream twice more (dl, df) and needs an extra
+    # distinct for qterms.
+    doc_tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dl = doc_tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"),
         (F.expr("CAST(SUM(dl) AS DOUBLE)") / F.count("*")).alias("avgdl"),
     )
-    df = toks.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
-    qterms = (
-        toks.filter(F.col("doc_id") < N_QUERIES)
-        .select(F.col("doc_id").alias("query_id"), "token")
-        .distinct()
+    df = doc_tf.groupBy("token").agg(F.count("*").alias("df"))
+    qterms = doc_tf.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "token"
     )
-    doc_tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     idf6 = F.round(
         F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)), 6
     )
