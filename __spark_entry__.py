@@ -52,6 +52,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # two rounds unverified.
 VERIFY_PRIORITY: list[str] = [
     # never-checked r05 late additions first
+    "stream_scd1_upsert_priority",
+    "text_quality_percentile_by_lang",
+    "emb_vector_qa_stats",
     "retrieval_bm25_topk",
     "q_user_value_trend",
     "mm_wave_window_features",
@@ -99,16 +102,14 @@ VERIFY_PRIORITY: list[str] = [
     "q17_small_quantity_revenue",
     "q18_large_volume_orders",
     "q19_disjunctive_revenue",
-    "q22_idle_rich_customers",
-    "q15_top_supplier",
-    "q16_supplier_diversity",
-    # (the eleven r05 late additions above displaced
-    # q20_bulk_small_part_suppliers, q21_last_shipper_counts,
-    # q_asof_error_to_purchase, q_range_join_price_bands,
-    # q_order_value_quantiles, q_grouping_sets_revenue, q_kmv_distinct_users,
-    # q_kmv_cohort_overlap, dedup_exact_documents, dedup_keep_first_events
-    # and dedup_simhash_signatures from the 50-entry window; all stay green
-    # from r01-r04 and rotate back in r06)
+    # (the fourteen r05 late additions above displaced q22_idle_rich_customers,
+    # q15_top_supplier, q16_supplier_diversity, q20_bulk_small_part_suppliers,
+    # q21_last_shipper_counts, q_asof_error_to_purchase,
+    # q_range_join_price_bands, q_order_value_quantiles,
+    # q_grouping_sets_revenue, q_kmv_distinct_users, q_kmv_cohort_overlap,
+    # dedup_exact_documents, dedup_keep_first_events and
+    # dedup_simhash_signatures from the 50-entry window; all stay green from
+    # r01-r04 and rotate back in r06)
 ]
 
 

@@ -424,3 +424,75 @@ def sim_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("*", F.row_number().over(w).alias("rn")).filter(
         F.col("rn") <= TOP_K
     )
+
+
+@register(
+    "emb_vector_qa_stats",
+    oracle=f"""
+    WITH norms AS (
+        SELECT vec_id, label,
+               CAST(ROUND({_ORACLE_NORM.format(v='embedding')}, 6)
+                    AS DECIMAL(20,6)) AS norm6
+        FROM embeddings
+    ),
+    stats AS (
+        SELECT label, COUNT(*) AS n,
+               CAST(ROUND(CAST(SUM(norm6) AS DOUBLE) / COUNT(*), 6) AS DOUBLE)
+                   AS mean_norm,
+               CAST(ROUND(sqrt(GREATEST(
+                   CAST(SUM(norm6 * norm6) AS DOUBLE) / COUNT(*)
+                   - (CAST(SUM(norm6) AS DOUBLE) / COUNT(*))
+                     * (CAST(SUM(norm6) AS DOUBLE) / COUNT(*)), 0.0)), 6)
+                    AS DOUBLE) AS std_norm
+        FROM norms GROUP BY label
+    )
+    SELECT s.label, CAST(s.n AS BIGINT) AS n_vecs, s.mean_norm, s.std_norm,
+           COUNT(*) FILTER (ABS(CAST(x.norm6 AS DOUBLE) - s.mean_norm)
+                            > 2 * s.std_norm) AS n_outliers
+    FROM stats s JOIN norms x ON x.label = s.label
+    GROUP BY s.label, s.n, s.mean_norm, s.std_norm
+    """,
+)
+def emb_vector_qa_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA: per-label L2-norm distribution (mean, std from exact
+    DECIMAL moments of the 6-digit-rounded norms) plus a 2σ outlier count —
+    the sanity scan an embedding pipeline runs after every model or
+    pre-processing change (degenerate near-zero vectors, un-normalized
+    batches, and NaN-contaminated shards all surface as norm outliers).
+
+    Two passes over a map-side norm column: one hash aggregate for the
+    per-label moments (label-sized result, broadcasts back), one join +
+    count for the outlier flags. Mean/std are rounded BEFORE the 2σ
+    comparison, so the cut threshold is the identical double on both
+    engines.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = _with_norm(emb).select(
+        "vec_id", "label", F.round("norm", 6).cast("decimal(20,6)").alias("norm6")
+    )
+    n = F.count("*")
+    s1 = F.expr("CAST(SUM(norm6) AS DOUBLE)")
+    s2 = F.expr("CAST(SUM(norm6 * norm6) AS DOUBLE)")
+    mean6 = F.round(s1 / n, 6)
+    std6 = F.round(F.sqrt(F.greatest(s2 / n - (s1 / n) * (s1 / n), F.lit(0.0))), 6)
+    stats = norms.groupBy("label").agg(
+        n.alias("n"),
+        mean6.cast("double").alias("mean_norm"),
+        std6.cast("double").alias("std_norm"),
+    )
+    is_outlier = (
+        F.abs(F.col("norm6").cast("double") - F.col("mean_norm"))
+        > 2 * F.col("std_norm")
+    )
+    return (
+        norms.join(F.broadcast(stats), "label")
+        .groupBy("label", "n", "mean_norm", "std_norm")
+        .agg(F.sum(F.when(is_outlier, 1).otherwise(0)).alias("n_outliers"))
+        .select(
+            "label",
+            F.col("n").cast("bigint").alias("n_vecs"),
+            "mean_norm",
+            "std_norm",
+            "n_outliers",
+        )
+    )

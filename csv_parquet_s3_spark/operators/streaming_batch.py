@@ -265,3 +265,91 @@ def stream_segment_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         segment_hourly_rollup(_events_stream(spark, sf_dir), customers),
     )
+
+
+@register(
+    "stream_scd1_upsert_priority",
+    oracle="""
+    SELECT o_custkey,
+           o_orderpriority AS current_priority,
+           o_orderdate AS last_change,
+           o_orderkey AS last_orderkey
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+    ) t WHERE rn = 1
+    """,
+)
+def stream_scd1_upsert_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert: the orders feed streams through
+    ``foreachBatch`` into a parquet current-state table — per batch, reduce
+    to the newest row per key, then CONDITIONALLY merge with the stored
+    state (newest (o_orderdate, o_orderkey) wins, never batch arrival
+    order). The drained state must equal the batch latest-per-key query —
+    pinned by the oracle — REGARDLESS of how the source splits into
+    micro-batches, the r04 lesson about availableNow single-batch
+    assumptions made structural: the merge is an order-insensitive
+    max-reduce, so any batch partitioning folds to the same state.
+
+    At scale this is the MERGE loop every warehouse dimension runs off a
+    CDC stream; the staged-swap parquet write stands in for a table
+    format's transactional commit.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    path = table_path(sf_dir, "orders")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+        .select("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
+    )
+    target = os.path.join(tempfile.mkdtemp(prefix="scd1_stream_"), "current")
+
+    def _latest(df: DataFrame) -> DataFrame:
+        wk = W.partitionBy("o_custkey").orderBy(
+            F.desc("o_orderdate"), F.desc("o_orderkey")
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        latest = _latest(batch_df)
+        if os.path.exists(target):
+            latest = _latest(s.read.parquet(target).unionByName(latest))
+        # staged swap: write beside the live state, then rename — a reader
+        # (or a failed batch) never sees a half-written state.
+        latest.write.mode("overwrite").parquet(target + ".next")
+        if os.path.exists(target):
+            shutil.rmtree(target)
+        os.rename(target + ".next", target)
+
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.mkdtemp(prefix="scd1_stream_ck_"), "ck"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "streaming upsert did not finish"
+    return spark.read.parquet(target).select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("current_priority"),
+        F.col("o_orderdate").alias("last_change"),
+        F.col("o_orderkey").alias("last_orderkey"),
+    )

@@ -628,3 +628,51 @@ def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg_nll.cast("double").alias("avg_nll"),
         F.round(F.exp(avg_nll), 4).cast("double").alias("perplexity"),
     )
+
+
+@register(
+    "text_quality_percentile_by_lang",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks
+               FROM documents),
+    scored AS (
+        SELECT doc_id, lang,
+               CAST(ROUND(LN(1 + n_chars)
+                          * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)), 6)
+                    AS DOUBLE) AS quality_score
+        FROM t
+    )
+    SELECT doc_id, lang, quality_score,
+           CAST(ROUND(percent_rank() OVER (PARTITION BY lang
+                                           ORDER BY quality_score), 6)
+                AS DOUBLE) AS lang_pctile
+    FROM scored
+    """,
+)
+def text_quality_percentile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language percentile calibration of the quality score: raw quality
+    scores are not comparable ACROSS languages (length and type/token
+    distributions differ per language), so mixture pipelines sample on the
+    within-stratum percentile instead — "top 30% of each language", not
+    "top 30% globally". One window per language partition; at 100 TB each
+    language sorts independently (no global window), and a skewed dominant
+    language splits under AQE like any other hot partition. Scores are
+    rounded BEFORE ranking, so the rank input is identical on both engines
+    and ties resolve identically under SQL percent_rank semantics.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", "n_chars", F.split("text", " ").alias("toks"))
+    n_distinct = F.size(F.array_distinct("toks"))
+    score = F.round(
+        F.log(F.lit(1) + F.col("n_chars"))
+        * (n_distinct.cast("double") / F.size("toks")),
+        6,
+    ).cast("double")
+    scored = t.select("doc_id", "lang", score.alias("quality_score"))
+    wl = W.partitionBy("lang").orderBy("quality_score")
+    return scored.select(
+        "doc_id",
+        "lang",
+        "quality_score",
+        F.round(F.percent_rank().over(wl), 6).cast("double").alias("lang_pctile"),
+    )
