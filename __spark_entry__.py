@@ -52,6 +52,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # two rounds unverified.
 VERIFY_PRIORITY: list[str] = [
     # never-checked r05 late additions first
+    "split_leakage_safe",
+    "batch_by_length_buckets",
     "stream_scd1_upsert_priority",
     "text_quality_percentile_by_lang",
     "emb_vector_qa_stats",
@@ -100,10 +102,9 @@ VERIFY_PRIORITY: list[str] = [
     "q13_order_count_distribution",
     "q14_promo_revenue_share",
     "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q19_disjunctive_revenue",
-    # (the fourteen r05 late additions above displaced q22_idle_rich_customers,
-    # q15_top_supplier, q16_supplier_diversity, q20_bulk_small_part_suppliers,
+    # (the sixteen r05 late additions above displaced q18_large_volume_orders,
+    # q19_disjunctive_revenue, q22_idle_rich_customers, q15_top_supplier,
+    # q16_supplier_diversity, q20_bulk_small_part_suppliers,
     # q21_last_shipper_counts, q_asof_error_to_purchase,
     # q_range_join_price_bands, q_order_value_quantiles,
     # q_grouping_sets_revenue, q_kmv_distinct_users, q_kmv_cohort_overlap,

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from csv_parquet_s3_spark.operators.registry import register
@@ -205,4 +205,88 @@ def pack_documents_consolidated(spark: SparkSession, sf_dir: str) -> DataFrame:
         tails.withColumn("_g", F.lit(1))
         .groupBy("_g")
         .applyInPandas(lambda pdf: consolidate(pdf), schema=schema)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed inference batching: the padding-minimization counterpart
+# of training-time sequence packing. Batch cost is max_len × batch_size, so
+# batching SIMILAR lengths together is what controls wasted compute.
+# ---------------------------------------------------------------------------
+BATCH_SIZE = 16
+N_LEN_BUCKETS = 4
+_LEN_PS = [i / N_LEN_BUCKETS for i in range(1, N_LEN_BUCKETS)]
+
+
+@register(
+    "batch_by_length_buckets",
+    oracle=f"""
+    WITH b AS (
+        SELECT quantile_cont(n_chars, {_LEN_PS}) AS qs FROM documents
+    ),
+    assigned AS (
+        SELECT d.doc_id, d.n_chars,
+               CASE WHEN d.n_chars <= b.qs[1] THEN 0
+                    WHEN d.n_chars <= b.qs[2] THEN 1
+                    WHEN d.n_chars <= b.qs[3] THEN 2
+                    ELSE 3 END AS bucket
+        FROM documents d, b
+    ),
+    batched AS (
+        SELECT doc_id, n_chars, bucket,
+               CAST((ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY n_chars, doc_id)
+                     - 1) // {BATCH_SIZE} AS INT) AS batch_id
+        FROM assigned
+    )
+    SELECT CAST(bucket AS INT) AS bucket, batch_id,
+           COUNT(*) AS n_docs,
+           MAX(n_chars) AS max_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(ROUND(1.0 - CAST(SUM(n_chars) AS DOUBLE)
+                            / (COUNT(*) * MAX(n_chars)), 6) AS DOUBLE)
+               AS padding_frac
+    FROM batched GROUP BY bucket, batch_id
+    """,
+)
+def batch_by_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inference batch plan: equi-depth length buckets (exact quantile
+    boundaries — one scalar aggregate broadcast back, the same
+    no-global-ntile discipline as curriculum_length_shards), then
+    length-sorted batches of {BATCH_SIZE} within each bucket; reports the
+    padding fraction each batch wastes (1 − Σlen / (n·max_len)).
+
+    Scale shape: the per-bucket ROW_NUMBER windows partition by bucket —
+    {N_LEN_BUCKETS} independent sorts, each 1/{N_LEN_BUCKETS} of the corpus,
+    NOT one global sort. At 100 TB the refinement is finer boundaries (more
+    buckets → smaller windows) — the plan shape is unchanged; batch ids
+    within a bucket stay deterministic under the (n_chars, doc_id) total
+    order.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ps = ", ".join(str(p) for p in _LEN_PS)
+    b = docs.agg(F.expr(f"percentile(n_chars, array({ps}))").alias("qs"))
+    bucket = (
+        F.when(F.col("n_chars") <= F.element_at("qs", 1), 0)
+        .when(F.col("n_chars") <= F.element_at("qs", 2), 1)
+        .when(F.col("n_chars") <= F.element_at("qs", 3), 2)
+        .otherwise(3)
+    )
+    assigned = (
+        docs.crossJoin(F.broadcast(b))
+        .select("doc_id", "n_chars", bucket.cast("int").alias("bucket"))
+    )
+    wb = W.partitionBy("bucket").orderBy("n_chars", "doc_id")
+    batched = assigned.withColumn(
+        "batch_id",
+        ((F.row_number().over(wb) - 1) / BATCH_SIZE).cast("int"),
+    )
+    return batched.groupBy("bucket", "batch_id").agg(
+        F.count("*").alias("n_docs"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.round(
+            1.0 - F.sum("n_chars").cast("double") / (F.count("*") * F.max("n_chars")), 6
+        )
+        .cast("double")
+        .alias("padding_frac"),
     )

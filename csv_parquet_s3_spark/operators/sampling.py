@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from csv_parquet_s3_spark.operators.registry import register
+from csv_parquet_s3_spark.operators.registry import ORACLES, register
 from csv_parquet_s3_spark.sources.tables import load_table
 
 TRAIN_PCT = 80
@@ -277,3 +277,80 @@ def curriculum_length_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe splitting: near-duplicate documents must land on the SAME
+# side of a train/test split, or evaluation leaks training data (the split
+# analog of benchmark decontamination). Split on the duplicate CLUSTER id,
+# not the document id.
+# ---------------------------------------------------------------------------
+@register(
+    "split_leakage_safe",
+    oracle=f"""
+    WITH RECURSIVE shingled AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ),
+    shingles AS (
+        SELECT DISTINCT doc_id, s AS shingle
+        FROM shingled, UNNEST(list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS t(s)
+    ),
+    {{bands}},
+    {{pairs}},
+    edges AS (
+        SELECT doc_id_a AS u, doc_id_b AS v FROM lsh_pairs
+        UNION
+        SELECT doc_id_b AS u, doc_id_a AS v FROM lsh_pairs
+    ),
+    reach AS (
+        SELECT u AS doc_id, u AS label FROM edges
+        UNION
+        SELECT e.u AS doc_id, r.label
+        FROM edges e JOIN reach r ON r.doc_id = e.v
+    ),
+    comp AS (SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id),
+    assigned AS (
+        SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN {{bucket}} < {{train}} THEN 'train'
+                WHEN {{bucket}} < {{trainvalid}} THEN 'valid'
+                ELSE 'test' END AS split
+    FROM assigned
+    """,
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/valid/test split that cannot leak near-duplicates across the
+    boundary: documents split by md5(duplicate-cluster id), so every member
+    of a MinHash-LSH duplicate cluster lands on the same side (singletons
+    split by their own id — identical distribution to the plain hash
+    split). The oracle replays the full pair→closure→bucket pipeline, so
+    the driver hash-pins the leakage-safety property itself, per document.
+
+    At 100 TB the clusters come from the stored signature index (see
+    minhash_index) and this op is one join + one map over the corpus.
+    """
+    from csv_parquet_s3_spark.operators.components import dedup_cluster_components
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    comp = dedup_cluster_components(spark, sf_dir).select("doc_id", "cluster_id")
+    assigned = docs.join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+    return hash_split(assigned, "cluster_id").select("doc_id", "cluster_id", "split")
+
+
+# Fill the oracle template with the shared band/pair CTEs + bucket expr (the
+# f-string above cannot reference them directly without brace collisions).
+from csv_parquet_s3_spark.operators.dedup import _ORACLE_BANDS, _ORACLE_PAIR_CTES  # noqa: E402
+
+ORACLES["split_leakage_safe"] = ORACLES["split_leakage_safe"].format(
+    bands=_ORACLE_BANDS,
+    pairs=_ORACLE_PAIR_CTES,
+    bucket=_bucket_expr("md5(CAST(cluster_id AS VARCHAR))"),
+    train=TRAIN_PCT,
+    trainvalid=TRAIN_PCT + VALID_PCT,
+)
