@@ -52,6 +52,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # two rounds unverified.
 VERIFY_PRIORITY: list[str] = [
     # never-checked r05 late additions first
+    "emb_hard_negatives",
+    "q_join_key_skew_profile",
+    "q_incremental_hourly_rollup",
     "split_leakage_safe",
     "batch_by_length_buckets",
     "stream_scd1_upsert_priority",
@@ -99,10 +102,9 @@ VERIFY_PRIORITY: list[str] = [
     "q09_profit_by_nation_year",
     "q11_brand_value_concentration",
     "q12_priority_by_returnflag",
-    "q13_order_count_distribution",
-    "q14_promo_revenue_share",
-    "q17_small_quantity_revenue",
-    # (the sixteen r05 late additions above displaced q18_large_volume_orders,
+    # (the nineteen r05 late additions above displaced
+    # q13_order_count_distribution, q14_promo_revenue_share,
+    # q17_small_quantity_revenue, q18_large_volume_orders,
     # q19_disjunctive_revenue, q22_idle_rich_customers, q15_top_supplier,
     # q16_supplier_diversity, q20_bulk_small_part_suppliers,
     # q21_last_shipper_counts, q_asof_error_to_purchase,

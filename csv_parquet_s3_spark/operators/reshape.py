@@ -862,3 +862,119 @@ def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((sy - slope * sx) / n, 6).cast("double").alias("intercept"),
         )
     )
+
+
+@register(
+    "q_join_key_skew_profile",
+    oracle="""
+    WITH freq AS (
+        SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_keys,
+               CAST(SUM(n) AS BIGINT) AS n_rows,
+               MAX(n) AS max_n,
+               CAST(ROUND(CAST(SUM(n) AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS mean_n
+        FROM freq
+    ),
+    topk AS (
+        SELECT user_id, n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rk
+        FROM freq
+    )
+    SELECT t.rk AS rank, t.user_id, t.n AS n_rows_key, s.n_keys, s.n_rows,
+           CAST(ROUND(t.n / s.mean_n, 6) AS DOUBLE) AS skew_factor
+    FROM topk t, stats s
+    WHERE t.rk <= 10
+    """,
+)
+def q_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile: the top-10 heaviest ``user_id`` keys in the
+    events fact with each key's multiplicity relative to the mean (the
+    skew factor AQE's skew-join threshold reasons about). This is the
+    diagnostic run BEFORE choosing a strategy for a fact⋈fact join on a
+    suspect key — skew_factor ≳ the AQE skew thresholds means pre-salt
+    (q_salted_brand_revenue) or isolate the hot keys.
+
+    One aggregation keyed on the join key (map-side combine collapses the
+    fact volume), a one-row stats broadcast, and a top-k window over the
+    KEY frequency frame — never over the fact.
+    """
+    events = load_table(spark, sf_dir, "events")
+    freq = events.groupBy("user_id").agg(F.count("*").alias("n"))
+    stats = freq.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.max("n").alias("max_n"),
+        F.round(F.expr("CAST(SUM(n) AS DOUBLE)") / F.count("*"), 6).alias("mean_n"),
+    )
+    wk = W.orderBy(F.desc("n"), F.asc("user_id"))
+    topk = freq.select("user_id", "n", F.row_number().over(wk).alias("rk")).filter(
+        F.col("rk") <= 10
+    )
+    return topk.crossJoin(F.broadcast(stats)).select(
+        F.col("rk").alias("rank"),
+        "user_id",
+        F.col("n").alias("n_rows_key"),
+        "n_keys",
+        "n_rows",
+        F.round(F.col("n") / F.col("mean_n"), 6).cast("double").alias("skew_factor"),
+    )
+
+
+# Cutoff for the incremental-maintenance demonstration: mid-month of the
+# events range (2024-01). Base = before, delta = on/after.
+_IVM_CUTOFF = "TIMESTAMP '2024-01-15 00:00:00'"
+
+
+@register(
+    "q_incremental_hourly_rollup",
+    # The oracle is the DIRECT rollup over all events: hash equality pins
+    # the incremental-maintenance invariant merge(base, delta) ≡ recompute.
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+               AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_incremental_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the hourly rollup is maintained as
+    rollup(base) ⟗ rollup(delta) with key-wise additive merge — the
+    standing-materialized-view pattern where each ingest batch folds its
+    OWN rollup into the stored one instead of recomputing history. COUNT
+    and DECIMAL SUM are self-maintainable aggregates (merge = add), which
+    is exactly what the oracle's direct recompute hash-pins.
+
+    At 100 TB the base rollup is a stored table keyed on (hour, type); a
+    delta of any size merges with one key-partitioned outer join that
+    touches only the delta's key range — history is never re-scanned.
+    """
+    events = load_table(spark, sf_dir, "events")
+    cutoff = F.expr(_IVM_CUTOFF)
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"),
+            "event_type",
+        ).agg(
+            F.count("*").alias("n"),
+            F.expr("SUM(CAST(value AS DECIMAL(12,2)))").alias("v"),
+        )
+
+    base = rollup(events.filter(F.col("ts") < cutoff)).select(
+        "hour_start", "event_type", F.col("n").alias("n_b"), F.col("v").alias("v_b")
+    )
+    delta = rollup(events.filter(F.col("ts") >= cutoff)).select(
+        "hour_start", "event_type", F.col("n").alias("n_d"), F.col("v").alias("v_d")
+    )
+    merged = base.join(delta, ["hour_start", "event_type"], "full")
+    return merged.select(
+        "hour_start",
+        "event_type",
+        (F.coalesce("n_b", F.lit(0)) + F.coalesce("n_d", F.lit(0))).alias("n_events"),
+        F.expr("CAST(ROUND(coalesce(v_b, CAST(0 AS DECIMAL(12,2)))"
+               " + coalesce(v_d, CAST(0 AS DECIMAL(12,2))), 2) AS DOUBLE)")
+        .alias("total_value"),
+    )

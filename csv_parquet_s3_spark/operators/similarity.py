@@ -496,3 +496,63 @@ def emb_vector_qa_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+@register(
+    "emb_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS qlabel, embedding AS qv,
+               {_ORACLE_NORM.format(v='embedding')} AS qnorm
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id, e.label,
+               CAST(ROUND({_ORACLE_DOT.format(a='q.qv', b='e.embedding')}
+                    / (q.qnorm * {_ORACLE_NORM.format(v='e.embedding')}), 6) AS DOUBLE)
+                 AS cos_sim
+        FROM q, embeddings e
+        WHERE e.label <> q.qlabel
+    )
+    SELECT query_id, vec_id, label, cos_sim, CAST(rn AS INT) AS rn
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored
+    ) t WHERE rn <= {TOP_K}
+    """,
+)
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-{TOP_K} most-similar vectors whose LABEL DIFFERS — the
+    highest-cosine wrong-class candidates are exactly the negatives that
+    move a contrastive loss. Same broadcast-scored shape as the brute-force
+    top-k (anchors broadcast, corpus scored map-side, per-anchor window);
+    production swaps the scored side for the IVF index probe
+    (`topk_from_index`) and keeps the label-mismatch filter.
+    """
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("vd").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("qlabel"))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.round(
+                _dot(F.col("qv"), F.col("vd")) / (F.col("qnorm") * F.col("norm")), 6
+            )
+            .cast("double")
+            .alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return scored.select(
+        "*", F.row_number().over(w).cast("int").alias("rn")
+    ).filter(F.col("rn") <= TOP_K)
