@@ -52,6 +52,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # two rounds unverified.
 VERIFY_PRIORITY: list[str] = [
     # never-checked r05 late additions first
+    "graph_triangle_count",
+    "sketch_countmin_user_counts",
     "emb_hard_negatives",
     "q_join_key_skew_profile",
     "q_incremental_hourly_rollup",
@@ -100,9 +102,8 @@ VERIFY_PRIORITY: list[str] = [
     "q07_nation_trade_volume",
     "q08_market_share",
     "q09_profit_by_nation_year",
-    "q11_brand_value_concentration",
-    "q12_priority_by_returnflag",
-    # (the nineteen r05 late additions above displaced
+    # (the twenty-one r05 late additions above displaced
+    # q11_brand_value_concentration, q12_priority_by_returnflag,
     # q13_order_count_distribution, q14_promo_revenue_share,
     # q17_small_quantity_revenue, q18_large_volume_orders,
     # q19_disjunctive_revenue, q22_idle_rich_customers, q15_top_supplier,

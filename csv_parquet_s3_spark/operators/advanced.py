@@ -374,3 +374,99 @@ def q_kmv_cohort_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         est_inter.alias("est_intersection"),
         "exact_intersection",
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) with deterministic md5 row
+# hashes — the sketch itself is engine-replayable, so unlike the built-in
+# HLL/quantile sketches (q_approx_sketches, rows-only) the driver hash-checks
+# the ESTIMATES, overestimation error included.
+# ---------------------------------------------------------------------------
+CM_DEPTH = 4     # hash rows
+CM_WIDTH = 256   # buckets per row
+
+
+def _cm_bucket(row: int, key_expr: str, engine: str) -> str:
+    """Bucket of ``key_expr`` in CM row ``row`` (portable md5 arithmetic)."""
+    if engine == "spark":
+        h = f"md5(cast(concat('cm{row}:', cast({key_expr} as string)) as binary))"
+    else:
+        h = f"md5('cm{row}:' || CAST({key_expr} AS VARCHAR))"
+    return f"({_KMV_HEX_INT.format(h=h)} % {CM_WIDTH})"
+
+
+@register(
+    "sketch_countmin_user_counts",
+    oracle=f"""
+    WITH keyc AS (
+        SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ),
+    cells AS (
+        SELECT j.j AS row_id,
+               CASE j.j {" ".join(f"WHEN {r} THEN {_cm_bucket(r, 'user_id', 'duck')}" for r in range(CM_DEPTH))} END AS bucket,
+               CAST(SUM(n) AS BIGINT) AS cell
+        FROM keyc, (SELECT unnest(range(0, {CM_DEPTH})) AS j) j
+        GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT user_id, n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rk
+        FROM keyc
+    )
+    SELECT t.rk AS rank, t.user_id, t.n AS exact_n,
+           MIN(c.cell) AS cm_estimate
+    FROM top t
+    JOIN cells c
+      ON c.bucket = CASE c.row_id {" ".join(f"WHEN {r} THEN {_cm_bucket(r, 't.user_id', 'duck')}" for r in range(CM_DEPTH))} END
+    WHERE t.rk <= 10
+    GROUP BY t.rk, t.user_id, t.n
+    """,
+)
+def sketch_countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over event counts per user ({CM_DEPTH}×{CM_WIDTH}
+    cells): for the top-10 exact heavy hitters, the exact count beside the
+    CM estimate (min over the {CM_DEPTH} hashed cells — always ≥ exact,
+    over by at most ~2n/width with high probability).
+
+    Scale shape: the sketch is {CM_DEPTH}·{CM_WIDTH} cells regardless of
+    key cardinality — cells build with one partial-aggregating shuffle on
+    (row, bucket) and the whole sketch broadcasts for point queries; this
+    is the frequency structure to reach for when per-key counts no longer
+    fit (the exact keyc frame here exists only to pin the error against
+    ground truth).
+    """
+    events = load_table(spark, sf_dir, "events")
+    keyc = events.groupBy("user_id").agg(F.count("*").alias("n"))
+    rows = F.array(*[
+        F.struct(
+            F.lit(r).alias("row_id"),
+            F.expr(_cm_bucket(r, "user_id", "spark")).alias("bucket"),
+        )
+        for r in range(CM_DEPTH)
+    ])
+    cells = (
+        keyc.select("n", F.explode(rows).alias("rb"))
+        .groupBy(F.col("rb.row_id").alias("row_id"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.sum("n").cast("bigint").alias("cell"))
+    )
+    wk = W.orderBy(F.desc("n"), F.asc("user_id"))
+    top = keyc.select(
+        "user_id", "n", F.row_number().over(wk).alias("rk")
+    ).filter(F.col("rk") <= 10)
+    probe = top.select(
+        "rk", "user_id", "n", F.explode(rows).alias("rb")
+    ).select("rk", "user_id", "n", F.col("rb.row_id").alias("p_row"), F.col("rb.bucket").alias("p_bucket"))
+    return (
+        probe.join(
+            F.broadcast(cells),
+            (F.col("p_row") == F.col("row_id")) & (F.col("p_bucket") == F.col("bucket")),
+        )
+        .groupBy("rk", "user_id", "n")
+        .agg(F.min("cell").alias("cm_estimate"))
+        .select(
+            F.col("rk").alias("rank"),
+            "user_id",
+            F.col("n").alias("exact_n"),
+            "cm_estimate",
+        )
+    )

@@ -357,3 +357,54 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH RECURSIVE {_ORACLE_SHINGLES},
+    {_ORACLE_BANDS},
+    {_ORACLE_PAIR_CTES},
+    tri AS (
+        SELECT e1.doc_id_a AS a, e1.doc_id_b AS b, e2.doc_id_b AS c
+        FROM lsh_pairs e1
+        JOIN lsh_pairs e2 ON e2.doc_id_a = e1.doc_id_b
+        JOIN lsh_pairs e3 ON e3.doc_id_a = e1.doc_id_a
+                         AND e3.doc_id_b = e2.doc_id_b
+    ),
+    members AS (
+        SELECT a AS doc_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT doc_id, COUNT(*) AS n_triangles
+    FROM members GROUP BY doc_id
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle participation in the near-duplicate graph —
+    the local-density signal that separates tight boilerplate cliques
+    (every pair similar → many triangles) from chain-shaped false-positive
+    paths (a~b~c but not a~c → none). Classic oriented triangle counting:
+    with edges stored a<b, each triangle a<b<c is found exactly once by
+    two key-partitioned joins — never an n² expansion; at 100 TB this is
+    the standard two-shuffle triangle enumeration whose cost tracks
+    Σ deg², controlled here by the LSH bucket bound on pair generation.
+    """
+    from csv_parquet_s3_spark.operators.dedup import dedup_minhash_lsh_pairs
+
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    e1 = pairs.select(F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b"))
+    e2 = pairs.select(F.col("doc_id_a").alias("b2"), F.col("doc_id_b").alias("c2"))
+    e3 = pairs.select(F.col("doc_id_a").alias("a3"), F.col("doc_id_b").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c2") == F.col("c3")))
+        .select("a", "b", F.col("c2").alias("c"))
+    )
+    members = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    )
+    return members.groupBy("doc_id").agg(F.count("*").alias("n_triangles"))
