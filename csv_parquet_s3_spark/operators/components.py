@@ -393,7 +393,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from csv_parquet_s3_spark.operators.dedup import dedup_minhash_lsh_pairs
 
-    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    # materialize once: the edge list feeds THREE self-join branches, and
+    # without a checkpoint each branch replays the whole shingle→signature→
+    # band pipeline (observed: 19-exchange plan; with it: the 2 triangle
+    # joins only).
+    pairs = (
+        dedup_minhash_lsh_pairs(spark, sf_dir)
+        .select("doc_id_a", "doc_id_b")
+        .localCheckpoint(eager=True)
+    )
     e1 = pairs.select(F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b"))
     e2 = pairs.select(F.col("doc_id_a").alias("b2"), F.col("doc_id_b").alias("c2"))
     e3 = pairs.select(F.col("doc_id_a").alias("a3"), F.col("doc_id_b").alias("c3"))

@@ -67,3 +67,21 @@ def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFram
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSON-lines sink (one object per line — splittable, stream-appendable)."""
     df.write.mode(mode).option("timestampFormat", _JSON_TS_FORMAT).json(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """ORC scan. ORC is self-describing (schema travels with the file, like
+    parquet), so the schema argument is an optional CONTRACT check rather
+    than a binding: when given, the read projects to exactly those columns,
+    surfacing drift as an analysis error instead of silent nulls."""
+    df = spark.read.orc(path)
+    if schema is not None:
+        df = df.select(*[f.name for f in schema.fields])
+    return df
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (snappy, same policy as the parquet sink): the columnar
+    interchange format for Hive-side consumers; predicate pushdown and
+    column pruning work the same as parquet under Spark's reader."""
+    df.write.mode(mode).option("compression", "snappy").orc(path)

@@ -64,3 +64,15 @@ def test_jsonl_round_trip(spark, tmp_path):
     write_jsonl(df, path)
     back = read_jsonl(spark, path, SCHEMA)
     assert _sorted_rows(back) == _sorted_rows(df)
+
+
+def test_orc_round_trip(spark, tmp_path):
+    from csv_parquet_s3_spark.sinks.formats import read_orc, write_orc
+
+    df = _source(spark)
+    path = str(tmp_path / "orc_out")
+    write_orc(df, path)
+    back = read_orc(spark, path, SCHEMA)
+    assert _sorted_rows(back) == _sorted_rows(df)
+    # self-describing: types survive without a declared schema
+    assert dict(read_orc(spark, path).dtypes)["amount"] == "decimal(10,2)"
