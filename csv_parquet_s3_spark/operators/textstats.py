@@ -676,3 +676,105 @@ def text_quality_percentile_by_lang(spark: SparkSession, sf_dir: str) -> DataFra
         "quality_score",
         F.round(F.percent_rank().over(wl), 6).cast("double").alias("lang_pctile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 — the MOSS
+# algorithm): select the minimum k-gram hash in every sliding window of W
+# consecutive hashes. Guarantee: any shared run of >= W + K - 1 tokens
+# yields at least one shared fingerprint, with ~2/(W+1) selection density —
+# LOCAL similarity detection at a bounded fingerprint budget (MinHash is
+# whole-document; winnowing localizes matches to positions).
+# ---------------------------------------------------------------------------
+WINNOW_K = 4   # tokens per k-gram
+WINNOW_W = 5   # hashes per winnowing window
+_POS_BITS = 1 << 20  # (hash, pos) packed into one bigint: h * 2^20 + pos
+
+# First 8 hex chars of md5 as bigint (portable; same idiom as the sketches).
+_WN_HEX_INT = "(" + " + ".join(
+    f"CAST(instr('0123456789abcdef', substr({{h}}, {i + 1}, 1)) - 1 AS BIGINT)"
+    f" * {16 ** (7 - i)}"
+    for i in range(8)
+) + ")"
+
+
+@register(
+    "text_winnowing_fingerprints",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    grams AS (
+        SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+               array_to_string(toks[u.i:u.i+{WINNOW_K - 1}], ' ') AS g
+        FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - {WINNOW_K - 1})) AS i) u
+        WHERE len(toks) >= {WINNOW_K}
+    ),
+    keys AS (
+        SELECT doc_id, pos,
+               {_WN_HEX_INT.format(h='md5(g)')} * {_POS_BITS} + pos AS key
+        FROM grams
+    ),
+    winmin AS (
+        SELECT doc_id,
+               MIN(key) OVER w AS mkey,
+               COUNT(*) OVER w AS wsize
+        FROM keys
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+    )
+    SELECT DISTINCT doc_id,
+           CAST(mkey % {_POS_BITS} AS BIGINT) AS pos,
+           CAST(mkey // {_POS_BITS} AS BIGINT) AS fingerprint
+    FROM winmin WHERE wsize = {WINNOW_W}
+    """,
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing fingerprint set: (doc_id, pos, fingerprint)
+    rows, ~2/(W+1) of the k-gram stream. The argmin inside each window is
+    made total AND portable by packing (hash, pos) into one bigint
+    (h·2^20 + pos) so a plain MIN over a row frame IS the tie-broken
+    argmin — no engine-specific argmin-over-window needed.
+
+    Scale shape: k-gram hashing is map-side; the sliding MIN is a bounded
+    row-frame window per document (state = W rows), partitioned by doc_id
+    — no corpus-wide sort. Downstream near-dup joins group by fingerprint
+    exactly like the LSH band join, but matches localize to positions.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    grams = (
+        t.filter(F.size("toks") >= WINNOW_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {WINNOW_K - 1}),"
+                    f" i -> struct(cast(i as bigint) AS pos,"
+                    f" concat_ws(' ', slice(toks, i, {WINNOW_K})) AS g))"
+                )
+            ).alias("u"),
+        )
+        .select("doc_id", F.col("u.pos").alias("pos"), F.col("u.g").alias("g"))
+    )
+    key = F.expr(
+        f"{_WN_HEX_INT.format(h='md5(cast(g as binary))')} * {_POS_BITS} + pos"
+    )
+    keys = grams.select("doc_id", "pos", key.alias("key"))
+    wf = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.currentRow, WINNOW_W - 1)
+    )
+    winmin = keys.select(
+        "doc_id",
+        F.min("key").over(wf).alias("mkey"),
+        F.count("*").over(wf).alias("wsize"),
+    )
+    return (
+        winmin.filter(F.col("wsize") == WINNOW_W)
+        .select(
+            "doc_id",
+            (F.col("mkey") % _POS_BITS).cast("bigint").alias("pos"),
+            F.expr(f"mkey div {_POS_BITS}").cast("bigint").alias("fingerprint"),
+        )
+        .distinct()
+    )

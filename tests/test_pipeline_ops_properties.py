@@ -183,3 +183,46 @@ def test_curriculum_shards_partition_the_corpus(spark):
     by_shard = sorted(rows, key=lambda r: r["shard"])
     for lo, hi in zip(by_shard, by_shard[1:]):
         assert lo["max_chars"] <= hi["min_chars"]
+
+
+# ---------------------------------------------------------------------------
+# Winnowing guarantee (Schleimer et al. §2: any match of length >= W + K - 1
+# shares at least one fingerprint).
+# ---------------------------------------------------------------------------
+def test_winnowing_guarantee_on_planted_run(spark):
+    from csv_parquet_s3_spark.operators.textstats import (
+        WINNOW_K,
+        WINNOW_W,
+        text_winnowing_fingerprints,
+    )
+    import csv_parquet_s3_spark.sources.tables as tables
+
+    run_len = WINNOW_W + WINNOW_K - 1  # minimal guaranteed-match length
+    shared = " ".join(f"m{i}" for i in range(run_len))
+    rows = [
+        (1, f"aa bb cc {shared} dd"),
+        (2, f"xx {shared} yy zz qq"),
+        (3, "totally different words with no common run at all here ok"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    # route the operator at the synthetic frame via the loader seam
+    orig = tables.load_table
+    try:
+        tables.load_table = lambda s, sf, name: docs
+        import csv_parquet_s3_spark.operators.textstats as ts
+
+        orig_ts = ts.load_table
+        ts.load_table = tables.load_table
+        try:
+            fp = text_winnowing_fingerprints(spark, "ignored").collect()
+        finally:
+            ts.load_table = orig_ts
+    finally:
+        tables.load_table = orig
+
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[1] & by_doc[2], "guaranteed shared fingerprint missing"
+    assert not (by_doc[3] & (by_doc[1] | by_doc[2]))
