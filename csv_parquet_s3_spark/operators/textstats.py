@@ -778,3 +778,58 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@register(
+    "dedup_winnowing_pairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    grams AS (
+        SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+               array_to_string(toks[u.i:u.i+{WINNOW_K - 1}], ' ') AS g
+        FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - {WINNOW_K - 1})) AS i) u
+        WHERE len(toks) >= {WINNOW_K}
+    ),
+    keys AS (
+        SELECT doc_id, pos,
+               {_WN_HEX_INT.format(h='md5(g)')} * {_POS_BITS} + pos AS key
+        FROM grams
+    ),
+    winmin AS (
+        SELECT doc_id, MIN(key) OVER w AS mkey, COUNT(*) OVER w AS wsize
+        FROM keys
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+    ),
+    fp AS (
+        SELECT DISTINCT doc_id, CAST(mkey // {_POS_BITS} AS BIGINT) AS fingerprint
+        FROM winmin WHERE wsize = {WINNOW_W}
+    )
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           COUNT(*) AS n_shared_fingerprints
+    FROM fp a JOIN fp b
+      ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Localized near-dup candidate pairs: documents sharing winnowing
+    fingerprints, weighted by how many they share. Complements MinHash-LSH:
+    LSH finds documents that are MOSTLY similar; winnowing pairs surface a
+    single shared PASSAGE (any run of >= {WINNOW_W + WINNOW_K - 1} tokens
+    guarantees a shared fingerprint) inside otherwise-different documents —
+    quotation/boilerplate detection, not whole-document dedup.
+
+    Scale shape: identical to the LSH band join — group the fingerprint
+    table by hash, pairs only within a posting list; a stop-fingerprint cut
+    (drop hashes with huge postings) bounds the worst case the same way hot
+    LSH buckets are handled.
+    """
+    fp = text_winnowing_fingerprints(spark, sf_dir).select("doc_id", "fingerprint").distinct()
+    a = fp.select(F.col("doc_id").alias("doc_id_a"), "fingerprint")
+    b = fp.select(F.col("doc_id").alias("doc_id_b"), F.col("fingerprint").alias("fp_b"))
+    return (
+        a.join(b, (F.col("fingerprint") == F.col("fp_b")) & (F.col("doc_id_a") < F.col("doc_id_b")))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count("*").alias("n_shared_fingerprints"))
+    )
