@@ -52,6 +52,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # two rounds unverified.
 VERIFY_PRIORITY: list[str] = [
     # never-checked r05 late additions first
+    "pipeline_corpus_training_set",
     "dedup_winnowing_pairs",
     "text_winnowing_fingerprints",
     "graph_triangle_count",
@@ -101,9 +102,8 @@ VERIFY_PRIORITY: list[str] = [
     "text_feature_hash_embedding",
     "text_tfidf_top_terms",
     "q02_cheapest_supplier_per_part",
-    "q07_nation_trade_volume",
-    # (the twenty-three r05 late additions above displaced
-    # q08_market_share, q09_profit_by_nation_year,
+    # (the twenty-four r05 late additions above displaced
+    # q07_nation_trade_volume, q08_market_share, q09_profit_by_nation_year,
     # q11_brand_value_concentration, q12_priority_by_returnflag,
     # q13_order_count_distribution, q14_promo_revenue_share,
     # q17_small_quantity_revenue, q18_large_volume_orders,

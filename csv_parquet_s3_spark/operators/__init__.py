@@ -14,6 +14,7 @@ from csv_parquet_s3_spark.operators import (  # noqa: F401
     neardup,
     outer_json,
     packing,
+    pipeline,
     projection,
     relational,
     reshape,
