@@ -1379,7 +1379,7 @@ def ivf_pq_topk_from_index(
     books = spark.read.parquet(f"{index_path}/codebooks")
     codes = spark.read.parquet(f"{index_path}/codes")
     candidates = _stored_coarse_candidates(spark, queries, index_path, nprobe)
-    return pq_topk(queries, codes, books, candidates=candidates)
+    return pq_topk(queries, codes, books, k=k, candidates=candidates)
 
 
 def _stored_coarse_candidates(
@@ -1472,6 +1472,114 @@ def sq8_topk_from_index(
         F.col("vec_id").alias("query_id"), "dim", F.col("xv").alias("qv")
     )
     return _sq8_rank(decoded, q, restricted=True)
+
+
+# ---------------------------------------------------------------------------
+# IVF×PQ + exact refinement (re-ranking): the full production serving recipe.
+# ADC over compressed codes is cheap but lossy; every deployed IVF-PQ system
+# (FAISS's `refine` stage, ScaNN's re-scoring) therefore ADC-ranks a SHORTLIST
+# of R = refine_factor·k candidates and re-scores only those R rows against
+# the raw vectors. Per query the raw embedding column is touched for exactly
+# |shortlist| rows — (R/corpus)·100 TB, not 100 TB — so the refine join stays
+# a sliver even at full scale while recovering exact-cosine ordering within
+# the shortlist.
+# ---------------------------------------------------------------------------
+
+REFINE_FACTOR = 4  # shortlist size = REFINE_FACTOR × TOP_K
+
+
+def _ivf_pq_refine_oracle(factor: int = REFINE_FACTOR) -> str:
+    """The IVF×PQ oracle with its final top-k swapped for shortlist →
+    exact-cosine re-rank: ADC picks R candidates (same tie-breaks), raw
+    embeddings re-score them, ranking matches the brute-force rounding."""
+    full = _ivf_pq_oracle()
+    marker = "    SELECT query_id, cand_id, approx_dist, rn FROM ("
+    head, _tail = full.rsplit(marker, 1)
+    # `head` ends after the candidate-restricted `scored` CTE.
+    return head + f"""    , shortlist AS (
+        SELECT query_id, cand_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY approx_dist ASC, cand_id) AS srn
+            FROM scored
+        ) t WHERE srn <= {factor * TOP_K}
+    ),
+    exact AS (
+        SELECT s.query_id, s.cand_id,
+               CAST(ROUND({_ORACLE_DOT.format(a='q.embedding', b='e.embedding')}
+                    / ({_ORACLE_NORM.format(v='q.embedding')}
+                       * {_ORACLE_NORM.format(v='e.embedding')}), 6) AS DOUBLE)
+                 AS cos_sim
+        FROM shortlist s
+        JOIN embeddings q ON q.vec_id = s.query_id
+        JOIN embeddings e ON e.vec_id = s.cand_id
+    )
+    SELECT query_id, cand_id, cos_sim, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, cand_id) AS rn
+        FROM exact
+    ) t WHERE rn <= {TOP_K}"""
+
+
+def ivf_pq_refined_topk(
+    spark: SparkSession,
+    queries: DataFrame,
+    emb: DataFrame,
+    index_path: str,
+    k: int = TOP_K,
+    factor: int = REFINE_FACTOR,
+) -> DataFrame:
+    """Serve from the stored index, then exact-rerank the ADC shortlist.
+
+    The shortlist join against raw vectors is |Q|·R rows on the left — the
+    raw-embedding scan is candidate-pruned by the join (at cluster scale:
+    a broadcastable shortlist keyed on vec_id against the vector table),
+    so full vectors are read for R rows per query, never the corpus."""
+    shortlist = ivf_pq_topk_from_index(
+        spark, queries, index_path, k=factor * k
+    ).select("query_id", "cand_id")
+    v = _with_norm(emb).select("vec_id", "vd", "norm")
+    qv = v.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vd").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    cv = v.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("vd").alias("cv2"),
+        F.col("norm").alias("cnorm2"),
+    )
+    exact = (
+        shortlist.join(cv, "cand_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv2")) / (F.col("qnorm") * F.col("cnorm2")), 6
+            )
+            .cast("double")
+            .alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return exact.select("*", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= k
+    )
+
+
+@register("sim_cosine_topk_ivf_pq_refine", oracle=_ivf_pq_refine_oracle())
+def sim_cosine_topk_ivf_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ with exact re-ranking — the complete production ANN serving
+    path: probe stored centroids, ADC-rank the probed lists' M-byte codes
+    to an R=REFINE_FACTOR·k shortlist, then re-score ONLY the shortlist
+    against raw vectors for exact-cosine final ordering. Recovers the
+    quantization loss of ADC at a raw-vector read cost of R rows per query.
+    Hash-checked against the IVF×PQ oracle extended with the same
+    shortlist → exact re-rank tail."""
+    root = ensure_ivf_pq_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return ivf_pq_refined_topk(spark, queries, emb, root)
 
 
 @register("sim_cosine_topk_ivf_sq8_from_index", oracle=_sq8_oracle(ivf=True))

@@ -409,3 +409,48 @@ def test_sq8_recall_near_exact(spark):
         got.setdefault(r.query_id, set()).add(r.cand_id)
     recall = sum(len(got[q] & exact[q]) for q in exact) / (len(exact) * 10)
     assert recall >= 0.9, f"SQ8 recall@10 {recall} below 0.9"
+
+
+def test_refine_reranks_adc_shortlist_exactly(spark):
+    """The refine stage must (a) draw every result from the R-deep ADC
+    shortlist of the stored index, (b) score it with EXACT cosine (matches
+    a NumPy recomputation), and (c) order by that exact score — i.e. it is
+    the true exact-top-k restricted to the shortlist."""
+    import numpy as np
+
+    from csv_parquet_s3_spark.operators.similarity_index import (
+        REFINE_FACTOR,
+        TOP_K,
+        ensure_ivf_pq_index,
+        ivf_pq_topk_from_index,
+        sim_cosine_topk_ivf_pq_refine,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    root = ensure_ivf_pq_index(spark, SF)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    shortlist: dict = {}
+    for r in ivf_pq_topk_from_index(
+        spark, queries, root, k=REFINE_FACTOR * TOP_K
+    ).collect():
+        shortlist.setdefault(r.query_id, set()).add(r.cand_id)
+    assert all(len(s) == REFINE_FACTOR * TOP_K for s in shortlist.values())
+
+    V = np.array(
+        [r.embedding for r in emb.orderBy("vec_id").collect()], dtype=np.float64
+    )
+    U = V / np.linalg.norm(V, axis=1, keepdims=True)
+
+    rows = sim_cosine_topk_ivf_pq_refine(spark, SF).collect()
+    assert len(rows) == N_QUERIES * TOP_K
+    for q, s in shortlist.items():
+        # exact top-k over the shortlist, same rounding + tie-break
+        want = sorted(
+            ((round(float(U[q] @ U[c]), 6), c) for c in s),
+            key=lambda t: (-t[0], t[1]),
+        )[:TOP_K]
+        got = sorted(
+            ((r.cos_sim, r.cand_id) for r in rows if r.query_id == q),
+            key=lambda t: (-t[0], t[1]),
+        )
+        assert got == [(w[0], w[1]) for w in want], f"query {q} rerank mismatch"
