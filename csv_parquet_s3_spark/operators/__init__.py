@@ -9,6 +9,7 @@ from csv_parquet_s3_spark.operators import (  # noqa: F401
     components,
     dedup,
     grouped_pandas,
+    layout,
     minhash_index,
     multimodal,
     neardup,

@@ -686,3 +686,74 @@ def bloom_probe(candidates: DataFrame, blocklist: DataFrame) -> DataFrame:
         )
     )
     return candidates.join(hits, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking (Hernández & Stolfo '95): the THIRD classic
+# candidate generator next to LSH (dedup_minhash_lsh_pairs) and banded
+# SimHash (dedup_simhash_hamming_pairs). Sort on a normalized key, emit every
+# pair within a sliding window of W positions — catches near-dups whose edits
+# fall OUTSIDE the key prefix (which hash-blocking splits apart), at a
+# guaranteed W·n candidate bound.
+# ---------------------------------------------------------------------------
+SN_KEY_LEN = 12
+SN_WINDOW = 3
+
+
+def _sn_pairs_oracle() -> str:
+    leads = ",\n               ".join(
+        f"LEAD(doc_id, {i}) OVER w AS lead{i}" for i in range(1, SN_WINDOW + 1)
+    )
+    arms = "\n    UNION ALL\n".join(
+        f"""    SELECT block, doc_id AS doc_id_a, {i} AS gap, lead{i} AS doc_id_b
+    FROM ranked WHERE lead{i} IS NOT NULL"""
+        for i in range(1, SN_WINDOW + 1)
+    )
+    return f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                         1, {SN_KEY_LEN}) AS snkey
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, snkey, substring(snkey, 1, 1) AS block,
+               {leads}
+        FROM keyed
+        WINDOW w AS (PARTITION BY substring(snkey, 1, 1)
+                     ORDER BY snkey, doc_id)
+    )
+{arms}
+    """
+
+
+@register("dedup_sorted_neighborhood_pairs", oracle=_sn_pairs_oracle())
+def dedup_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood candidate pairs: normalize each document to a
+    SN_KEY_LEN prefix key, sort within its 1-char block, pair every row
+    with its next SN_WINDOW neighbors. ONE window pass — the neighbors come
+    from lead(), not a self-join, so the plan is a single hash exchange on
+    the block plus a map-side stack(); candidate volume is bounded by W·n
+    by construction (vs LSH's data-dependent bucket sizes). Blocks bound
+    the sort: no global order, a mega-block is one skewed partition handled
+    by AQE. The window deliberately pairs across DIFFERENT prefix keys
+    within a block — the near-miss class pure hash blocking loses."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", ""), 1, SN_KEY_LEN
+        ).alias("snkey"),
+    ).withColumn("block", F.substring("snkey", 1, 1))
+    w = W.partitionBy("block").orderBy("snkey", "doc_id")
+    ranked = keyed.select(
+        "block",
+        "doc_id",
+        *[F.lead("doc_id", i).over(w).alias(f"lead{i}") for i in range(1, SN_WINDOW + 1)],
+    )
+    stack_args = ", ".join(f"{i}, lead{i}" for i in range(1, SN_WINDOW + 1))
+    return ranked.selectExpr(
+        "block",
+        "doc_id AS doc_id_a",
+        f"stack({SN_WINDOW}, {stack_args}) AS (gap, doc_id_b)",
+    ).filter(F.col("doc_id_b").isNotNull())

@@ -15,7 +15,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from csv_parquet_s3_spark.operators.registry import ORACLES, register
@@ -341,6 +341,40 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
     )
     return hash_split(assigned, "cluster_id").select("doc_id", "cluster_id", "split")
+
+
+SOURCE_CAP = 5  # max documents kept per source/domain
+
+
+@register(
+    "cap_documents_per_source",
+    oracle=f"""
+    SELECT doc_id, source, lang, n_chars, rn FROM (
+        SELECT doc_id, source, lang, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents
+    ) t WHERE rn <= {SOURCE_CAP}
+    """,
+)
+def cap_documents_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap: keep at most SOURCE_CAP documents per source, best
+    quality first (n_chars proxy, doc_id tie-break) — the standard web-crawl
+    curation guard against a single domain dominating the training mixture
+    (boilerplate farms, mirrors, SEO spam).
+
+    Scale shape: one hash shuffle on `source`, and Spark's WindowGroupLimit
+    rewrite (3.5+) pushes the rank-≤-N filter BELOW the shuffle as a partial
+    per-map-task top-N — a mega-domain with 10⁹ rows ships at most
+    N·map_tasks rows to the reducer, never the domain. The quality column
+    swaps for any model score without changing the plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "source", "lang", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SOURCE_CAP)
+    )
 
 
 # Fill the oracle template with the shared band/pair CTEs + bucket expr (the
