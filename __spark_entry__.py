@@ -52,6 +52,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # two rounds unverified.
 VERIFY_PRIORITY: list[str] = [
     # never-checked r05 late additions first
+    "sim_cosine_topk_ivf_pq_refine",
+    "dedup_sorted_neighborhood_pairs",
+    "dedup_containment_pairs",
+    "layout_zorder_zonemap",
+    "cap_documents_per_source",
+    "q_events_value_winsorized",
     "pipeline_corpus_training_set",
     "dedup_winnowing_pairs",
     "text_winnowing_fingerprints",
@@ -96,13 +102,10 @@ VERIFY_PRIORITY: list[str] = [
     "text_token_counts",
     "text_doc_stats",
     "text_langid_heuristic",
-    "text_fingerprint",
-    "text_lang_distribution",
-    "text_langid_ngram",
-    "text_feature_hash_embedding",
-    "text_tfidf_top_terms",
-    "q02_cheapest_supplier_per_part",
-    # (the twenty-four r05 late additions above displaced
+    # (the thirty r05 additions above displaced text_fingerprint,
+    # text_lang_distribution, text_langid_ngram, text_feature_hash_embedding,
+    # text_tfidf_top_terms, q02_cheapest_supplier_per_part (green since r02,
+    # rotate back r06) and the twenty-four-displacement set below:
     # q07_nation_trade_volume, q08_market_share, q09_profit_by_nation_year,
     # q11_brand_value_concentration, q12_priority_by_returnflag,
     # q13_order_count_distribution, q14_promo_revenue_share,

@@ -75,6 +75,11 @@ HEADLINE = [
     "q_asof_error_to_purchase",
     "sim_cosine_topk_ivf_pq_from_index",
     "text_repetition_ratio",
+    # r05 addition (late): the full serving recipe — stored-index ADC
+    # shortlist + exact re-rank. Kept ALONGSIDE the from_index entry so the
+    # round-over-round common set stays comparable; the delta between the
+    # two is the price of the refine join.
+    "sim_cosine_topk_ivf_pq_refine",
 ]
 
 

@@ -757,3 +757,103 @@ def dedup_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFra
         "doc_id AS doc_id_a",
         f"stack({SN_WINDOW}, {stack_args}) AS (gap, doc_id_b)",
     ).filter(F.col("doc_id_b").isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# Containment near-dup (Broder's C(A,B) = |A∩B| / min(|A|,|B|)): the subset-
+# duplication detector. A short document pasted inside a long one has HIGH
+# containment but LOW Jaccard (|A∩B|/|A∪B| is diluted by the long doc), so
+# Jaccard-LSH structurally misses it. Candidates come from RARE-shingle
+# blocking instead: a contained document shares ALL its shingles with its
+# container, so any of its rare shingles (document frequency ≤ MAX_DF) links
+# the pair. Candidate volume is Σ_rare df² ≤ MAX_DF · Σ_rare df — linear in
+# corpus shingle count with a tunable constant, never n².
+# ---------------------------------------------------------------------------
+CONTAINMENT_MAX_DF = 5
+CONTAINMENT_THRESHOLD = 0.5
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH {_ORACLE_SHINGLES},
+    dfreq AS (SELECT shingle, COUNT(*) AS n_df FROM shingles GROUP BY shingle),
+    rare AS (
+        SELECT shingle FROM dfreq
+        WHERE n_df BETWEEN 2 AND {CONTAINMENT_MAX_DF}
+    ),
+    cand AS (
+        SELECT DISTINCT sa.doc_id AS doc_id_a, sb.doc_id AS doc_id_b
+        FROM shingles sa
+        JOIN rare r ON sa.shingle = r.shingle
+        JOIN shingles sb ON sb.shingle = r.shingle AND sa.doc_id < sb.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_id_a, c.doc_id_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN shingles sa ON sa.doc_id = c.doc_id_a
+        JOIN shingles sb ON sb.doc_id = c.doc_id_b AND sb.shingle = sa.shingle
+        GROUP BY c.doc_id_a, c.doc_id_b
+    )
+    SELECT doc_id_a, doc_id_b, containment FROM (
+        SELECT i.doc_id_a, i.doc_id_b,
+               CAST(ROUND(CAST(i.n_common AS DOUBLE)
+                          / LEAST(za.n, zb.n), 6) AS DOUBLE) AS containment
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.doc_id_a
+        JOIN sizes zb ON zb.doc_id = i.doc_id_b
+        WHERE CAST(i.n_common AS DOUBLE) / LEAST(za.n, zb.n)
+              >= {CONTAINMENT_THRESHOLD}
+    ) t
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset-duplication pairs: rare-shingle blocking → containment
+    verification. Verification runs on per-document shingle-set ARRAYS
+    (``collect_set`` → ``array_intersect``) like the LSH verifier — two
+    doc_id joins, no second pass over exploded shingle rows. The document-
+    frequency computation doubles as the blocking filter, so the whole plan
+    is: one shingle aggregation, one df aggregation, the rare-bucket
+    self-join (AQE-skew-safe), then bounded array math per candidate."""
+    sh = _shingles(spark, sf_dir)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("n_df"))
+    rare = dfreq.filter(
+        (F.col("n_df") >= 2) & (F.col("n_df") <= CONTAINMENT_MAX_DF)
+    ).select("shingle")
+    blocked = sh.join(rare, "shingle")
+    cand = (
+        blocked.select("shingle", F.col("doc_id").alias("doc_id_a"))
+        .join(
+            blocked.select("shingle", F.col("doc_id").alias("doc_id_b")),
+            "shingle",
+        )
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+    ssets = sh.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("sset"), F.count("*").alias("n")
+    )
+    za = ssets.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("sset").alias("sset_a"),
+        F.col("n").alias("n_a"),
+    )
+    zb = ssets.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("sset").alias("sset_b"),
+        F.col("n").alias("n_b"),
+    )
+    n_common = F.size(F.array_intersect("sset_a", "sset_b"))
+    cont = n_common.cast("double") / F.least("n_a", "n_b")
+    return (
+        cand.join(za, "doc_id_a")
+        .join(zb, "doc_id_b")
+        .filter(cont >= CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(cont, 6).cast("double").alias("containment"),
+        )
+    )

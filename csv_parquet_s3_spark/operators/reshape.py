@@ -978,3 +978,69 @@ def q_incremental_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                " + coalesce(v_d, CAST(0 AS DECIMAL(12,2))), 2) AS DOUBLE)")
         .alias("total_value"),
     )
+
+
+@register(
+    "q_events_value_winsorized",
+    oracle="""
+    WITH q AS (
+        SELECT event_type,
+               quantile_cont(value, 0.01) AS p01,
+               quantile_cont(value, 0.99) AS p99
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN e.value < q.p01 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_low,
+           CAST(SUM(CASE WHEN e.value > q.p99 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_high,
+           CAST(ROUND(q.p01, 6) AS DOUBLE) AS p01,
+           CAST(ROUND(q.p99, 6) AS DOUBLE) AS p99,
+           CAST(ROUND(SUM(CAST(LEAST(GREATEST(e.value, q.p01), q.p99)
+                               AS DECIMAL(18,6))) / COUNT(*), 6) AS DOUBLE)
+               AS winsor_mean
+    FROM events e JOIN q ON q.event_type = e.event_type
+    GROUP BY e.event_type, q.p01, q.p99
+    """,
+)
+def q_events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-type value statistics: clip `value` to its type's
+    [p1, p99] band, then average — the outlier-robust aggregate a metrics
+    pipeline feeds to training instead of the raw mean (one fat-finger
+    event stops moving the number). Clipped sums run in DECIMAL so the
+    accumulation order cannot change the result across engines/partitions.
+    Two passes over events (exact percentiles, then the clipped aggregate)
+    joined through a |event_types|-row broadcast; at 100 TB swap the exact
+    percentile for `approx_percentile` without touching the second pass."""
+    events = load_table(spark, sf_dir, "events")
+    q = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("p01"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+    clipped = F.expr("CAST(LEAST(GREATEST(value, p01), p99) AS DECIMAL(18,6))")
+    return (
+        events.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "p01", "p99")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("value") < F.col("p01"), 1).otherwise(0)).alias(
+                "n_clipped_low"
+            ),
+            F.sum(F.when(F.col("value") > F.col("p99"), 1).otherwise(0)).alias(
+                "n_clipped_high"
+            ),
+            F.round(F.sum(clipped) / F.count("*"), 6)
+            .cast("double")
+            .alias("winsor_mean"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_clipped_low",
+            "n_clipped_high",
+            F.round("p01", 6).cast("double").alias("p01"),
+            F.round("p99", 6).cast("double").alias("p99"),
+            "winsor_mean",
+        )
+    )
