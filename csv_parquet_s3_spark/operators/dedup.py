@@ -857,3 +857,122 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cont, 6).cast("double").alias("containment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtering set-similarity join (PPJoin family, Xiao et al. WWW'08):
+# the EXACT counterpart to LSH. Order each document's shingles by ascending
+# document frequency (rarest first, lexicographic tie-break); two sets with
+# Jaccard ≥ τ MUST share a shingle within each other's first
+# n − ⌈τ·n⌉ + 1 shingles (pigeonhole), so joining on prefix shingles alone
+# loses NO true pair — recall is 1.0 by construction, unlike MinHash-LSH's
+# probabilistic banding. Candidate volume tracks Σ df² over PREFIX (rare)
+# shingles; the length filter τ·max(|A|,|B|) ≤ min(|A|,|B|) prunes further.
+# ---------------------------------------------------------------------------
+PREFIX_JACCARD_THRESHOLD = 0.5  # τ; prefix length n − ⌈n/2⌉ + 1, all-integer
+
+
+@register(
+    "dedup_prefix_filter_pairs",
+    oracle=f"""
+    WITH {_ORACLE_SHINGLES},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    dfreq AS (SELECT shingle, COUNT(*) AS df FROM shingles GROUP BY shingle),
+    ranked AS (
+        SELECT k.doc_id, k.shingle, s.n,
+               ROW_NUMBER() OVER (PARTITION BY k.doc_id
+                                  ORDER BY d.df, k.shingle) AS rn
+        FROM shingles k
+        JOIN dfreq d ON d.shingle = k.shingle
+        JOIN sizes s ON s.doc_id = k.doc_id
+    ),
+    prefix AS (SELECT doc_id, shingle, n FROM ranked
+               WHERE rn <= n - (n + 1) // 2 + 1),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+        FROM prefix a JOIN prefix b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             AND 2 * LEAST(a.n, b.n) >= GREATEST(a.n, b.n)
+    ),
+    inter AS (
+        SELECT c.doc_id_a, c.doc_id_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN shingles sa ON sa.doc_id = c.doc_id_a
+        JOIN shingles sb ON sb.doc_id = c.doc_id_b AND sb.shingle = sa.shingle
+        GROUP BY c.doc_id_a, c.doc_id_b
+    )
+    SELECT doc_id_a, doc_id_b, jaccard FROM (
+        SELECT i.doc_id_a, i.doc_id_b,
+               CAST(ROUND(CAST(i.n_common AS DOUBLE)
+                          / (za.n + zb.n - i.n_common), 6) AS DOUBLE) AS jaccard
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.doc_id_a
+        JOIN sizes zb ON zb.doc_id = i.doc_id_b
+        WHERE CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common)
+              >= {PREFIX_JACCARD_THRESHOLD}
+    ) t
+    """,
+)
+def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard-≥-τ pairs via prefix filtering — zero false negatives
+    (the guarantee LSH trades away), at the cost of a df-ranking window
+    pass. Plan: shingle aggregation → df counts (one exchange each) → the
+    per-doc rank window → prefix self-join (volume = Σ df² over rare
+    prefix shingles, AQE-skew-safe) → array-set verification on the two
+    doc_id joins. The length filter is applied IN the join condition so
+    mismatched-size pairs never materialize. Tested as a superset of the
+    LSH pair set at the same τ."""
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .join(sizes, "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("doc_id").orderBy("df", "shingle")),
+        )
+    )
+    prefix = ranked.filter(F.expr("rn <= n - (n + 1) div 2 + 1")).select(
+        "doc_id", "shingle", "n"
+    )
+    pa = prefix.select(
+        "shingle", F.col("doc_id").alias("doc_id_a"), F.col("n").alias("pn_a")
+    )
+    pb = prefix.select(
+        "shingle", F.col("doc_id").alias("doc_id_b"), F.col("n").alias("pn_b")
+    )
+    cand = (
+        pa.join(pb, "shingle")
+        .filter(
+            (F.col("doc_id_a") < F.col("doc_id_b"))
+            & (2 * F.least("pn_a", "pn_b") >= F.greatest("pn_a", "pn_b"))
+        )
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+    ssets = sh.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("sset"), F.count("*").alias("n")
+    )
+    za = ssets.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("sset").alias("sset_a"),
+        F.col("n").alias("n_a"),
+    )
+    zb = ssets.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("sset").alias("sset_b"),
+        F.col("n").alias("n_b"),
+    )
+    n_common = F.size(F.array_intersect("sset_a", "sset_b"))
+    jacc = n_common.cast("double") / (F.col("n_a") + F.col("n_b") - n_common)
+    return (
+        cand.join(za, "doc_id_a")
+        .join(zb, "doc_id_b")
+        .filter(jacc >= PREFIX_JACCARD_THRESHOLD)
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(jacc, 6).cast("double").alias("jaccard"),
+        )
+    )

@@ -833,3 +833,111 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id_a", "doc_id_b")
         .agg(F.count("*").alias("n_shared_fingerprints"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule screen (Rae et al. '21, Table A1, adapted to this
+# corpus's scale): the consolidated boolean quality gate a pretraining
+# pipeline runs FIRST, before any model-scored filtering. Each rule is a
+# named boolean column so downstream audits can ask "how many documents does
+# each rule alone remove" — not just a single opaque keep bit.
+# ---------------------------------------------------------------------------
+GOPHER_MIN_WORDS = 20
+GOPHER_MEAN_LEN_LO = 3.0
+GOPHER_MEAN_LEN_HI = 5.0
+GOPHER_MIN_TTR = 0.3
+GOPHER_MAX_TOP_FRAC = 0.2
+GOPHER_MIN_STOP_HITS = 2
+
+
+@register(
+    "text_gopher_quality_flags",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+               FROM documents),
+    tok AS (SELECT doc_id, u.t AS tk FROM t, UNNEST(toks) AS u(t)),
+    mx AS (
+        SELECT doc_id, MAX(c) AS maxtok FROM (
+            SELECT doc_id, tk, COUNT(*) AS c FROM tok GROUP BY doc_id, tk
+        ) z GROUP BY doc_id
+    ),
+    s AS (
+        SELECT doc_id, lang,
+               CAST(len(toks) AS INT) AS n_tokens,
+               CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                   / len(toks) AS mean_len,
+               CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+               CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS INT)
+                   AS stop_hits
+        FROM t
+    )
+    SELECT s.doc_id, s.lang, s.n_tokens,
+           s.n_tokens >= {GOPHER_MIN_WORDS} AS r_min_words,
+           s.mean_len >= {GOPHER_MEAN_LEN_LO}
+               AND s.mean_len <= {GOPHER_MEAN_LEN_HI} AS r_mean_len,
+           s.ttr >= {GOPHER_MIN_TTR} AS r_type_token,
+           CAST(mx.maxtok AS DOUBLE) / s.n_tokens <= {GOPHER_MAX_TOP_FRAC}
+               AS r_repetition,
+           s.stop_hits >= {GOPHER_MIN_STOP_HITS} AS r_stopwords,
+           (s.n_tokens >= {GOPHER_MIN_WORDS}
+            AND s.mean_len >= {GOPHER_MEAN_LEN_LO}
+            AND s.mean_len <= {GOPHER_MEAN_LEN_HI}
+            AND s.ttr >= {GOPHER_MIN_TTR}
+            AND CAST(mx.maxtok AS DOUBLE) / s.n_tokens <= {GOPHER_MAX_TOP_FRAC}
+            AND s.stop_hits >= {GOPHER_MIN_STOP_HITS}) AS keep
+    FROM s JOIN mx ON mx.doc_id = s.doc_id
+    """,
+)
+def text_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-rule quality screen: word count, mean word length, type/token
+    ratio, top-token repetition, stopword presence — each a boolean column
+    plus the conjunctive `keep`. Everything except the repetition rule is a
+    per-row expression (codegen, no shuffle); the top-token count runs as
+    explode → (doc, token) count → per-doc max — two keyed aggregations
+    that scale with corpus token count (never a per-doc O(n²) array scan,
+    which dies on long documents). All ratio comparisons divide exact
+    integer sums, so the rule booleans are engine-portable."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", F.split("text", " ").alias("toks"))
+    tok = t.select("doc_id", F.explode("toks").alias("tk"))
+    mx = (
+        tok.groupBy("doc_id", "tk")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("maxtok"))
+    )
+    n_tokens = F.size("toks")
+    mean_len = (
+        F.aggregate(
+            F.expr("transform(toks, x -> length(x))"), F.lit(0), lambda a, x: a + x
+        ).cast("double")
+        / n_tokens
+    )
+    ttr = F.size(F.array_distinct("toks")).cast("double") / n_tokens
+    stop_hits = F.size(F.expr(f"filter(toks, x -> x IN ({_STOP_SQL}))"))
+    s = t.select(
+        "doc_id",
+        "lang",
+        n_tokens.cast("int").alias("n_tokens"),
+        mean_len.alias("mean_len"),
+        ttr.alias("ttr"),
+        stop_hits.cast("int").alias("stop_hits"),
+    )
+    r_min_words = F.col("n_tokens") >= GOPHER_MIN_WORDS
+    r_mean_len = (F.col("mean_len") >= GOPHER_MEAN_LEN_LO) & (
+        F.col("mean_len") <= GOPHER_MEAN_LEN_HI
+    )
+    r_ttr = F.col("ttr") >= GOPHER_MIN_TTR
+    r_rep = F.col("maxtok").cast("double") / F.col("n_tokens") <= GOPHER_MAX_TOP_FRAC
+    r_stop = F.col("stop_hits") >= GOPHER_MIN_STOP_HITS
+    return s.join(mx, "doc_id").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        r_min_words.alias("r_min_words"),
+        r_mean_len.alias("r_mean_len"),
+        r_ttr.alias("r_type_token"),
+        r_rep.alias("r_repetition"),
+        r_stop.alias("r_stopwords"),
+        (r_min_words & r_mean_len & r_ttr & r_rep & r_stop).alias("keep"),
+    )

@@ -101,3 +101,32 @@ def test_lsh_pipeline_invariants(spark, texts, dup_of):
         }
         for i, j in planted:
             assert comp[i] == comp[j]
+
+
+def test_prefix_filter_pairs_superset_of_lsh(spark):
+    """Prefix filtering is EXACT (recall 1.0 at its τ); MinHash-LSH at the
+    same τ can only miss pairs. So the LSH pair set must be a subset of the
+    prefix-filter pair set, and every shared pair carries the same exact
+    Jaccard value."""
+    from csv_parquet_s3_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        PREFIX_JACCARD_THRESHOLD,
+        dedup_minhash_lsh_pairs,
+        dedup_prefix_filter_pairs,
+    )
+
+    assert PREFIX_JACCARD_THRESHOLD == JACCARD_THRESHOLD
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in dedup_prefix_filter_pairs(spark, sf).collect()
+    }
+    lsh = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in dedup_minhash_lsh_pairs(spark, sf).collect()
+    }
+    assert len(exact) > 0
+    missing = set(lsh) - set(exact)
+    assert not missing, f"exact pair set missing LSH pairs: {sorted(missing)[:5]}"
+    for k in lsh:
+        assert lsh[k] == exact[k]
