@@ -53,6 +53,8 @@ def entry(spark: SparkSession) -> DataFrame:
 VERIFY_PRIORITY: list[str] = [
     # never-checked r05 late additions first
     "sim_cosine_topk_ivf_pq_refine",
+    "q_open_orders_daily",
+    "q_table_content_digest",
     "dedup_prefix_filter_pairs",
     "text_gopher_quality_flags",
     "dedup_sorted_neighborhood_pairs",
@@ -100,9 +102,8 @@ VERIFY_PRIORITY: list[str] = [
     "q_approx_sketches",
     "sim_label_centroid_distance",
     "sim_cosine_topk_vectorized",
-    "sim_cosine_topk_ivf_trained",
-    "text_token_counts",
-    # (the thirty-two r05 additions above displaced text_doc_stats,
+    # (the thirty-four r05 additions above displaced
+    # sim_cosine_topk_ivf_trained, text_token_counts, text_doc_stats,
     # text_langid_heuristic, text_fingerprint,
     # text_lang_distribution, text_langid_ngram, text_feature_hash_embedding,
     # text_tfidf_top_terms, q02_cheapest_supplier_per_part (green since r02,

@@ -470,3 +470,126 @@ def sketch_countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cm_estimate",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval overlap counting (sweep line): "how many orders were open on each
+# day". The naive formulation — explode every interval into its covered days,
+# or join days × intervals on BETWEEN — is O(rows · interval_length) or a
+# range theta-join; the sweep line is O(rows) map-side: +1 at each open, −1
+# after each close, aggregate deltas by day, prefix-sum the daily nets.
+# ---------------------------------------------------------------------------
+@register(
+    "q_open_orders_daily",
+    oracle="""
+    WITH bounds AS (
+        SELECT o.o_orderkey, o.o_orderdate, MAX(l.l_shipdate) AS closed
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    deltas AS (
+        SELECT o_orderdate AS day, 1 AS opened, 0 AS closed FROM bounds
+        UNION ALL
+        SELECT closed AS day, 0, 1 FROM bounds
+    ),
+    daily AS (
+        SELECT day, CAST(SUM(opened) AS BIGINT) AS n_opened,
+               CAST(SUM(closed) AS BIGINT) AS n_closed
+        FROM deltas GROUP BY day
+    )
+    SELECT day, n_opened, n_closed,
+           CAST(SUM(n_opened - n_closed)
+                OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS open_orders
+    FROM daily
+    """,
+)
+def q_open_orders_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrently-open orders per day, sweep-line style: an order is open
+    from o_orderdate until its LAST line ships. Each interval contributes
+    exactly two delta rows (+1 open, −1 close) regardless of its length —
+    the aggregation shuffles 2·|orders| rows keyed by day, never
+    days×orders. The final prefix sum runs over the DAILY frame, whose
+    cardinality is the calendar (thousands of rows at any corpus scale), so
+    the global-ordered window is bounded by construction; for prefix sums
+    over unbounded key spaces, the two-phase pattern (per-partition sums +
+    broadcast offsets) replaces it."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("closed"))
+    )
+    deltas = bounds.select(
+        F.col("o_orderdate").alias("day"),
+        F.lit(1).alias("opened"),
+        F.lit(0).alias("closed_d"),
+    ).unionAll(
+        bounds.select(
+            F.col("closed").alias("day"), F.lit(0).alias("opened"), F.lit(1).alias("closed_d")
+        )
+    )
+    daily = deltas.groupBy("day").agg(
+        F.sum("opened").cast("bigint").alias("n_opened"),
+        F.sum("closed_d").cast("bigint").alias("n_closed"),
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.select(
+        "day",
+        "n_opened",
+        "n_closed",
+        F.sum(F.col("n_opened") - F.col("n_closed")).over(w).cast("bigint").alias("open_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order-insensitive table content digest: the integrity primitive a 100 TB
+# pipeline runs after every copy/migrate/backfill ("is the data the same?").
+# Row hash = md5 over a '|'-joined canonical projection (exact-typed columns
+# only: keys, flags, dates, DECIMAL-cast money — float columns are excluded
+# because their string forms are not engine-portable); table digest = SUM of
+# per-row 32-bit hash values + row count. Commutative/associative, so the
+# digest is independent of partitioning, ordering, and engine — two datasets
+# match iff (count, digest) match (up to the 2^-32-per-row collision rate).
+# ---------------------------------------------------------------------------
+_DIGEST_COLS_SPARK = (
+    "cast(l_orderkey as string), cast(l_partkey as string),"
+    " cast(l_suppkey as string), cast(l_linenumber as string),"
+    " l_returnflag, l_linestatus, cast(l_shipdate as string),"
+    " cast(cast(l_extendedprice as decimal(12,2)) as string)"
+)
+_DIGEST_COLS_DUCK = (
+    "CAST(l_orderkey AS VARCHAR), CAST(l_partkey AS VARCHAR),"
+    " CAST(l_suppkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),"
+    " l_returnflag, l_linestatus, CAST(l_shipdate AS VARCHAR),"
+    " CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR)"
+)
+
+
+@register(
+    "q_table_content_digest",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM({_KMV_HEX_INT.format(
+               h=f"md5(concat_ws('|', {_DIGEST_COLS_DUCK}))")}) AS BIGINT)
+               AS digest
+    FROM lineitem
+    """,
+)
+def q_table_content_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-order-independent content fingerprint of lineitem:
+    (row count, Σ per-row hash). Map-side only — one scan, one 2-column
+    partial aggregate; comparing two 100 TB copies costs two scans and an
+    8-byte comparison. The canonical projection pins column order and
+    DECIMAL money rendering so any engine computes the identical digest
+    (the md5→int arithmetic is the same portable trick as the KMV/CM
+    sketches)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    row_hash = _KMV_HEX_INT.format(
+        h=f"md5(cast(concat_ws('|', {_DIGEST_COLS_SPARK}) as binary))"
+    )
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.expr(row_hash)).cast("bigint").alias("digest"),
+    )
