@@ -53,6 +53,7 @@ def entry(spark: SparkSession) -> DataFrame:
 VERIFY_PRIORITY: list[str] = [
     # never-checked r05 late additions first
     "sim_cosine_topk_ivf_pq_refine",
+    "stream_events_content_digest",
     "q_open_orders_daily",
     "q_table_content_digest",
     "dedup_prefix_filter_pairs",
@@ -101,8 +102,8 @@ VERIFY_PRIORITY: list[str] = [
     "dedup_minhash_incremental",
     "q_approx_sketches",
     "sim_label_centroid_distance",
-    "sim_cosine_topk_vectorized",
-    # (the thirty-four r05 additions above displaced
+    # (the thirty-five r05 additions above displaced
+    # sim_cosine_topk_vectorized,
     # sim_cosine_topk_ivf_trained, text_token_counts, text_doc_stats,
     # text_langid_heuristic, text_fingerprint,
     # text_lang_distribution, text_langid_ngram, text_feature_hash_embedding,

@@ -353,3 +353,49 @@ def stream_scd1_upsert_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").alias("last_change"),
         F.col("o_orderkey").alias("last_orderkey"),
     )
+
+
+# Canonical exact-typed projection of events for the content digest (floats
+# excluded — their string forms are not engine-portable; ts keys as integer
+# epoch micros for the same reason).
+_EV_DIGEST_SPARK = (
+    "cast(event_id as string), cast(unix_micros(ts) as string),"
+    " cast(user_id as string), event_type"
+)
+_EV_DIGEST_DUCK = (
+    "CAST(event_id AS VARCHAR), CAST(epoch_us(ts) AS VARCHAR),"
+    " CAST(user_id AS VARCHAR), event_type"
+)
+
+
+def _ev_digest_oracle() -> str:
+    from csv_parquet_s3_spark.operators.advanced import _KMV_HEX_INT
+
+    h = f"md5(concat_ws('|', {_EV_DIGEST_DUCK}))"
+    return f"""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM({_KMV_HEX_INT.format(h=h)}) AS BIGINT) AS digest
+    FROM events
+    """
+
+
+@register("stream_events_content_digest", oracle=_ev_digest_oracle())
+def stream_events_content_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The content digest computed AS A STREAM: Σ-of-row-hashes + count is a
+    commutative monoid, so the same fingerprint that validates a batch copy
+    maintains itself incrementally over an unbounded feed — each micro-batch
+    folds its partial (count, sum) into the running aggregate with no
+    reprocessing and no per-key state. Drained on bounded input it must
+    equal the batch digest, which is exactly what the oracle pins (same
+    canonical projection as `q_table_content_digest`)."""
+    from csv_parquet_s3_spark.operators.advanced import _KMV_HEX_INT
+
+    stream = _events_stream(spark, sf_dir)
+    row_hash = _KMV_HEX_INT.format(
+        h=f"md5(cast(concat_ws('|', {_EV_DIGEST_SPARK}) as binary))"
+    )
+    agg = stream.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.expr(row_hash)).cast("bigint").alias("digest"),
+    )
+    return _drain(spark, agg)
