@@ -54,6 +54,8 @@ VERIFY_PRIORITY: list[str] = [
     # never-checked r05 late additions first
     "sim_cosine_topk_ivf_pq_refine",
     "stream_events_content_digest",
+    "q_fk_orphan_audit",
+    "q_events_transition_matrix",
     "q_open_orders_daily",
     "q_table_content_digest",
     "dedup_prefix_filter_pairs",
@@ -100,9 +102,8 @@ VERIFY_PRIORITY: list[str] = [
     "text_unigram_perplexity",
     "dedup_minhash_lsh_pairs",
     "dedup_minhash_incremental",
-    "q_approx_sketches",
-    "sim_label_centroid_distance",
-    # (the thirty-five r05 additions above displaced
+    # (the thirty-seven r05 additions above displaced q_approx_sketches
+    # (rows-only, re-ran r04; rotates back r06), sim_label_centroid_distance,
     # sim_cosine_topk_vectorized,
     # sim_cosine_topk_ivf_trained, text_token_counts, text_doc_stats,
     # text_langid_heuristic, text_fingerprint,

@@ -593,3 +593,49 @@ def q_table_content_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum(F.expr(row_hash)).cast("bigint").alias("digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit: orphan counts along every FK edge of the star
+# schema. Spark enforces no constraints (reference parity: AutoPurge's FK
+# disable/enable is a documented N/A), so integrity is a QUERY, not a DDL
+# property — this is that query, runnable after every load/purge/backfill.
+# ---------------------------------------------------------------------------
+_FK_EDGES = [
+    ("lineitem.l_orderkey -> orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders.o_custkey -> customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey -> nation.n_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey -> nation.n_nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey -> region.r_regionkey", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+@register(
+    "q_fk_orphan_audit",
+    oracle="\n    UNION ALL\n".join(
+        f"""    SELECT '{label}' AS edge,
+           (SELECT COUNT(*) FROM {child}) AS n_child_rows,
+           (SELECT COUNT(*) FROM {child} c
+            WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                              WHERE p.{pkey} = c.{ckey})) AS n_orphans"""
+        for label, child, ckey, parent, pkey in _FK_EDGES
+    ),
+)
+def q_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan audit over every FK edge: child row count + rows whose key
+    has no parent (left-anti join — one broadcast or shuffled-hash probe
+    per edge, each edge independent and parallel). All-zero orphans is the
+    PASS state; a nonzero row names exactly which edge a bad backfill
+    broke. NULL child keys follow SQL NOT EXISTS semantics (counted as
+    orphans only if genuinely unmatched — the anti-join's null-safe
+    default)."""
+    out = None
+    for label, child, ckey, parent, pkey in _FK_EDGES:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent)
+        orphans = c.join(p, c[ckey] == p[pkey], "left_anti")
+        row = c.agg(F.count("*").alias("n_child_rows")).crossJoin(
+            orphans.agg(F.count("*").alias("n_orphans"))
+        ).select(F.lit(label).alias("edge"), "n_child_rows", "n_orphans")
+        out = row if out is None else out.unionAll(row)
+    return out

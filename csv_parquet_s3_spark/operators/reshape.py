@@ -1044,3 +1044,58 @@ def q_events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             "winsor_mean",
         )
     )
+
+
+@register(
+    "q_events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    t AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               COUNT(*) AS n_transitions
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n_transitions,
+           CAST(ROUND(CAST(n_transitions AS DOUBLE)
+                      / SUM(n_transitions) OVER (PARTITION BY from_type), 6)
+                AS DOUBLE) AS p
+    FROM t
+    """,
+)
+def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: lead() per user (one shuffle on user_id), pair counts, and
+    row-normalized probabilities from a |types|²-bounded window — the
+    behavioral fingerprint behind next-event prediction features and
+    bot-pattern screens. The (ts, event_id) ordering key makes simultaneous
+    events deterministic across engines."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    t = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    wf = W.partitionBy("from_type")
+    return t.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double") / F.sum("n_transitions").over(wf), 6
+        )
+        .cast("double")
+        .alias("p"),
+    )
