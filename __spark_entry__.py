@@ -56,6 +56,8 @@ VERIFY_PRIORITY: list[str] = [
     "stream_events_content_digest",
     "q_fk_orphan_audit",
     "q_events_transition_matrix",
+    "q_segment_user_bitmap_distinct",
+    "q_segment_bitmap_overlap",
     "q_open_orders_daily",
     "q_table_content_digest",
     "dedup_prefix_filter_pairs",
@@ -100,9 +102,10 @@ VERIFY_PRIORITY: list[str] = [
     "rebalance_documents_by_lang",
     "stream_user_lifetime_totals",
     "text_unigram_perplexity",
-    "dedup_minhash_lsh_pairs",
-    "dedup_minhash_incremental",
-    # (the thirty-seven r05 additions above displaced q_approx_sketches
+    # (the thirty-nine r05 additions above displaced dedup_minhash_lsh_pairs
+    # and dedup_minhash_incremental (r04-green; their r05 localCheckpoint
+    # change is hash-checked by the local full-registry sweep, re-pin r06),
+    # q_approx_sketches
     # (rows-only, re-ran r04; rotates back r06), sim_label_centroid_distance,
     # sim_cosine_topk_vectorized,
     # sim_cosine_topk_ivf_trained, text_token_counts, text_doc_stats,

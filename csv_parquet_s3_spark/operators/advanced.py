@@ -639,3 +639,104 @@ def q_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(label).alias("edge"), "n_child_rows", "n_orphans")
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Bitmap distinct counting (the roaring-bitmap pattern in pure SQL): pack
+# user ids into 64-bit words (word = id div 64, bit = id mod 64), OR the
+# masks per (segment, word), popcount. EXACT distinct counts whose
+# intermediate state is |id_space|/64 bits per segment instead of a hash set
+# of ids — and the per-(segment, word) masks are themselves a mergeable,
+# storable index: tomorrow's batch ORs into the same words, and segment
+# intersections/unions become bitwise AND/OR on aligned words. The oracle
+# computes the same numbers via plain COUNT(DISTINCT ...) — two structurally
+# different algorithms, one answer.
+# ---------------------------------------------------------------------------
+@register(
+    "q_segment_user_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_distinct_users,
+           COUNT(DISTINCT user_id // 64) AS n_words
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_segment_user_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-segment distinct users via bitmap aggregation: two keyed
+    aggregations (partial-combinable `bit_or`, then `bit_count` sums) —
+    no per-row dedup state, no `distinct` shuffle of raw ids. At 100 TB
+    the word table is the materialization target: a standing bitmap index
+    that answers every subsequent distinct/overlap query with bitwise ops
+    on |ids|/64 words."""
+    events = load_table(spark, sf_dir, "events")
+    words = (
+        events.select(
+            "event_type",
+            F.expr("user_id div 64").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))").alias(
+                "m"
+            ),
+        )
+        .groupBy("event_type", "w")
+        .agg(F.expr("bit_or(m)").alias("mask"))
+    )
+    return words.groupBy("event_type").agg(
+        F.sum(F.expr("bit_count(mask)")).cast("bigint").alias("n_distinct_users"),
+        F.count("*").alias("n_words"),
+    )
+
+
+@register(
+    "q_segment_bitmap_overlap",
+    oracle="""
+    SELECT
+        (SELECT COUNT(DISTINCT user_id) FROM events
+         WHERE event_type = 'click') AS n_click,
+        (SELECT COUNT(DISTINCT user_id) FROM events
+         WHERE event_type = 'purchase') AS n_purchase,
+        (SELECT COUNT(*) FROM (
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        ) t) AS n_both
+    """,
+)
+def q_segment_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact segment overlap from the bitmap index: AND the two segments'
+    word masks, popcount — the set-intersection cardinality without ever
+    shuffling raw ids (the exact counterpart to the KMV overlap estimate in
+    `q_kmv_cohort_overlap`). A full-outer word join keeps each segment's
+    total derivable from the same pass; cost is |id_space|/64 words."""
+    events = load_table(spark, sf_dir, "events")
+
+    def seg(t: str, name: str) -> DataFrame:
+        return (
+            events.filter(F.col("event_type") == t)
+            .select(
+                F.expr("user_id div 64").alias("w"),
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))"
+                ).alias("m"),
+            )
+            .groupBy("w")
+            .agg(F.expr("bit_or(m)").alias(name))
+        )
+
+    joined = seg("click", "mask_a").join(seg("purchase", "mask_b"), "w", "full")
+    return joined.agg(
+        F.sum(F.expr("bit_count(coalesce(mask_a, CAST(0 AS BIGINT)))"))
+        .cast("bigint")
+        .alias("n_click"),
+        F.sum(F.expr("bit_count(coalesce(mask_b, CAST(0 AS BIGINT)))"))
+        .cast("bigint")
+        .alias("n_purchase"),
+        F.sum(
+            F.expr(
+                "bit_count(coalesce(mask_a, CAST(0 AS BIGINT))"
+                " & coalesce(mask_b, CAST(0 AS BIGINT)))"
+            )
+        )
+        .cast("bigint")
+        .alias("n_both"),
+    )
