@@ -58,6 +58,7 @@ VERIFY_PRIORITY: list[str] = [
     "q_events_transition_matrix",
     "q_segment_user_bitmap_distinct",
     "q_segment_bitmap_overlap",
+    "pipeline_customer_feature_snapshot",
     "q_open_orders_daily",
     "q_table_content_digest",
     "dedup_prefix_filter_pairs",
@@ -101,8 +102,9 @@ VERIFY_PRIORITY: list[str] = [
     "dedup_embedding_ivf_blocked",
     "rebalance_documents_by_lang",
     "stream_user_lifetime_totals",
-    "text_unigram_perplexity",
-    # (the thirty-nine r05 additions above displaced dedup_minhash_lsh_pairs
+    # (the forty r05 additions above displaced text_unigram_perplexity
+    # (r04-green; its r05 broadcast-hint removal is hash-identical and
+    # locally swept), dedup_minhash_lsh_pairs
     # and dedup_minhash_incremental (r04-green; their r05 localCheckpoint
     # change is hash-checked by the local full-registry sweep, re-pin r06),
     # q_approx_sketches

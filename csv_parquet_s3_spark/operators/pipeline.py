@@ -125,3 +125,88 @@ def pipeline_corpus_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text", "lang", "source", "n_chars")
     )
     return pack_greedy(s3)
+
+
+@register(
+    "pipeline_customer_feature_snapshot",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey,
+               COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+                   AS total_spend,
+               CAST((2 * SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                                  AS BIGINT)) + COUNT(*))
+                    // (2 * COUNT(*)) AS DOUBLE) / 100 AS avg_order_value,
+               MIN(o_orderdate) AS first_order,
+               MAX(o_orderdate) AS last_order,
+               CAST(date_diff('day', MIN(o_orderdate), MAX(o_orderdate))
+                    AS INT) AS days_active,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_open_orders
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_custkey, c.c_mktsegment, n.n_name AS nation,
+           CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+           COALESCE(o.total_spend, 0.0) AS total_spend,
+           o.avg_order_value,
+           o.first_order, o.last_order, o.days_active,
+           CAST(COALESCE(o.n_open_orders, 0) AS BIGINT) AS n_open_orders
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    LEFT JOIN o ON o.o_custkey = c.c_custkey
+    """,
+)
+def pipeline_customer_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer feature snapshot — the feature-store materialization a
+    model-serving pipeline refreshes on schedule: activity counts, exact
+    DECIMAL spend aggregates, recency bounds, open-order exposure, joined
+    with the dimension attributes. One fact aggregation keyed by customer,
+    one broadcast dim join, one left join back to the spine (customers
+    WITHOUT orders stay in the table with zeroed counts — the spine defines
+    the population, not the fact). Null avg/first/last for orderless
+    customers is deliberate: absent history is not a zero feature."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    dec = F.expr("CAST(o_totalprice AS DECIMAL(12,2))")
+    # avg in integer half-up cents: decimal-division scale/rounding rules
+    # differ per engine at exact half-cent quotients; (2·cents + n) div 2n
+    # is the same integer everywhere.
+    avg_cents = F.expr(
+        "CAST((2 * SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))"
+        " + COUNT(*)) DIV (2 * COUNT(*)) AS DOUBLE) / 100"
+    )
+    o = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum(dec), 2).cast("double").alias("total_spend"),
+        avg_cents.alias("avg_order_value"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate"))
+        .cast("int")
+        .alias("days_active"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_open_orders"),
+    )
+    return (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(o, customer.c_custkey == o.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.col("n_name").alias("nation"),
+            F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
+            F.coalesce("total_spend", F.lit(0.0)).alias("total_spend"),
+            "avg_order_value",
+            "first_order",
+            "last_order",
+            "days_active",
+            F.coalesce("n_open_orders", F.lit(0))
+            .cast("bigint")
+            .alias("n_open_orders"),
+        )
+    )
