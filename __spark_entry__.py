@@ -59,6 +59,7 @@ VERIFY_PRIORITY: list[str] = [
     "q_segment_user_bitmap_distinct",
     "q_segment_bitmap_overlap",
     "pipeline_customer_feature_snapshot",
+    "stream_segment_bitmap_distinct",
     "q_open_orders_daily",
     "q_table_content_digest",
     "dedup_prefix_filter_pairs",
@@ -100,9 +101,11 @@ VERIFY_PRIORITY: list[str] = [
     "stream_events_sliding_rollup",
     "dedup_modality_agreement",
     "dedup_embedding_ivf_blocked",
-    "rebalance_documents_by_lang",
     "stream_user_lifetime_totals",
-    # (the forty r05 additions above displaced text_unigram_perplexity
+    # (the forty-one r05 additions above displaced
+    # rebalance_documents_by_lang (r04-green; its r05 overflow fix is
+    # arithmetically identical below 2^31 docs/language and locally swept),
+    # text_unigram_perplexity
     # (r04-green; its r05 broadcast-hint removal is hash-identical and
     # locally swept), dedup_minhash_lsh_pairs
     # and dedup_minhash_incremental (r04-green; their r05 localCheckpoint

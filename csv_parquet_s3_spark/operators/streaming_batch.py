@@ -399,3 +399,41 @@ def stream_events_content_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr(row_hash)).cast("bigint").alias("digest"),
     )
     return _drain(spark, agg)
+
+
+@register(
+    "stream_segment_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_distinct_users,
+           COUNT(DISTINCT user_id // 64) AS n_words
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_segment_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bitmap distinct-count index MAINTAINED AS A STREAM: the streaming
+    aggregation keeps one 64-bit `bit_or` mask per (segment, word) — a
+    commutative monoid, so micro-batches fold in without reprocessing and
+    the state size is the bitmap, not the event history. The popcount
+    rollup runs as a batch query over the drained state (streaming allows
+    one aggregation; the index IS that aggregation, the readout is serving).
+    Must equal the batch COUNT DISTINCT — two structurally different
+    algorithms and execution modes, one answer."""
+    stream = _events_stream(spark, sf_dir)
+    words = (
+        stream.select(
+            "event_type",
+            F.expr("user_id div 64").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))").alias(
+                "m"
+            ),
+        )
+        .groupBy("event_type", "w")
+        .agg(F.expr("bit_or(m)").alias("mask"))
+    )
+    drained = _drain(spark, words)
+    return drained.groupBy("event_type").agg(
+        F.sum(F.expr("bit_count(mask)")).cast("bigint").alias("n_distinct_users"),
+        F.count("*").alias("n_words"),
+    )
