@@ -921,8 +921,14 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix shingles, AQE-skew-safe) → array-set verification on the two
     doc_id joins. The length filter is applied IN the join condition so
     mismatched-size pairs never materialize. Tested as a superset of the
-    LSH pair set at the same τ."""
-    sh = _shingles(spark, sf_dir)
+    LSH pair set at the same τ, and property-tested equal to the
+    brute-force Jaccard-≥-τ pair set on random corpora."""
+    return prefix_filter_pairs(_shingles(spark, sf_dir))
+
+
+def prefix_filter_pairs(sh: DataFrame) -> DataFrame:
+    """Exact Jaccard-≥-τ pairs from a (doc_id, shingle) frame (see
+    `dedup_prefix_filter_pairs` for the registered documents instance)."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     ranked = (

@@ -130,3 +130,52 @@ def test_prefix_filter_pairs_superset_of_lsh(spark):
     assert not missing, f"exact pair set missing LSH pairs: {sorted(missing)[:5]}"
     for k in lsh:
         assert lsh[k] == exact[k]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(doc_texts, min_size=2, max_size=10),
+    dup_of=st.integers(min_value=0, max_value=3),
+)
+def test_prefix_filter_is_exact_on_random_corpora(spark, texts, dup_of):
+    """Prefix filtering must return EXACTLY the brute-force Jaccard-≥-τ pair
+    set — no false negatives (the pigeonhole guarantee) and no false
+    positives (the verify step) — on arbitrary corpora."""
+    from pyspark.sql import functions as F
+
+    from csv_parquet_s3_spark.operators.dedup import (
+        PREFIX_JACCARD_THRESHOLD,
+        prefix_filter_pairs,
+    )
+
+    texts = list(texts) + [texts[dup_of % len(texts)]]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    shingles = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(0, size(toks)-3),"
+                " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
+            )
+        ).alias("shingle"),
+    )
+    got = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in prefix_filter_pairs(shingles).collect()
+    }
+    want = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            tj = _true_jaccard(texts[i], texts[j])
+            if tj >= PREFIX_JACCARD_THRESHOLD:
+                want[(i, j)] = round(tj, 6)
+    assert got == want

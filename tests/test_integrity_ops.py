@@ -90,3 +90,21 @@ def test_transition_matrix_rows_are_stochastic(spark):
         total = sum(r.p for r in rs)
         assert abs(total - 1.0) < 1e-4, f"{from_type} rows sum to {total}"
         assert all(r.n_transitions > 0 for r in rs)
+
+
+def test_gopher_rules_each_fire_and_keep_is_conjunction(spark):
+    """Every named rule must actually discriminate on the corpus (a
+    constant-true rule is a vacuous screen), and `keep` must equal the
+    conjunction of the rule booleans."""
+    from csv_parquet_s3_spark.operators.textstats import text_gopher_quality_flags
+
+    rows = text_gopher_quality_flags(spark, SF).collect()
+    assert len(rows) > 0
+    rules = ["r_min_words", "r_mean_len", "r_type_token", "r_repetition", "r_stopwords"]
+    for rule in rules:
+        vals = {getattr(r, rule) for r in rows}
+        assert vals == {True, False}, f"{rule} never fires (values: {vals})"
+    for r in rows:
+        assert r.keep == all(getattr(r, rule) for rule in rules)
+    kept = sum(1 for r in rows if r.keep)
+    assert 0 < kept < len(rows)
