@@ -60,6 +60,8 @@ VERIFY_PRIORITY: list[str] = [
     "q_segment_bitmap_overlap",
     "pipeline_customer_feature_snapshot",
     "stream_segment_bitmap_distinct",
+    "text_bigram_pmi",
+    "sample_documents_weighted_noreplace",
     "q_open_orders_daily",
     "q_table_content_digest",
     "dedup_prefix_filter_pairs",
@@ -100,9 +102,11 @@ VERIFY_PRIORITY: list[str] = [
     "scd2_customer_priority_history",
     "stream_events_sliding_rollup",
     "dedup_modality_agreement",
-    "dedup_embedding_ivf_blocked",
-    "stream_user_lifetime_totals",
-    # (the forty-one r05 additions above displaced
+    # (the forty-three r05 additions above displaced
+    # dedup_embedding_ivf_blocked and stream_user_lifetime_totals (r04-green;
+    # their r05 changes are hash-checked by the local 3-SF sweeps, re-pin
+    # r06 — dedup_modality_agreement keeps its slot because the r05 verdict
+    # explicitly asks for a green driver row on the de-cartesianed join),
     # rebalance_documents_by_lang (r04-green; its r05 overflow fix is
     # arithmetically identical below 2^31 docs/language and locally swept),
     # text_unigram_perplexity

@@ -388,3 +388,54 @@ ORACLES["split_leakage_safe"] = ORACLES["split_leakage_safe"].format(
     train=TRAIN_PCT,
     trainvalid=TRAIN_PCT + VALID_PCT,
 )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling WITHOUT replacement (Efraimidis–Spirakis '06): each row
+# draws u ∈ (0,1) and ranks by u^(1/w) — the top-k of that key IS an exact
+# weighted sample without replacement, in one pass, mergeable across
+# partitions (each partition keeps its local top-k; the global top-k of
+# locals is the answer — exactly Spark's TakeOrdered physical shape).
+# Deterministic u from md5(doc_id); ranking by the LOG form ln(u)/w
+# (monotone in u^(1/w)), rounded to 9 digits with doc_id tie-break so the
+# selected set is engine-portable.
+# ---------------------------------------------------------------------------
+ES_SAMPLE_K = 50
+
+
+def _es_key(hash_expr: str) -> str:
+    return (
+        f"CAST(ROUND(LN((({hash_expr}) + 1) / 4294967296.0)"
+        " / n_chars, 9) AS DOUBLE)"
+    )
+
+
+@register(
+    "sample_documents_weighted_noreplace",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars, wkey FROM (
+        SELECT doc_id, lang, source, n_chars,
+               {_es_key(_DOC_HASH_DUCK)} AS wkey
+        FROM documents
+    ) t
+    ORDER BY wkey DESC, doc_id
+    LIMIT {ES_SAMPLE_K}
+    """,
+)
+def sample_documents_weighted_noreplace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-sample without replacement, inclusion odds ∝ n_chars
+    (Efraimidis–Spirakis keys): one map-side key computation + a global
+    top-k — no rejection loop, no sequential reservoir, no RNG state. At
+    100 TB this is the ONLY principled weighted no-replacement sample that
+    runs as a single pass: per-partition top-k then top-k of top-ks
+    (Spark's TakeOrdered), shipping k rows per partition. Longer documents
+    win more often; re-running is byte-identical (hash-derived u)."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.expr(_es_key(_DOC_HASH_SPARK)).alias("wkey"),
+    )
+    return keyed.orderBy(F.desc("wkey"), F.asc("doc_id")).limit(ES_SAMPLE_K)

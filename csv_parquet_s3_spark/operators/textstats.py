@@ -941,3 +941,91 @@ def text_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_stop.alias("r_stopwords"),
         (r_min_words & r_mean_len & r_ttr & r_rep & r_stop).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram PMI (pointwise mutual information): the classic phrase-mining /
+# collocation signal (word2vec-era phrase joining, quality-filter features).
+# PMI = ln( p(ab) / (p(a)·p(b)) ) with p(ab) over bigram positions and
+# p(a),p(b) over token positions. The arithmetic is ONE shared SQL fragment
+# (double-promoted before any product, so neither engine's integer width
+# matters) evaluated identically by Spark and DuckDB.
+# ---------------------------------------------------------------------------
+PMI_MIN_PAIR = 5
+PMI_TOP_K = 20
+_PMI_EXPR = (
+    "CAST(ROUND(LN(CAST(n_pair AS DOUBLE) * n_tokens * n_tokens"
+    " / (CAST(n_bigrams AS DOUBLE) * n1 * n2)), 6) AS DOUBLE)"
+)
+
+
+@register(
+    "text_bigram_pmi",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    uni AS (
+        SELECT u.tk AS token, COUNT(*) AS n
+        FROM t, UNNEST(toks) AS u(tk) GROUP BY u.tk
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tokens FROM uni),
+    bi AS (
+        SELECT toks[i] AS w1, toks[i+1] AS w2, COUNT(*) AS n_pair
+        FROM t, UNNEST(range(1, len(toks))) AS r(i)
+        WHERE len(toks) >= 2
+        GROUP BY 1, 2
+    ),
+    btot AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS n_bigrams FROM bi)
+    SELECT w1, w2, n_pair, pmi FROM (
+        SELECT b.w1, b.w2, b.n_pair,
+               {_PMI_EXPR.replace('n1', 'u1.n').replace('n2', 'u2.n')} AS pmi
+        FROM bi b
+        JOIN uni u1 ON u1.token = b.w1
+        JOIN uni u2 ON u2.token = b.w2
+        CROSS JOIN tot CROSS JOIN btot
+        WHERE b.n_pair >= {PMI_MIN_PAIR}
+    ) s
+    ORDER BY pmi DESC, w1, w2
+    LIMIT {PMI_TOP_K}
+    """,
+)
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by bigram PMI. Plan: one tokenization pass feeds
+    both the unigram and bigram aggregations (two keyed shuffles), the two
+    scalar totals broadcast back, and the unigram joins are
+    vocabulary-sized. The PMI arithmetic promotes to DOUBLE before any
+    product — counts at 100 TB overflow both engines' 64-bit integers, and
+    Spark wraps silently where DuckDB widens, so the promotion is a
+    correctness requirement, not a nicety."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    tok = t.select(F.explode("toks").alias("token"))
+    uni = tok.groupBy("token").agg(F.count("*").alias("n"))
+    tot = uni.agg(F.sum("n").cast("bigint").alias("n_tokens"))
+    # size<2 guard: Spark's sequence(0, size-2) DESCENDS when size<2
+    # (emitting [0,-1]) instead of returning empty like DuckDB's range.
+    bi = (
+        t.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> struct(toks[i] AS w1, toks[i+1] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_pair"))
+    )
+    btot = bi.agg(F.sum("n_pair").cast("bigint").alias("n_bigrams"))
+    u1 = uni.select(F.col("token").alias("w1"), F.col("n").alias("n1"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("n").alias("n2"))
+    scored = (
+        bi.filter(F.col("n_pair") >= PMI_MIN_PAIR)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select("w1", "w2", "n_pair", F.expr(_PMI_EXPR).alias("pmi"))
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(PMI_TOP_K)
