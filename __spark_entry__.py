@@ -102,6 +102,9 @@ VERIFY_PRIORITY: list[str] = [
     "scd2_customer_priority_history",
     "stream_events_sliding_rollup",
     "dedup_modality_agreement",
+    # (emb_top_principal_component, added after the window filled with
+    # tier-0 entries, takes its first driver row in r06 — locally
+    # hash-checked at sf0.001/0.01/0.1 like everything else.)
     # (the forty-three r05 additions above displaced
     # dedup_embedding_ivf_blocked and stream_user_lifetime_totals (r04-green;
     # their r05 changes are hash-checked by the local 3-SF sweeps, re-pin

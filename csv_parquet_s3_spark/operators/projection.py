@@ -102,3 +102,130 @@ def project(emb: DataFrame, matrix: DataFrame) -> DataFrame:
 def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return project(emb, projection_matrix(spark))
+
+
+# ---------------------------------------------------------------------------
+# Dominant principal component by POWER ITERATION — matrix-free distributed
+# PCA: v ← Σᵢ xᵢ'(xᵢ'ᵀv) / ‖·‖ touches each (row, dim) cell twice per
+# iteration and never materializes the d×d covariance (embedding whitening /
+# drift QA at corpora where even dᵀd is cheap but Σ xxᵀ per partition is
+# not). Every cross-row sum accumulates 12-digit-rounded terms in DECIMAL —
+# exact and order-independent — so three unrolled iterations replay
+# bit-identically in the SQL oracle (same discipline as the Lloyd/SQ8
+# oracles; float groupBy sums would diverge in the last ulp per engine).
+# ---------------------------------------------------------------------------
+PCA_ITERS = 3
+_V0 = 0.125  # 1/sqrt(64): deterministic start vector
+
+# Shared aggregate fragments (identical text on both engines).
+_DSUM = "CAST(SUM(CAST(ROUND({term}, 12) AS DECIMAL(30,12))) AS DOUBLE)"
+
+
+def _pca_oracle(iters: int = PCA_ITERS) -> str:
+    parts = [f"""
+    x AS (
+        SELECT vec_id, CAST(t.i AS INT) AS dim,
+               CAST(embedding[t.i] AS DOUBLE) AS xd
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    nv AS (SELECT COUNT(DISTINCT vec_id) AS n FROM x),
+    mu AS (
+        SELECT dim, ROUND({_DSUM.format(term='xd')} / nv.n, 9) AS m
+        FROM x CROSS JOIN nv GROUP BY dim, nv.n
+    ),
+    xc AS (
+        SELECT x.vec_id, x.dim, ROUND(x.xd - mu.m, 9) AS xc
+        FROM x JOIN mu ON mu.dim = x.dim
+    ),
+    v0 AS (SELECT dim, {_V0} AS v FROM mu)"""]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(f"""
+    s{t} AS (
+        SELECT xc.vec_id,
+               ROUND({_DSUM.format(term='xc.xc * v{p}.v'.format(p=p))}, 9) AS s
+        FROM xc JOIN v{p} ON v{p}.dim = xc.dim
+        GROUP BY xc.vec_id
+    ),
+    u{t} AS (
+        SELECT xc.dim, ROUND({_DSUM.format(term='xc.xc * s{t}.s'.format(t=t))}, 9) AS u
+        FROM xc JOIN s{t} ON s{t}.vec_id = xc.vec_id
+        GROUP BY xc.dim
+    ),
+    nrm{t} AS (
+        SELECT ROUND(SQRT({_DSUM.format(term='u * u')}), 9) AS nrm FROM u{t}
+    ),
+    v{t} AS (
+        SELECT dim, ROUND(u / nrm, 9) AS v FROM u{t} CROSS JOIN nrm{t}
+    )""")
+    parts.append(f"""
+    lam AS (
+        SELECT ROUND({_DSUM.format(term='s * s')} / nv.n, 6) AS lambda1
+        FROM s{iters} CROSS JOIN nv GROUP BY nv.n
+    )
+    SELECT v{iters}.dim, ROUND(v{iters}.v, 6) AS loading, lam.lambda1
+    FROM v{iters} CROSS JOIN lam""")
+    return "WITH" + ",".join(parts)
+
+
+@register("emb_top_principal_component", oracle=_pca_oracle())
+def emb_top_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top PC of the centered embedding corpus (3 power iterations from the
+    fixed 1/√d start): 64 loadings + the Rayleigh-quotient eigenvalue.
+    Per iteration: one join of the cell table against the 64-row v
+    (broadcast), one groupBy vec_id, one groupBy dim — all shuffles keyed
+    and DECIMAL-exact. At 100 TB the cell table is the only big frame and
+    it streams; v, u, μ are dimension-sized. Convergence tracks the
+    spectral gap (λ₂/λ₁)ᵗ — on this near-isotropic test corpus the
+    3-iteration vector is a hash-pinned intermediate, and the alignment
+    property is pinned on a planted anisotropic fixture in
+    tests/test_projection.py."""
+    return power_iteration_pc(load_table(spark, sf_dir, "embeddings"))
+
+
+def power_iteration_pc(emb: DataFrame, iters: int = PCA_ITERS) -> DataFrame:
+    """(dim, loading, lambda1) for any (vec_id, embedding) frame."""
+    x = emb.select(
+        "vec_id",
+        F.posexplode(F.expr("transform(embedding, v -> CAST(v AS DOUBLE))")).alias(
+            "pos", "xd"
+        ),
+    ).select("vec_id", (F.col("pos") + 1).cast("int").alias("dim"), "xd")
+    nv = x.agg(F.countDistinct("vec_id").alias("n"))
+    mu = (
+        x.crossJoin(F.broadcast(nv))
+        .groupBy("dim", "n")
+        .agg(F.expr(f"ROUND({_DSUM.format(term='xd')} / n, 9)").alias("m"))
+        .select("dim", "m")
+    )
+    xc = (
+        x.join(F.broadcast(mu), "dim")
+        .select("vec_id", "dim", F.expr("ROUND(xd - m, 9)").alias("xc"))
+        .localCheckpoint()
+    )
+    v = mu.select("dim", F.lit(_V0).alias("v"))
+    s = None
+    for _ in range(iters):
+        s = (
+            xc.join(F.broadcast(v), "dim")
+            .groupBy("vec_id")
+            .agg(F.expr(f"ROUND({_DSUM.format(term='xc * v')}, 9)").alias("s"))
+        )
+        u = (
+            xc.join(s, "vec_id")
+            .groupBy("dim")
+            .agg(F.expr(f"ROUND({_DSUM.format(term='xc * s')}, 9)").alias("u"))
+        )
+        nrm = u.agg(F.expr(f"ROUND(SQRT({_DSUM.format(term='u * u')}), 9)").alias("nrm"))
+        v = u.crossJoin(F.broadcast(nrm)).select(
+            "dim", F.expr("ROUND(u / nrm, 9)").alias("v")
+        )
+    lam = (
+        s.crossJoin(F.broadcast(nv))
+        .groupBy("n")
+        .agg(F.expr(f"ROUND({_DSUM.format(term='s * s')} / n, 6)").alias("lambda1"))
+        .select("lambda1")
+    )
+    return v.crossJoin(F.broadcast(lam)).select(
+        "dim", F.expr("ROUND(v, 6)").alias("loading"), "lambda1"
+    )

@@ -60,3 +60,39 @@ def test_projection_preserves_pairwise_distances(spark):
     assert 0.75 < ratios.mean() < 1.15, ratios.mean()
     frac_ok = np.mean((ratios > 0.4) & (ratios < 2.0))
     assert frac_ok >= 0.9, f"only {frac_ok:.2f} of pair distances within 2.5x"
+
+def test_power_iteration_converges_on_anisotropic_fixture(spark):
+    """On data WITH a dominant direction (the spectrum the operator exists
+    for), 3 power iterations must align with NumPy's exact top eigenvector
+    and the Rayleigh eigenvalue must land just under the true λ₁. The
+    near-noise driver corpus has λ₂/λ₁ ≈ 1 where NO iteration count helps —
+    that case is hash-pinned by the oracle, the convergence claim is pinned
+    here."""
+    import numpy as np
+
+    from csv_parquet_s3_spark.operators.projection import power_iteration_pc
+
+    rng = np.random.default_rng(7)
+    d, n = 64, 400
+    direction = rng.normal(size=d)
+    direction /= np.linalg.norm(direction)
+    X = rng.normal(scale=0.3, size=(n, d)) + np.outer(
+        rng.normal(scale=3.0, size=n), direction
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = power_iteration_pc(emb).collect()
+    assert len(rows) == d
+    lam = rows[0].lambda1
+    v = np.zeros(d)
+    for r in rows:
+        v[r.dim - 1] = r.loading
+
+    Xc = X - X.mean(axis=0)
+    w, V = np.linalg.eigh(Xc.T @ Xc / n)
+    top, second = w[-1], w[-2]
+    cos = abs(v @ V[:, -1]) / np.linalg.norm(v)
+    assert cos > 0.99, f"alignment with true PC1 only {cos}"
+    assert second <= lam <= top * 1.001, (lam, top, second)
