@@ -556,3 +556,111 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "*", F.row_number().over(w).cast("int").alias("rn")
     ).filter(F.col("rn") <= TOP_K)
+
+
+@register(
+    "sim_eval_recall_ivf_probe",
+    oracle=f"""
+    WITH bq AS (
+        SELECT vec_id AS query_id, embedding AS qv,
+               {_ORACLE_NORM.format(v='embedding')} AS qnorm
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    bscored AS (
+        SELECT bq.query_id, e.vec_id,
+               CAST(ROUND({_ORACLE_DOT.format(a='bq.qv', b='e.embedding')}
+                    / (bq.qnorm * {_ORACLE_NORM.format(v='e.embedding')}), 6)
+                    AS DOUBLE) AS cos_sim
+        FROM bq, embeddings e WHERE e.vec_id <> bq.query_id
+    ),
+    btop AS (
+        SELECT query_id, vec_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, vec_id) AS rn
+            FROM bscored
+        ) t WHERE rn <= {TOP_K}
+    ),
+    cent AS (
+        SELECT vec_id - {N_QUERIES} AS list_id, embedding AS cv,
+               {_ORACLE_NORM.format(v='embedding')} AS cnorm
+        FROM embeddings
+        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + K_LISTS}
+    ),
+    assign AS (
+        SELECT vec_id, embedding, norm, list_id FROM (
+            SELECT e.vec_id, e.embedding, list_id,
+                   {_ORACLE_NORM.format(v='e.embedding')} AS norm,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY CAST(ROUND({_ORACLE_DOT.format(a='e.embedding', b='c.cv')}
+                                / ({_ORACLE_NORM.format(v='e.embedding')} * c.cnorm), 6)
+                                AS DOUBLE) DESC, list_id) AS rn
+            FROM embeddings e, cent c
+        ) t WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, list_id FROM (
+            SELECT q.vec_id AS query_id, c.list_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY CAST(ROUND({_ORACLE_DOT.format(a='q.embedding', b='c.cv')}
+                                / ({_ORACLE_NORM.format(v='q.embedding')} * c.cnorm), 6)
+                                AS DOUBLE) DESC, list_id) AS rn
+            FROM embeddings q, cent c WHERE q.vec_id < {N_QUERIES}
+        ) t WHERE rn <= {N_PROBE}
+    ),
+    iscored AS (
+        SELECT p.query_id, a.vec_id,
+               CAST(ROUND({_ORACLE_DOT.format(a='q.embedding', b='a.embedding')}
+                    / ({_ORACLE_NORM.format(v='q.embedding')} * a.norm), 6) AS DOUBLE)
+                 AS cos_sim
+        FROM probes p
+        JOIN assign a ON a.list_id = p.list_id
+        JOIN embeddings q ON q.vec_id = p.query_id
+        WHERE a.vec_id <> p.query_id
+    ),
+    itop AS (
+        SELECT query_id, vec_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, vec_id) AS rn
+            FROM iscored
+        ) t WHERE rn <= {TOP_K}
+    ),
+    hits AS (
+        SELECT b.query_id, COUNT(*) AS n_hits
+        FROM btop b JOIN itop i
+          ON i.query_id = b.query_id AND i.vec_id = b.vec_id
+        GROUP BY b.query_id
+    )
+    SELECT q.query_id, {TOP_K} AS k,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {TOP_K} AS recall
+    FROM (SELECT DISTINCT query_id FROM btop) q
+    LEFT JOIN hits h ON h.query_id = q.query_id
+    """,
+)
+def sim_eval_recall_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the nprobe-pruned IVF search against exact brute force —
+    ANN EVALUATION as a registered, hash-checked query: the number every
+    index deployment watches, computed by composing the two searches
+    unchanged and intersecting their top-k sets (a |Q|·k join). Driver-
+    checkable because both searches are deterministic; at 100 TB the exact
+    side runs on a sampled query set, which is exactly this shape."""
+    exact = sim_cosine_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    approx = sim_cosine_topk_ivf_probe(spark, sf_dir).select("query_id", "vec_id")
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(TOP_K).alias("k"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)).cast("double") / TOP_K).alias("recall"),
+        )
+    )

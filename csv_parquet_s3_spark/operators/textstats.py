@@ -165,10 +165,10 @@ def text_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PROFILE = 20  # top trigrams kept per language profile
 
 
-@register(
-    "text_langid_ngram",
-    oracle=f"""
-    WITH grams AS (
+# Shared CTE chain for the trigram language-ID pipeline (used verbatim by
+# the classifier oracle and the confusion-matrix oracle built on top of it).
+_LANGID_CTES = """
+    grams AS (
         SELECT doc_id, lang, substr(lower(text), i, 3) AS g
         FROM documents, UNNEST(range(1, length(text) - 1)) AS r(i)
         WHERE length(text) >= 3
@@ -179,18 +179,26 @@ N_PROFILE = 20  # top trigrams kept per language profile
             SELECT lang, g, ROW_NUMBER() OVER (
                 PARTITION BY lang ORDER BY COUNT(*) DESC, g) AS rn
             FROM grams GROUP BY lang, g
-        ) t WHERE rn <= {N_PROFILE}
+        ) t WHERE rn <= {n_profile}
     ),
     scores AS (
         SELECT d.doc_id, d.lang, p.plang, COUNT(*) AS overlap
         FROM doc_grams d JOIN profile p ON d.g = p.g
         GROUP BY d.doc_id, d.lang, p.plang
-    )
-    SELECT doc_id, lang, plang AS predicted_lang, overlap FROM (
-        SELECT *, ROW_NUMBER() OVER (
-            PARTITION BY doc_id ORDER BY overlap DESC, plang) AS rn
-        FROM scores
-    ) t WHERE rn = 1
+    ),
+    preds AS (
+        SELECT doc_id, lang, plang AS predicted_lang, overlap FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY overlap DESC, plang) AS rn
+            FROM scores
+        ) t WHERE rn = 1
+    )"""
+
+
+@register(
+    "text_langid_ngram",
+    oracle="WITH " + _LANGID_CTES.format(n_profile=N_PROFILE) + """
+    SELECT doc_id, lang, predicted_lang, overlap FROM preds
     """,
 )
 def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1029,3 +1037,38 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w1", "w2", "n_pair", F.expr(_PMI_EXPR).alias("pmi"))
     )
     return scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(PMI_TOP_K)
+
+
+@register(
+    "text_langid_confusion",
+    oracle="WITH " + _LANGID_CTES.format(n_profile=N_PROFILE) + """
+    , tot AS (SELECT lang, COUNT(*) AS n_true FROM preds GROUP BY lang)
+    SELECT p.lang, p.predicted_lang, COUNT(*) AS n_docs,
+           CAST(ROUND(CAST(COUNT(*) AS DOUBLE) / t.n_true, 6) AS DOUBLE)
+               AS share
+    FROM preds p JOIN tot t ON t.lang = p.lang
+    GROUP BY p.lang, p.predicted_lang, t.n_true
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the trigram classifier against the labeled lang
+    column — classifier EVALUATION as a registered, hash-checked query
+    (the diagonal share is per-language recall; off-diagonal rows name the
+    confusable pairs a mixture-rebalancing pipeline must care about).
+    Composes the classifier unchanged and adds two |langs|²-bounded
+    aggregations."""
+    preds = text_langid_ngram(spark, sf_dir)
+    tot = preds.groupBy("lang").agg(F.count("*").alias("n_true"))
+    return (
+        preds.join(F.broadcast(tot), "lang")
+        .groupBy("lang", "predicted_lang", "n_true")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            "lang",
+            "predicted_lang",
+            "n_docs",
+            F.round(F.col("n_docs").cast("double") / F.col("n_true"), 6)
+            .cast("double")
+            .alias("share"),
+        )
+    )
