@@ -229,3 +229,68 @@ def power_iteration_pc(emb: DataFrame, iters: int = PCA_ITERS) -> DataFrame:
     return v.crossJoin(F.broadcast(lam)).select(
         "dim", F.expr("ROUND(v, 6)").alias("loading"), "lambda1"
     )
+
+
+def _abtt_oracle() -> str:
+    """All-but-the-top oracle: the PCA chain (same CTEs) plus the removal
+    projection x' = xc − (xc·v)v on the 6-digit-rounded final vector."""
+    pca = _pca_oracle()
+    head, _tail = pca.rsplit("    SELECT v", 1)
+    t = PCA_ITERS
+    return head + f""", v6 AS (
+        SELECT dim, ROUND(v, 6) AS v FROM v{t}
+    ),
+    proj AS (
+        SELECT xc.vec_id,
+               ROUND({_DSUM.format(term='xc.xc * v6.v')}, 9) AS s
+        FROM xc JOIN v6 ON v6.dim = xc.dim
+        GROUP BY xc.vec_id
+    )
+    SELECT xc.vec_id, xc.dim,
+           CAST(ROUND(xc.xc - proj.s * v6.v, 6) + 0 AS DOUBLE) AS value
+    FROM xc
+    JOIN proj ON proj.vec_id = xc.vec_id
+    JOIN v6 ON v6.dim = xc.dim"""
+
+
+@register("emb_remove_top_component", oracle=_abtt_oracle())
+def emb_remove_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top postprocessing (Mu & Viswanath '18): center the
+    corpus and subtract each vector's projection onto the dominant PC —
+    the cheap fix for the anisotropy that makes raw embedding cosines
+    crowd together. Chains the power-iteration PC unchanged; the removal
+    itself is one broadcast join against the 64-row vector plus a
+    DECIMAL-exact per-vector dot. Output is the corrected corpus in long
+    form, ready for the ANN index build."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        F.posexplode(F.expr("transform(embedding, v -> CAST(v AS DOUBLE))")).alias(
+            "pos", "xd"
+        ),
+    ).select("vec_id", (F.col("pos") + 1).cast("int").alias("dim"), "xd")
+    nv = x.agg(F.countDistinct("vec_id").alias("n"))
+    mu = (
+        x.crossJoin(F.broadcast(nv))
+        .groupBy("dim", "n")
+        .agg(F.expr(f"ROUND({_DSUM.format(term='xd')} / n, 9)").alias("m"))
+        .select("dim", "m")
+    )
+    xc = x.join(F.broadcast(mu), "dim").select(
+        "vec_id", "dim", F.expr("ROUND(xd - m, 9)").alias("xc")
+    )
+    v6 = power_iteration_pc(emb).select("dim", F.col("loading").alias("v"))
+    proj = (
+        xc.join(F.broadcast(v6), "dim")
+        .groupBy("vec_id")
+        .agg(F.expr(f"ROUND({_DSUM.format(term='xc * v')}, 9)").alias("s"))
+    )
+    return (
+        xc.join(proj, "vec_id")
+        .join(F.broadcast(v6), "dim")
+        .select(
+            "vec_id",
+            "dim",
+            F.expr("CAST(ROUND(xc - s * v, 6) + 0 AS DOUBLE)").alias("value"),
+        )
+    )

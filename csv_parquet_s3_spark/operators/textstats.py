@@ -1072,3 +1072,77 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit: OLS slope of ln(freq) on ln(rank) over the token frequency
+# table. Natural corpora fit slope ≈ −1; synthetic/spammy/templated corpora
+# bend the curve — a one-row QA signal for ingested crawl shards. Moments
+# accumulate as 12-digit-rounded DECIMAL terms (the q_user_value_trend
+# discipline): exact sums → engine-identical slope.
+# ---------------------------------------------------------------------------
+_ZDSUM = "CAST(SUM(CAST(ROUND({term}, 12) AS DECIMAL(38,12))) AS DOUBLE)"
+
+
+@register(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH freq AS (
+        SELECT t AS token, COUNT(*) AS n
+        FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+        GROUP BY t
+    ),
+    ranked AS (
+        SELECT ROUND(LN(ROW_NUMBER() OVER (ORDER BY n DESC, token)), 9) AS x,
+               ROUND(LN(n), 9) AS y
+        FROM freq
+    ),
+    m AS (
+        SELECT COUNT(*) AS nv,
+               {_ZDSUM.format(term='x')} AS sx,
+               {_ZDSUM.format(term='y')} AS sy,
+               {_ZDSUM.format(term='x * x')} AS sxx,
+               {_ZDSUM.format(term='x * y')} AS sxy
+        FROM ranked
+    )
+    SELECT CAST(nv AS BIGINT) AS n_vocab,
+           CAST(ROUND((nv * sxy - sx * sy) / (nv * sxx - sx * sx), 6)
+                AS DOUBLE) AS zipf_slope,
+           CAST(ROUND((sy - (nv * sxy - sx * sy) / (nv * sxx - sx * sx) * sx)
+                      / nv, 6) AS DOUBLE) AS intercept
+    FROM m
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row Zipf diagnostic: rank tokens by frequency, regress ln(freq)
+    on ln(rank). The rank window runs over the VOCABULARY (bounded at any
+    corpus scale), not the corpus; the regression is two exact moment sums.
+    Slope far from −1 flags templated or machine-generated shards before
+    they enter the mixture."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    ranked = freq.select(
+        F.expr(
+            "ROUND(LN(ROW_NUMBER() OVER (ORDER BY n DESC, token)), 9)"
+        ).alias("x"),
+        F.expr("ROUND(LN(n), 9)").alias("y"),
+    )
+    m = ranked.agg(
+        F.count("*").alias("nv"),
+        F.expr(_ZDSUM.format(term="x")).alias("sx"),
+        F.expr(_ZDSUM.format(term="y")).alias("sy"),
+        F.expr(_ZDSUM.format(term="x * x")).alias("sxx"),
+        F.expr(_ZDSUM.format(term="x * y")).alias("sxy"),
+    )
+    slope = "(nv * sxy - sx * sy) / (nv * sxx - sx * sx)"
+    return m.select(
+        F.col("nv").cast("bigint").alias("n_vocab"),
+        F.expr(f"CAST(ROUND({slope}, 6) AS DOUBLE)").alias("zipf_slope"),
+        F.expr(f"CAST(ROUND((sy - {slope} * sx) / nv, 6) AS DOUBLE)").alias(
+            "intercept"
+        ),
+    )
