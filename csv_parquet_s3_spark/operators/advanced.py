@@ -740,3 +740,62 @@ def q_segment_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_both"),
     )
+
+
+@register(
+    "q_customer_gini_concentration",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                   AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i
+        FROM spend
+    ),
+    m AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(i AS DECIMAL(38,0)) * cents) AS DOUBLE) AS six
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(ROUND(sx / 100, 2) AS DOUBLE) AS total_spend,
+           CAST(ROUND((2 * six - (n + 1) * sx) / (n * sx), 6) AS DOUBLE)
+               AS gini
+    FROM m
+    """,
+)
+def q_customer_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the one-number concentration
+    audit (how much of the revenue the top customers carry; the same math
+    flags domain concentration in a training corpus). Exact arithmetic:
+    spend in integer cents, rank-weighted sums in DECIMAL(38,0) (Σ i·xᵢ
+    overflows 64-bit at ~10⁹ customers — Spark would wrap silently where
+    DuckDB widens), one double division at the end. The global rank runs
+    over the per-customer aggregate, |customers| rows, not orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.expr(
+            "SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))"
+        ).alias("cents")
+    )
+    ranked = spend.select(
+        "cents",
+        F.row_number().over(W.orderBy("cents", "o_custkey")).alias("i"),
+    )
+    m = ranked.agg(
+        F.count("*").alias("n"),
+        F.expr("CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE)").alias("sx"),
+        F.expr("CAST(SUM(CAST(i AS DECIMAL(38,0)) * cents) AS DOUBLE)").alias("six"),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.expr("CAST(ROUND(sx / 100, 2) AS DOUBLE)").alias("total_spend"),
+        F.expr("CAST(ROUND((2 * six - (n + 1) * sx) / (n * sx), 6) AS DOUBLE)").alias(
+            "gini"
+        ),
+    )

@@ -396,3 +396,77 @@ def extract_wave_features(docs_with_payload: DataFrame) -> DataFrame:
 def mm_wave_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return extract_wave_features(attach_payload(docs))
+
+
+# Shared DECIMAL-exact entropy-term sum (order-independent across engines).
+_ENT_DSUM = "CAST(SUM(CAST(ROUND({term}, 12) AS DECIMAL(30,12))) AS DOUBLE)"
+
+
+@register(
+    "mm_payload_entropy",
+    oracle=f"""
+    WITH payload AS (
+        SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+        FROM documents
+    ),
+    bytes AS (
+        SELECT doc_id, n,
+               (strpos('0123456789ABCDEF',
+                       substr(h, 2 * CAST(p.i AS INT) - 1, 1)) - 1) * 16
+               + (strpos('0123456789ABCDEF',
+                         substr(h, 2 * CAST(p.i AS INT), 1)) - 1) AS b
+        FROM payload, UNNEST(range(1, n + 1)) AS p(i)
+    ),
+    counts AS (
+        SELECT doc_id, n, b, COUNT(*) AS c FROM bytes GROUP BY doc_id, n, b
+    )
+    SELECT doc_id,
+           CAST(n AS INT) AS n_bytes,
+           CAST(COUNT(*) AS INT) AS n_distinct_bytes,
+           CAST(ROUND(-{_ENT_DSUM.format(
+               term='(CAST(c AS DOUBLE) / n) * LN(CAST(c AS DOUBLE) / n)')}
+               , 6) + 0 AS DOUBLE) AS entropy_nats
+    FROM counts GROUP BY doc_id, n
+    """,
+)
+def mm_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-entropy per payload — the compressibility/corruption screen a
+    multimodal pipeline runs on opaque binary columns (truncated/zeroed
+    blobs collapse toward 0 nats; encrypted or double-compressed ones pin
+    near ln 256). Byte values decode from the hex rendering with the same
+    integer arithmetic on both engines; entropy terms sum as 12-digit
+    DECIMAL so the per-doc reduction is order-independent. One explode +
+    two keyed aggregations, linear in payload bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = docs.select(
+        "doc_id",
+        F.expr("hex(cast(text as binary))").alias("h"),
+        F.expr("octet_length(cast(text as binary))").alias("n"),
+    )
+    bytes_ = payload.select(
+        "doc_id",
+        "h",
+        "n",
+        F.explode(F.expr("sequence(1, n)")).alias("i"),
+    ).select(
+        "doc_id",
+        "n",
+        F.expr(
+            "(instr('0123456789ABCDEF', substring(h, 2 * CAST(i AS INT) - 1, 1)) - 1)"
+            " * 16"
+            " + (instr('0123456789ABCDEF', substring(h, 2 * CAST(i AS INT), 1)) - 1)"
+        ).alias("b"),
+    )
+    counts = bytes_.groupBy("doc_id", "n", "b").agg(F.count("*").alias("c"))
+    term = "(CAST(c AS DOUBLE) / n) * LN(CAST(c AS DOUBLE) / n)"
+    return counts.groupBy("doc_id", "n").agg(
+        F.count("*").cast("int").alias("n_distinct_bytes"),
+        F.expr(f"CAST(ROUND(-{_ENT_DSUM.format(term=term)}, 6) + 0 AS DOUBLE)").alias(
+            "entropy_nats"
+        ),
+    ).select(
+        "doc_id",
+        F.col("n").cast("int").alias("n_bytes"),
+        "n_distinct_bytes",
+        "entropy_nats",
+    )
