@@ -24,6 +24,7 @@ from csv_parquet_s3_spark.operators import (  # noqa: F401
     scd,
     similarity,
     similarity_index,
+    statistics,
     streaming_batch,
     textstats,
     tpch_ext,

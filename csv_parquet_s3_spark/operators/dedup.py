@@ -982,3 +982,76 @@ def prefix_filter_pairs(sh: DataFrame) -> DataFrame:
             F.round(jacc, 6).cast("double").alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH quality evaluation: MinHash-LSH pairs vs the exact prefix-filter join.
+# ---------------------------------------------------------------------------
+
+
+def _lsh_eval_oracle() -> str:
+    # Compose the two registered pair oracles verbatim as CTE bodies (both
+    # emit (doc_id_a, doc_id_b, jaccard) at the same tau=0.5 threshold);
+    # nested WITH inside a parenthesized CTE body is standard SQL.
+    return f"""
+    WITH lsh AS ({ORACLES["dedup_minhash_lsh_pairs"]}),
+    ex AS ({ORACLES["dedup_prefix_filter_pairs"]}),
+    j AS (
+        SELECT COUNT(*) AS n_common
+        FROM lsh JOIN ex ON lsh.doc_id_a = ex.doc_id_a
+                        AND lsh.doc_id_b = ex.doc_id_b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM ex) AS BIGINT) AS n_true_pairs,
+           CAST((SELECT COUNT(*) FROM lsh) AS BIGINT) AS n_lsh_pairs,
+           CAST(j.n_common AS BIGINT) AS n_common,
+           CAST(ROUND(CASE WHEN (SELECT COUNT(*) FROM ex) = 0 THEN 1.0
+                           ELSE CAST(j.n_common AS DOUBLE)
+                                / (SELECT COUNT(*) FROM ex) END, 6)
+                AS DOUBLE) AS lsh_recall,
+           CAST(ROUND(CASE WHEN (SELECT COUNT(*) FROM lsh) = 0 THEN 1.0
+                           ELSE CAST(j.n_common AS DOUBLE)
+                                / (SELECT COUNT(*) FROM lsh) END, 6)
+                AS DOUBLE) AS lsh_precision
+    FROM j
+    """
+
+
+@register("dedup_eval_lsh_quality", oracle=_lsh_eval_oracle())
+def dedup_eval_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation-as-a-query for the near-dup pipeline: recall and precision
+    of the MinHash-LSH pair set against the EXACT prefix-filter similarity
+    join at the same Jaccard threshold. LSH misses a true pair only when no
+    band of its signatures collides (the S-curve's false-negative tail);
+    since both operators verify exact Jaccard on their candidates, precision
+    is 1.0 by construction and recall is the number that moves with
+    (bands, rows-per-band) tuning — this query pins it per corpus, the same
+    eval-as-query pattern as ``sim_eval_recall_ivf_probe`` for ANN.
+
+    Scale: reuses the two registered operators end to end (both
+    bucketed/blocked, never n²); the metric join runs on the pair sets,
+    which are output-sized, not corpus-sized.
+    """
+    lsh = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    ex = dedup_prefix_filter_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    n_common = (
+        lsh.join(ex, ["doc_id_a", "doc_id_b"]).agg(F.count("*").alias("n_common"))
+    )
+    n_ex = ex.agg(F.count("*").alias("n_true_pairs"))
+    n_lsh = lsh.agg(F.count("*").alias("n_lsh_pairs"))
+    ratio = lambda num, den: F.round(  # noqa: E731
+        F.when(F.col(den) == 0, F.lit(1.0)).otherwise(
+            F.col(num).cast("double") / F.col(den)
+        ),
+        6,
+    ).cast("double")
+    return (
+        n_common.crossJoin(F.broadcast(n_ex))
+        .crossJoin(F.broadcast(n_lsh))
+        .select(
+            F.col("n_true_pairs").cast("bigint").alias("n_true_pairs"),
+            F.col("n_lsh_pairs").cast("bigint").alias("n_lsh_pairs"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            ratio("n_common", "n_true_pairs").alias("lsh_recall"),
+            ratio("n_common", "n_lsh_pairs").alias("lsh_precision"),
+        )
+    )

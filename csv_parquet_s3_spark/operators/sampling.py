@@ -439,3 +439,64 @@ def sample_documents_weighted_noreplace(spark: SparkSession, sf_dir: str) -> Dat
         F.expr(_es_key(_DOC_HASH_SPARK)).alias("wkey"),
     )
     return keyed.orderBy(F.desc("wkey"), F.asc("doc_id")).limit(ES_SAMPLE_K)
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled multilingual resampling (mT5 / UNIMAX family): target
+# language shares proportional to n_l^alpha instead of a flat mixture.
+# ---------------------------------------------------------------------------
+TEMP_ALPHA = 0.7  # mixture temperature; 1.0 = natural, 0.0 = uniform
+
+
+@register(
+    "sample_documents_temperature",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang
+    ),
+    nmin AS (SELECT MIN(n_lang) AS nm FROM counts),
+    thresholds AS (
+        SELECT lang,
+               CAST(FLOOR(
+                   CAST(ROUND(POWER(CAST(nm AS DOUBLE) / n_lang,
+                                    {1 - TEMP_ALPHA}), 9) AS DECIMAL(11,9))
+                   * {16 ** 8}) AS BIGINT) AS keep_max
+        FROM counts CROSS JOIN nmin
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    JOIN thresholds c ON c.lang = d.lang
+    WHERE {_DOC_HASH_DUCK} < c.keep_max
+    """,
+)
+def sample_documents_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language rebalancing: keep rate
+    (n_min/n_l)^(1-alpha) per language, so post-sampling shares are
+    proportional to n_l^alpha — the standard multilingual-pretraining
+    mixture (alpha≈0.7 boosts low-resource languages without flattening the
+    head the way the uniform ``rebalance_documents_by_lang`` does; alpha=0
+    recovers it exactly).
+
+    Determinism: POWER is libm, so the rate is rounded to 9 digits FIRST,
+    widened to DECIMAL(11,9), and multiplied by 2³² exactly — the
+    per-language keep_max integer is identical on both engines and the
+    Bernoulli trial ``hash < keep_max`` never rides a float comparison. The
+    smallest language's rate is exactly 1.0 → keep_max = 2³² keeps every row
+    (hashes live in [0, 2³²)). Same scale posture as the uniform rebalance:
+    one |langs|-row aggregation broadcast back onto a map-only filter.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    nmin = counts.agg(F.min("n_lang").alias("nm"))
+    rate = F.round(
+        F.pow(F.col("nm").cast("double") / F.col("n_lang"), 1 - TEMP_ALPHA), 9
+    ).cast("decimal(11,9)")
+    thresholds = counts.crossJoin(F.broadcast(nmin)).select(
+        "lang",
+        F.floor(rate * (16 ** 8)).cast("bigint").alias("keep_max"),
+    )
+    return (
+        docs.join(F.broadcast(thresholds), "lang")
+        .filter(F.expr(_DOC_HASH_SPARK) < F.col("keep_max"))
+        .select("doc_id", "lang", "source")
+    )

@@ -1,0 +1,509 @@
+"""Inferential statistics and register-sketch operators.
+
+Reference scope: SURVEY.md §2.2 — the reference has no aggregation surface
+beyond a guard ``COUNT(*)`` (`AutoPurge.sql:139-149`); this module extends the
+driver-mandated analytics surface with the statistical QA queries a
+training-data pipeline runs over its corpus and event telemetry:
+
+- ``q_hll_distinct_users``: HyperLogLog with deterministic md5 register
+  arithmetic — the register-based sibling of the KMV sketch
+  (``advanced.q_kmv_distinct_users``), hash-replayable in the oracle.
+- ``q_events_autocorrelation`` / ``q_events_dow_seasonality``: time-series
+  QA of the daily revenue series (exact-cents moments).
+- ``q_chi_square_lang_source`` / ``q_mutual_information_lang_source``:
+  categorical association between corpus strata — the "is language confounded
+  with source?" audit run before mixture rebalancing.
+
+Determinism discipline (house rules, see ``registry`` docstring): libm terms
+(LN/POWER with non-dyadic args) are rounded to 6 digits per row and summed as
+DECIMAL, so Spark's and DuckDB's different accumulation orders and last-ulp
+libm differences cannot diverge. Dyadic powers ``2^-k`` are exact in IEEE and
+need no rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from csv_parquet_s3_spark.operators.advanced import _KMV_HEX_INT
+from csv_parquet_s3_spark.operators.registry import register
+from csv_parquet_s3_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (Flajolet et al., AOFA'07), m = 64
+# registers, fully deterministic: register index and rank both come from the
+# same 32-bit md5-derived integer as the KMV sketch, so the oracle replays the
+# estimate EXACTLY — unlike Spark's approx_count_distinct (HLL++ with
+# engine-private hashing), this sketch is hash-checkable across engines.
+# ---------------------------------------------------------------------------
+HLL_M = 64  # 2^6 registers; ~1.04/sqrt(64) = 13% standard error
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)  # bias constant alpha_64
+_HLL_W_BITS = 32 - 6  # rank window after the 6 register-index bits
+
+# rho(w) = leading-zero count of w within the 26-bit window + 1 = 27 - MSB
+# position; bin(w) has no leading zeros so MSB position = length(bin(w)).
+# Identical function text parses in Spark SQL and DuckDB.
+_HLL_RHO = (
+    "CASE WHEN {w} = 0 THEN {maxrho} ELSE {bits} + 1 - length(bin({w})) END"
+)
+
+
+@register(
+    "q_hll_distinct_users",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT {_KMV_HEX_INT.format(h="md5(CAST(user_id AS VARCHAR))")} AS iv
+        FROM events
+    ),
+    obs AS (
+        SELECT CAST(iv % {HLL_M} AS INT) AS reg,
+               MAX({_HLL_RHO.format(w=f"(iv // {HLL_M})",
+                                    maxrho=_HLL_W_BITS + 1,
+                                    bits=_HLL_W_BITS)}) AS rho
+        FROM hashed GROUP BY 1
+    ),
+    regs AS (
+        SELECT CAST(t.r AS INT) AS reg, COALESCE(o.rho, 0) AS m_j
+        FROM range({HLL_M}) t(r) LEFT JOIN obs o ON o.reg = t.r
+    ),
+    sk AS (
+        SELECT SUM(POWER(2.0, -m_j)) AS sum_inv,
+               CAST(SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_zero
+        FROM regs
+    ),
+    ex AS (SELECT COUNT(DISTINCT user_id) AS exact_distinct FROM events)
+    SELECT CAST({HLL_M} - sk.n_zero AS INT) AS n_used_registers,
+           sk.sum_inv,
+           CAST(ROUND(
+               CASE WHEN CAST({_HLL_ALPHA!r} AS DOUBLE) * {HLL_M * HLL_M}
+                         / sk.sum_inv
+                         <= {2.5 * HLL_M} AND sk.n_zero > 0
+                    THEN {HLL_M} * ROUND(LN({HLL_M}.0 / sk.n_zero), 6)
+                    ELSE CAST({_HLL_ALPHA!r} AS DOUBLE) * {HLL_M * HLL_M}
+                         / sk.sum_inv
+               END, 4) AS DOUBLE) AS est_distinct,
+           CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
+    FROM sk, ex
+    """,
+)
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct users with m=64 md5-derived registers: register
+    j = hash mod 64, rank = leading-zero-count of the remaining 26 bits + 1,
+    estimate alpha_m·m²/Σ2^(-M_j) with the standard linear-counting fallback
+    below 2.5m when empty registers remain.
+
+    Every step is deterministic: the per-register 2^-M_j terms are exact
+    dyadic doubles (M_j ≤ 27, 64 terms need ≤ 33 significand bits), so their
+    sum is EXACT and order-independent — no rounding discipline needed until
+    the final estimate. The linear-counting LN is rounded to 6 digits before
+    the multiply (house libm rule).
+
+    Scale shape: one narrow hash projection + a 64-group aggregation —
+    constant-size sketch state regardless of corpus, mergeable across shards
+    by register-wise MAX (the HLL monoid). Complements the KMV sketch
+    (``q_kmv_distinct_users``): KMV needs a global top-k, HLL is a pure
+    keyed aggregation with no ordering step.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    iv = F.expr(
+        _KMV_HEX_INT.format(h="md5(cast(cast(user_id as string) as binary))")
+    )
+    rho = F.expr(
+        _HLL_RHO.format(
+            w=f"({_KMV_HEX_INT.format(h='md5(cast(cast(user_id as string) as binary))')} div {HLL_M})",
+            maxrho=_HLL_W_BITS + 1,
+            bits=_HLL_W_BITS,
+        )
+    )
+    obs = (
+        ev.select((iv % HLL_M).cast("int").alias("reg"), rho.alias("rho"))
+        .groupBy("reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    regs = (
+        spark.range(HLL_M)
+        .select(F.col("id").cast("int").alias("reg"))
+        .join(obs, "reg", "left")
+        .select("reg", F.coalesce("rho", F.lit(0)).alias("m_j"))
+    )
+    sk = regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("sum_inv"),
+        F.sum(F.when(F.col("m_j") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero"),
+    )
+    ex = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    raw = F.lit(_HLL_ALPHA) * (HLL_M * HLL_M) / F.col("sum_inv")
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (F.col("n_zero") > 0),
+        F.lit(HLL_M) * F.round(F.log(F.lit(float(HLL_M)) / F.col("n_zero")), 6),
+    ).otherwise(raw)
+    return sk.crossJoin(F.broadcast(ex)).select(
+        (F.lit(HLL_M) - F.col("n_zero")).cast("int").alias("n_used_registers"),
+        "sum_inv",
+        F.round(est, 4).cast("double").alias("est_distinct"),
+        F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Daily revenue series: shared by the autocorrelation and seasonality queries.
+# Cents are exact (scale-2 doubles -> DECIMAL -> BIGINT), so the series is
+# identical on both engines regardless of reduce order.
+# ---------------------------------------------------------------------------
+_EV_CENTS = (
+    "CAST(CAST(value AS DECIMAL(12,2)) * CAST(100 AS DECIMAL(3,0)) AS BIGINT)"
+)
+_DAILY_ORACLE = f"""
+    daily AS (
+        SELECT CAST(ts AS DATE) AS day, SUM({_EV_CENTS}) AS cents
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    )
+"""
+
+AUTOCORR_MAX_LAG = 7
+
+
+def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.expr(_EV_CENTS)).alias("cents"))
+    )
+
+
+@register(
+    "q_events_autocorrelation",
+    oracle=f"""
+    WITH {_DAILY_ORACLE},
+    pairs AS (
+        SELECT l.lag, a.cents AS x, b.cents AS y
+        FROM daily a
+        JOIN (SELECT CAST(r + 1 AS INT) AS lag
+              FROM range({AUTOCORR_MAX_LAG}) t(r)) l ON TRUE
+        JOIN daily b ON b.day = a.day + l.lag
+    ),
+    moments AS (
+        SELECT lag, COUNT(*) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy
+        FROM pairs GROUP BY lag
+    )
+    SELECT lag, CAST(n AS INT) AS n_pairs,
+           CAST(ROUND((n * sxy - sx * sy)
+                      / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)),
+                      6) AS DOUBLE) AS autocorr
+    FROM moments
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    ORDER BY lag
+    """,
+)
+def q_events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of the daily purchase-revenue series — the
+    ingest-telemetry QA query ("is yesterday's volume predictive of
+    today's?") and the seasonality detector feeding the day-of-week index.
+
+    Moments are exact: per-day cents are BIGINT, and the five Pearson sums
+    accumulate as DECIMAL(38,0) (order-independent) before ONE textual-order
+    IEEE combination per lag — Spark and DuckDB compute bit-identical
+    correlations without any mid-stream float reduce. The lagged self-join is
+    an equi-join on ``day + lag`` (never a range/theta join); the series
+    frame is days-sized, not events-sized, so the join input at 100 TB is
+    still only ~36.5k rows per decade.
+    """
+    daily = _daily_revenue(spark, sf_dir)
+    lags = (
+        spark.range(AUTOCORR_MAX_LAG)
+        .select((F.col("id") + 1).cast("int").alias("lag"))
+    )
+    a = daily.select(F.col("day").alias("a_day"), F.col("cents").alias("x"))
+    b = daily.select(F.col("day").alias("b_day"), F.col("cents").alias("y"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .withColumn("match_day", F.date_add("a_day", F.col("lag")))
+        .join(b, F.col("b_day") == F.col("match_day"))
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    moments = pairs.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum(dec("x")).cast("double").alias("sx"),
+        F.sum(dec("y")).cast("double").alias("sy"),
+        F.sum(dec("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(dec("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(dec("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    r = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return (
+        moments.filter((n * sxx - sx * sx > 0) & (n * syy - sy * sy > 0))
+        .select(
+            "lag",
+            n.cast("int").alias("n_pairs"),
+            F.round(r, 6).cast("double").alias("autocorr"),
+        )
+        .orderBy("lag")
+    )
+
+
+@register(
+    "q_events_dow_seasonality",
+    oracle=f"""
+    WITH {_DAILY_ORACLE},
+    tot AS (
+        SELECT COUNT(*) AS n_all, SUM(CAST(cents AS DECIMAL(38,0))) AS sum_all
+        FROM daily
+    )
+    SELECT CAST((day - DATE '1970-01-01' + 3) % 7 + 1 AS INT) AS dow,
+           CAST(COUNT(*) AS INT) AS n_days,
+           CAST(ROUND(CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
+                      / (100.0 * COUNT(*)), 2) AS DOUBLE) AS avg_daily_revenue,
+           CAST(ROUND(CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
+                      * t.n_all
+                      / (CAST(COUNT(*) AS DOUBLE) * CAST(t.sum_all AS DOUBLE)),
+                      6) AS DOUBLE) AS seasonal_index
+    FROM daily, tot t
+    GROUP BY 1, t.n_all, t.sum_all
+    ORDER BY dow
+    """,
+)
+def q_events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index of purchase revenue: mean daily revenue for
+    each weekday divided by the overall mean daily revenue — the multiplier a
+    forecast or anomaly detector applies per weekday. Weekday comes from pure
+    epoch-day arithmetic ``(epoch_day + 3) % 7 + 1`` (Monday=1), NOT the
+    engines' dayofweek functions, whose week-start conventions differ.
+
+    The series frame is days-sized; the one-row totals frame broadcasts.
+    Sums stay DECIMAL until one textual-order IEEE division per weekday.
+    """
+    daily = _daily_revenue(spark, sf_dir)
+    tot = daily.agg(
+        F.count("*").alias("n_all"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("sum_all"),
+    )
+    dow = (
+        (F.datediff("day", F.lit("1970-01-01")) + 3) % 7 + 1
+    ).cast("int")
+    sum_cents = F.sum(F.col("cents").cast("decimal(38,0)")).cast("double")
+    return (
+        daily.crossJoin(F.broadcast(tot))
+        .groupBy(dow.alias("dow"), "n_all", "sum_all")
+        .agg(F.count("*").alias("cnt"), sum_cents.alias("s"))
+        .select(
+            "dow",
+            F.col("cnt").cast("int").alias("n_days"),
+            F.round(F.col("s") / (100.0 * F.col("cnt")), 2)
+            .cast("double")
+            .alias("avg_daily_revenue"),
+            F.round(
+                F.col("s")
+                * F.col("n_all")
+                / (F.col("cnt").cast("double") * F.col("sum_all").cast("double")),
+                6,
+            )
+            .cast("double")
+            .alias("seasonal_index"),
+        )
+        .orderBy("dow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Categorical association: lang x source contingency analysis on documents.
+# The "is my language mixture confounded with my source mixture?" audit a
+# pipeline runs before per-language rebalancing (sampling.py) — if lang and
+# source are strongly associated, downsampling a language silently reshapes
+# the source mixture too.
+# ---------------------------------------------------------------------------
+_CONTINGENCY_ORACLE = """
+    cells AS (
+        SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2
+    ),
+    rows_ AS (SELECT lang, SUM(o) AS rt FROM cells GROUP BY 1),
+    cols_ AS (SELECT source, SUM(o) AS ct FROM cells GROUP BY 1),
+    tot AS (SELECT SUM(o) AS n FROM cells)
+"""
+
+
+@register(
+    "q_chi_square_lang_source",
+    oracle=f"""
+    WITH {_CONTINGENCY_ORACLE},
+    terms AS (
+        SELECT c.lang, c.source,
+               CAST(ROUND(
+                   (CAST(c.o AS DOUBLE)
+                    - CAST(r.rt AS DOUBLE) * ct.ct / t.n)
+                   * (CAST(c.o AS DOUBLE)
+                      - CAST(r.rt AS DOUBLE) * ct.ct / t.n)
+                   / (CAST(r.rt AS DOUBLE) * ct.ct / t.n), 6)
+                   AS DECIMAL(20,6)) AS term
+        FROM cells c
+        JOIN rows_ r ON r.lang = c.lang
+        JOIN cols_ ct ON ct.source = c.source
+        CROSS JOIN tot t
+    ),
+    dims AS (
+        SELECT (SELECT COUNT(*) FROM rows_) AS nr,
+               (SELECT COUNT(*) FROM cols_) AS nc,
+               (SELECT n FROM tot) AS n
+    )
+    SELECT CAST((SELECT COUNT(*) FROM cells) AS INT) AS n_cells,
+           CAST((d.nr - 1) * (d.nc - 1) AS INT) AS dof,
+           CAST(ROUND(CAST(s.chi2 AS DOUBLE), 6) AS DOUBLE) AS chi2,
+           CAST(ROUND(SQRT(CAST(s.chi2 AS DOUBLE)
+                           / (CAST(d.n AS DOUBLE)
+                              * LEAST(d.nr - 1, d.nc - 1))), 6) AS DOUBLE)
+               AS cramers_v
+    FROM (SELECT SUM(term) AS chi2 FROM terms) s, dims d
+    """,
+)
+def q_chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between document language and
+    source, plus Cramér's V effect size. Expected counts come from the
+    marginal products; each cell's (o−e)²/e term is rounded to 6 digits and
+    summed as DECIMAL(20,6) (house libm/float-reduce rule), so both engines
+    produce the identical statistic.
+
+    Scale shape: one groupBy over the corpus, then all arithmetic on the
+    |langs|×|sources| cells frame — association testing costs one aggregation
+    regardless of corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    rows_ = cells.groupBy("lang").agg(F.sum("o").alias("rt"))
+    cols_ = cells.groupBy("source").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    e = F.col("rt").cast("double") * F.col("ct") / F.col("n")
+    term = F.round(
+        (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e, 6
+    ).cast("decimal(20,6)")
+    terms = (
+        cells.join(rows_, "lang")
+        .join(cols_, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(term.alias("term"))
+    )
+    chi2 = terms.agg(F.sum("term").alias("chi2"))
+    dims = (
+        rows_.agg(F.count("*").alias("nr"))
+        .crossJoin(cols_.agg(F.count("*").alias("nc")))
+        .crossJoin(tot)
+        .crossJoin(cells.agg(F.count("*").alias("n_cells")))
+    )
+    return chi2.crossJoin(F.broadcast(dims)).select(
+        F.col("n_cells").cast("int").alias("n_cells"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("int").alias("dof"),
+        F.round(F.col("chi2").cast("double"), 6).cast("double").alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2").cast("double")
+                / (
+                    F.col("n").cast("double")
+                    * F.least(F.col("nr") - 1, F.col("nc") - 1)
+                )
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("cramers_v"),
+    )
+
+
+@register(
+    "q_mutual_information_lang_source",
+    oracle=f"""
+    WITH {_CONTINGENCY_ORACLE},
+    mi AS (
+        SELECT SUM(CAST(ROUND(LN(CAST(c.o AS DOUBLE) * t.n
+                                 / (CAST(r.rt AS DOUBLE) * ct.ct)), 6)
+                        AS DECIMAL(20,6)) * c.o) AS s
+        FROM cells c
+        JOIN rows_ r ON r.lang = c.lang
+        JOIN cols_ ct ON ct.source = c.source
+        CROSS JOIN tot t
+    ),
+    hx AS (
+        SELECT SUM(CAST(ROUND(LN(CAST(t.n AS DOUBLE) / r.rt), 6)
+                        AS DECIMAL(20,6)) * r.rt) AS s
+        FROM rows_ r CROSS JOIN tot t
+    ),
+    hy AS (
+        SELECT SUM(CAST(ROUND(LN(CAST(t.n AS DOUBLE) / ct.ct), 6)
+                        AS DECIMAL(20,6)) * ct.ct) AS s
+        FROM cols_ ct CROSS JOIN tot t
+    )
+    SELECT CAST(ROUND(CAST(mi.s AS DOUBLE) / t.n, 6) AS DOUBLE) AS mi_nats,
+           CAST(ROUND(CAST(hx.s AS DOUBLE) / t.n, 6) AS DOUBLE) AS h_lang,
+           CAST(ROUND(CAST(hy.s AS DOUBLE) / t.n, 6) AS DOUBLE) AS h_source,
+           CAST(ROUND(CAST(mi.s AS DOUBLE) / t.n
+                      / SQRT((CAST(hx.s AS DOUBLE) / t.n)
+                             * (CAST(hy.s AS DOUBLE) / t.n)), 6) AS DOUBLE)
+               AS nmi
+    FROM mi, hx, hy, tot t
+    """,
+)
+def q_mutual_information_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(lang; source) in nats, the marginal entropies,
+    and the normalized MI (mi/√(H_lang·H_source)) — the information-theoretic
+    counterpart of the chi-square audit: how many nats of a document's source
+    are revealed by its language. Per-cell LN terms are rounded to 6 digits
+    and weighted by EXACT integer counts into DECIMAL sums; the single /N and
+    normalization happen once at the end in textual IEEE order.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    rows_ = cells.groupBy("lang").agg(F.sum("o").alias("rt"))
+    cols_ = cells.groupBy("source").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(F.sum("o").alias("n"))
+
+    mi_term = F.round(
+        F.log(
+            F.col("o").cast("double")
+            * F.col("n")
+            / (F.col("rt").cast("double") * F.col("ct"))
+        ),
+        6,
+    ).cast("decimal(20,6)")
+    mi = (
+        cells.join(rows_, "lang")
+        .join(cols_, "source")
+        .crossJoin(F.broadcast(tot))
+        .agg(F.sum(mi_term * F.col("o")).alias("mi_s"))
+    )
+    h_term = lambda margin: F.round(  # noqa: E731
+        F.log(F.col("n").cast("double") / F.col(margin)), 6
+    ).cast("decimal(20,6)")
+    hx = rows_.crossJoin(F.broadcast(tot)).agg(
+        F.sum(h_term("rt") * F.col("rt")).alias("hx_s")
+    )
+    hy = cols_.crossJoin(F.broadcast(tot)).agg(
+        F.sum(h_term("ct") * F.col("ct")).alias("hy_s")
+    )
+    n = F.col("n").cast("double")
+    mi_nats = F.col("mi_s").cast("double") / n
+    h_lang = F.col("hx_s").cast("double") / n
+    h_source = F.col("hy_s").cast("double") / n
+    return (
+        mi.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(mi_nats, 6).cast("double").alias("mi_nats"),
+            F.round(h_lang, 6).cast("double").alias("h_lang"),
+            F.round(h_source, 6).cast("double").alias("h_source"),
+            F.round(mi_nats / F.sqrt(h_lang * h_source), 6)
+            .cast("double")
+            .alias("nmi"),
+        )
+    )

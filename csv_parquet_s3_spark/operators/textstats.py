@@ -1146,3 +1146,118 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM perplexity: the stronger sibling of text_unigram_perplexity.
+# An add-k-smoothed bigram model trained on the corpus itself scores each
+# document's average next-token surprise — repeated boilerplate collapses to
+# near-zero NLL while incoherent token salads blow up, a sharper quality
+# signal than unigram rarity alone.
+# ---------------------------------------------------------------------------
+BG_ALPHA = 0.5  # add-k smoothing mass per vocabulary entry
+
+_BG_TOKS_ORACLE = """
+    toks AS (
+        SELECT t.doc_id, s.i AS ord, t.ftoks[s.i] AS tok
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS ftoks
+              FROM documents) t,
+             UNNEST(generate_series(1, len(t.ftoks))) AS s(i)
+    )
+"""
+
+
+@register(
+    "text_bigram_perplexity",
+    oracle=f"""
+    WITH {_BG_TOKS_ORACLE},
+    vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM toks),
+    bigrams AS (
+        SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+        FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+    ),
+    bg AS (SELECT w1, w2, COUNT(*) AS c12 FROM bigrams GROUP BY 1, 2),
+    ctx AS (SELECT w1, SUM(c12) AS c1 FROM bg GROUP BY 1),
+    doc_bg AS (
+        SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bigrams GROUP BY 1, 2, 3
+    ),
+    nll AS (
+        SELECT d.doc_id,
+               CAST(SUM(d.tf) AS BIGINT) AS n_bigrams,
+               SUM(d.tf * CAST(ROUND(LN(
+                       (CAST(c.c1 AS DOUBLE) + {BG_ALPHA} * v.v)
+                       / (CAST(b.c12 AS DOUBLE) + {BG_ALPHA})), 6)
+                   AS DECIMAL(20,6))) AS nll_sum
+        FROM doc_bg d
+        JOIN bg b ON b.w1 = d.w1 AND b.w2 = d.w2
+        JOIN ctx c ON c.w1 = d.w1
+        CROSS JOIN vocab v
+        GROUP BY d.doc_id
+    )
+    SELECT doc_id, CAST(n_bigrams AS INT) AS n_bigrams,
+           CAST(ROUND(CAST(nll_sum AS DOUBLE) / n_bigrams, 6) AS DOUBLE)
+               AS avg_nll,
+           CAST(ROUND(EXP(ROUND(CAST(nll_sum AS DOUBLE) / n_bigrams, 6)), 4)
+               AS DOUBLE) AS perplexity
+    FROM nll
+    """,
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under an add-k-smoothed bigram LM trained on
+    the corpus: p(w2|w1) = (c(w1,w2)+k)/(c(w1)+k·V) over adjacent non-empty
+    whitespace tokens. The bigram refinement of ``text_unigram_perplexity``
+    — context-conditional surprise separates fluent-but-rare text (low
+    bigram NLL) from shuffled-token noise (high), which unigram statistics
+    cannot.
+
+    Determinism: per-bigram -ln p is rounded to 6 digits and accumulated as
+    DECIMAL(20,6) weighted by exact integer term frequencies (house libm
+    rule, see the unigram twin at :func:`text_unigram_perplexity`).
+
+    Scale shape: tokenize once, two keyed aggregations (bigram + context
+    counts — LM-sized, not corpus-sized), then a per-doc join against the LM
+    tables with no broadcast hint (a web-scale bigram table is not
+    broadcastable; AQE picks broadcast while it fits). The positional
+    self-join runs on (doc_id, ord) — co-partitioned, one shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.filter(F.split("text", " "), lambda x: x != "")).alias(
+            "ord", "tok"
+        ),
+    )
+    a = toks.select("doc_id", F.col("ord").alias("orda"), F.col("tok").alias("w1"))
+    b = toks.select(
+        "doc_id", (F.col("ord") - 1).alias("orda"), F.col("tok").alias("w2")
+    )
+    bigrams = a.join(b, ["doc_id", "orda"]).select("doc_id", "w1", "w2")
+    vocab = toks.agg(F.countDistinct("tok").alias("v"))
+    bg = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    doc_bg = bigrams.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("tf"))
+    term = F.round(
+        F.log(
+            (F.col("c1").cast("double") + BG_ALPHA * F.col("v"))
+            / (F.col("c12").cast("double") + BG_ALPHA)
+        ),
+        6,
+    ).cast("decimal(20,6)")
+    nll = (
+        doc_bg.join(bg, ["w1", "w2"])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("tf") * term).alias("nll_sum"),
+        )
+    )
+    avg_nll = F.round(F.col("nll_sum").cast("double") / F.col("n_bigrams"), 6)
+    return nll.select(
+        "doc_id",
+        F.col("n_bigrams").cast("int").alias("n_bigrams"),
+        avg_nll.cast("double").alias("avg_nll"),
+        F.round(F.exp(avg_nll), 4).cast("double").alias("perplexity"),
+    )
