@@ -416,3 +416,91 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("c").alias("doc_id")))
     )
     return members.groupBy("doc_id").agg(F.count("*").alias("n_triangles"))
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition of the near-dup graph: iterative peeling.
+# ---------------------------------------------------------------------------
+KCORE_K = 2  # minimum within-core degree
+KCORE_ITERS = 5  # peeling rounds; converged when a round removes nothing
+
+
+def _kcore_oracle() -> str:
+    """Unrolled-iteration oracle (house style, cf. ``_pagerank_oracle``):
+    a0 = all nodes of the symmetrized LSH pair graph, a{t} = nodes whose
+    degree within a{t-1} is >= K."""
+    its = []
+    for t in range(1, KCORE_ITERS + 1):
+        p = f"a{t - 1}"
+        its.append(f"""
+    a{t} AS (
+        SELECT e.src AS node, COUNT(*) AS deg
+        FROM edges e
+        JOIN {p} s ON s.node = e.src
+        JOIN {p} d ON d.node = e.dst
+        GROUP BY e.src
+        HAVING COUNT(*) >= {KCORE_K}
+    )""")
+    return (
+        f"""
+    WITH RECURSIVE {_ORACLE_SHINGLES},
+    {_ORACLE_BANDS},
+    {_ORACLE_PAIR_CTES},
+    edges AS (
+        SELECT doc_id_a AS src, doc_id_b AS dst FROM lsh_pairs
+        UNION ALL
+        SELECT doc_id_b AS src, doc_id_a AS dst FROM lsh_pairs
+    ),
+    a0 AS (SELECT DISTINCT src AS node FROM edges),"""
+        + ",".join(its)
+        + f"""
+    SELECT node AS doc_id, CAST(deg AS INT) AS core_degree
+    FROM a{KCORE_ITERS}
+    """
+    )
+
+
+@register("graph_kcore_docs", oracle=_kcore_oracle())
+def graph_kcore_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCORE_K}-core of the MinHash-LSH near-dup graph by iterative
+    peeling: repeatedly drop documents with fewer than K near-dup neighbors
+    among the survivors. What remains after peeling converges is the densely
+    templated heart of the corpus — boilerplate farms and mirror clusters
+    that pairwise dedup under-counts (a chain of pairs is not a dense core;
+    triangle counting finds 3-cliques, the k-core finds arbitrarily shaped
+    dense regions).
+
+    Scale shape: the graph is pair-set-sized (post-LSH, never n²); each
+    peel round is one self-semi-join + keyed count on the SHRINKING alive
+    set, localCheckpointed so round k never replays rounds 1..k-1 — same
+    iterative discipline as ``pagerank`` and ``connected_components``.
+    """
+    pairs = (
+        dedup_minhash_lsh_pairs(spark, sf_dir)
+        .select("doc_id_a", "doc_id_b")
+        .localCheckpoint(eager=True)
+    )
+    edges = pairs.unionAll(
+        pairs.select(
+            F.col("doc_id_b").alias("doc_id_a"), F.col("doc_id_a").alias("doc_id_b")
+        )
+    ).select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
+    alive = edges.select(F.col("src").alias("node")).distinct()
+    deg = None
+    for _ in range(KCORE_ITERS):
+        deg = (
+            edges.join(alive, edges.src == alive.node, "left_semi")
+            .join(
+                alive.select(F.col("node").alias("dnode")),
+                edges.dst == F.col("dnode"),
+                "left_semi",
+            )
+            .groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= KCORE_K)
+            .localCheckpoint(eager=True)
+        )
+        alive = deg.select(F.col("src").alias("node"))
+    return deg.select(
+        F.col("src").alias("doc_id"), F.col("deg").cast("int").alias("core_degree")
+    )

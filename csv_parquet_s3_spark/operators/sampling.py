@@ -500,3 +500,63 @@ def sample_documents_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.expr(_DOC_HASH_SPARK) < F.col("keep_max"))
         .select("doc_id", "lang", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic k-fold assignment + stratification audit in one query.
+# ---------------------------------------------------------------------------
+KFOLD_K = 5
+
+
+@register(
+    "split_documents_kfold",
+    oracle=f"""
+    WITH folds AS (
+        SELECT doc_id, lang,
+               CAST({_DOC_HASH_DUCK} % {KFOLD_K} AS INT) AS fold
+        FROM documents
+    ),
+    lt AS (SELECT lang, COUNT(*) AS n_lang FROM folds GROUP BY lang)
+    SELECT f.fold, f.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(ROUND(CAST(COUNT(*) AS DOUBLE) / lt.n_lang, 6) AS DOUBLE)
+               AS lang_share
+    FROM folds f JOIN lt ON lt.lang = f.lang
+    GROUP BY f.fold, f.lang, lt.n_lang
+    ORDER BY fold, f.lang
+    """,
+)
+def split_documents_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic {KFOLD_K}-fold cross-validation assignment
+    (fold = doc-hash mod K — stable under corpus growth, no RNG, no driver
+    state) with the stratification audit built in: per (fold, lang) counts
+    and each fold's share of its language, which should sit near 1/K —
+    systematic deviation means the hash is confounded with a stratum and the
+    split would leak. The companion check to ``split_leakage_safe`` (group
+    integrity) and ``split_documents_train_test`` (two-way split).
+
+    Map-only fold assignment (pushdown-friendly), one keyed aggregation for
+    the audit; at 100 TB the assignment column is written once at ingest and
+    the audit reruns per snapshot.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    folds = docs.select(
+        "doc_id",
+        "lang",
+        (F.expr(_DOC_HASH_SPARK) % KFOLD_K).cast("int").alias("fold"),
+    )
+    lt = folds.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    return (
+        folds.join(F.broadcast(lt), "lang")
+        .groupBy("fold", "lang", "n_lang")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "fold",
+            "lang",
+            F.col("cnt").cast("bigint").alias("n_docs"),
+            F.round(F.col("cnt").cast("double") / F.col("n_lang"), 6)
+            .cast("double")
+            .alias("lang_share"),
+        )
+        .orderBy("fold", "lang")
+    )

@@ -122,6 +122,14 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("reg")
         .agg(F.max("rho").alias("rho"))
     )
+    ex = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return _hll_finalize(spark, obs, ex)
+
+
+def _hll_finalize(spark: SparkSession, obs: DataFrame, ex: DataFrame) -> DataFrame:
+    """Estimator readout over observed (reg, rho) register maxima — shared by
+    the batch operator above and its streaming-state twin
+    (``streaming_batch.stream_events_hll_distinct``)."""
     regs = (
         spark.range(HLL_M)
         .select(F.col("id").cast("int").alias("reg"))
@@ -134,7 +142,6 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_zero"),
     )
-    ex = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
     raw = F.lit(_HLL_ALPHA) * (HLL_M * HLL_M) / F.col("sum_inv")
     est = F.when(
         (raw <= 2.5 * HLL_M) & (F.col("n_zero") > 0),
@@ -506,4 +513,168 @@ def q_mutual_information_lang_source(spark: SparkSession, sf_dir: str) -> DataFr
             .cast("double")
             .alias("nmi"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit of order totals: the classic financial-data
+# integrity screen. Synthetic/fabricated amounts diverge from the log-law.
+# ---------------------------------------------------------------------------
+import math as _math
+
+_BENFORD = {d: _math.log10(1 + 1 / d) for d in range(1, 10)}
+_BENFORD_CASE = "CASE first_digit " + " ".join(
+    f"WHEN {d} THEN CAST({_BENFORD[d]!r} AS DOUBLE)" for d in range(1, 10)
+) + " END"
+
+
+@register(
+    "q_orders_benford_digits",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR),
+                           1, 1) AS INT) AS first_digit
+        FROM orders
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM digits)
+    SELECT first_digit,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(CAST(COUNT(*) AS DOUBLE) / t.n, 6) AS DOUBLE)
+               AS observed_share,
+           CAST(ROUND({_BENFORD_CASE}, 6) AS DOUBLE) AS benford_share,
+           CAST(ROUND(ABS(CAST(COUNT(*) AS DOUBLE) / t.n - {_BENFORD_CASE}), 6)
+               AS DOUBLE) AS abs_dev
+    FROM digits, tot t
+    GROUP BY first_digit, t.n
+    ORDER BY first_digit
+    """,
+)
+def q_orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformity of order totals: observed first-significant-
+    digit shares against log10(1+1/d), with per-digit absolute deviation
+    (their mean is the standard MAD conformity statistic). The data-
+    integrity audit a warehouse runs on monetary columns — fabricated or
+    truncated amounts break the log-law long before totals look wrong.
+
+    The first digit comes from the DECIMAL(12,2) string form (totals are
+    ≥ 1, so the leading character IS the first significant digit) — pure
+    string/integer ops, no float log in the digit path. Map-side projection
+    + 9-group aggregation; the one-row total broadcasts.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.select(
+        F.substring(
+            F.col("o_totalprice").cast("decimal(12,2)").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("first_digit")
+    )
+    tot = digits.agg(F.count("*").alias("n"))
+    share = F.col("cnt").cast("double") / F.col("n")
+    benford = F.expr(_BENFORD_CASE)
+    return (
+        digits.groupBy("first_digit")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "first_digit",
+            F.col("cnt").cast("bigint").alias("n_orders"),
+            F.round(share, 6).cast("double").alias("observed_share"),
+            F.round(benford, 6).cast("double").alias("benford_share"),
+            F.round(F.abs(share - benford), 6).cast("double").alias("abs_dev"),
+        )
+        .orderBy("first_digit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: quartile-code customers by recency/frequency/monetary.
+# ---------------------------------------------------------------------------
+_RFM_BASE_ORACLE = """
+    base AS (
+        SELECT o_custkey AS custkey,
+               MAX(CAST(o_orderdate AS DATE)) AS last_order,
+               COUNT(*) AS freq,
+               SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    coded AS (
+        SELECT custkey,
+               NTILE(4) OVER (ORDER BY last_order, custkey) AS r,
+               NTILE(4) OVER (ORDER BY freq, custkey) AS f,
+               NTILE(4) OVER (ORDER BY monetary, custkey) AS m,
+               monetary
+        FROM base
+    )
+"""
+
+
+@register(
+    "q_customer_rfm_segments",
+    oracle=f"""
+    WITH {_RFM_BASE_ORACLE}
+    SELECT CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(CAST((2 * SUM(CAST(monetary * 100 AS BIGINT)) + COUNT(*))
+                     // (2 * COUNT(*)) AS DOUBLE) / 100.0 AS DOUBLE)
+               AS avg_monetary
+    FROM coded
+    GROUP BY 1, 2, 3
+    ORDER BY r, f, m
+    """,
+)
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: quartile-code every ordering customer on Recency
+    (last order date), Frequency (order count) and Monetary (exact DECIMAL
+    revenue), then profile the up-to-64 (r,f,m) cells — the standard
+    customer-value cube. NTILE runs over (value, custkey) so ties split
+    identically on both engines; monetary stays DECIMAL until the final
+    per-cell average.
+
+    Scale note: the three NTILEs are global sorts over the CUSTOMER
+    aggregate (one row per customer, not per order). At true 100 TB scale
+    the global sort is a range-partitioned shuffle of a heavily pre-reduced
+    frame; if even that is too hot, the quartile boundaries could come from
+    approx quantiles instead (the ``curriculum_length_shards`` pattern) at
+    the cost of exact quartile cardinalities.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count("*").alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("monetary"),
+    )
+    coded = base.select(
+        "custkey",
+        "monetary",
+        F.ntile(4).over(W.orderBy("last_order", "custkey")).alias("r"),
+        F.ntile(4).over(W.orderBy("freq", "custkey")).alias("f"),
+        F.ntile(4).over(W.orderBy("monetary", "custkey")).alias("m"),
+    )
+    return (
+        coded.groupBy("r", "f", "m")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            # round-half-up of (sum/n) computed entirely in integer cents:
+            # (2s + n) div (2n) — no double ever carries a .xx5 boundary.
+            (
+                F.expr(
+                    "(2 * sum(CAST(monetary * 100 AS BIGINT)) + count(*))"
+                    " div (2 * count(*))"
+                ).cast("double")
+                / 100.0
+            )
+            .cast("double")
+            .alias("avg_monetary"),
+        )
+        .select(
+            F.col("r").cast("int").alias("r"),
+            F.col("f").cast("int").alias("f"),
+            F.col("m").cast("int").alias("m"),
+            "n_customers",
+            "avg_monetary",
+        )
+        .orderBy("r", "f", "m")
     )

@@ -437,3 +437,57 @@ def stream_segment_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum(F.expr("bit_count(mask)")).cast("bigint").alias("n_distinct_users"),
         F.count("*").alias("n_words"),
     )
+
+
+from csv_parquet_s3_spark.operators import statistics as _stats  # noqa: E402
+from csv_parquet_s3_spark.operators.registry import ORACLES  # noqa: E402
+
+
+@register(
+    "stream_events_hll_distinct",
+    # The streaming fold MUST land on the identical sketch the batch
+    # operator computes — reuse its oracle verbatim (same registers, same
+    # estimator, same rounding).
+    oracle=ORACLES["q_hll_distinct_users"],
+)
+def stream_events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HyperLogLog sketch MAINTAINED AS STREAMING STATE: the streaming
+    aggregation keeps one max-rank per register (64 rows of state total —
+    MAX is the HLL monoid, so micro-batches fold in associatively), and the
+    estimator runs as a batch readout over the drained registers. Must equal
+    ``q_hll_distinct_users`` exactly: same md5 register arithmetic, same
+    estimate — one answer from two execution modes.
+
+    At scale this is the canonical "distinct users today" dashboard query:
+    state is 64 rows regardless of stream volume, and shards' sketches merge
+    by register-wise MAX.
+    """
+    from csv_parquet_s3_spark.operators.statistics import (
+        HLL_M,
+        _HLL_RHO,
+        _HLL_W_BITS,
+        _hll_finalize,
+    )
+    from csv_parquet_s3_spark.operators.advanced import _KMV_HEX_INT
+
+    stream = _events_stream(spark, sf_dir)
+    iv_sql = _KMV_HEX_INT.format(
+        h="md5(cast(cast(user_id as string) as binary))"
+    )
+    rho = F.expr(
+        _HLL_RHO.format(
+            w=f"({iv_sql} div {HLL_M})", maxrho=_HLL_W_BITS + 1, bits=_HLL_W_BITS
+        )
+    )
+    obs = (
+        stream.select(
+            (F.expr(iv_sql) % HLL_M).cast("int").alias("reg"), rho.alias("rho")
+        )
+        .groupBy("reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    drained = _drain(spark, obs)
+    ex = load_table(spark, sf_dir, "events").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return _hll_finalize(spark, drained, ex)

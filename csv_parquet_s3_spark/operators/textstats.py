@@ -1261,3 +1261,102 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg_nll.cast("double").alias("avg_nll"),
         F.round(F.exp(avg_nll), 4).cast("double").alias("perplexity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window document chunking: the context-length splitter that feeds
+# long documents to a bounded-context model (embedding or training), with a
+# right-aligned final window so every chunk is full-length when the document
+# allows it. Pure integer arithmetic -> bit-identical across engines.
+# ---------------------------------------------------------------------------
+CHUNK_TOKENS = 64  # window length in tokens
+CHUNK_STRIDE = 48  # step between window starts (overlap = 64 - 48 = 16)
+
+
+@register(
+    "text_chunk_documents",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    sized AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               CASE WHEN len(toks) <= {CHUNK_TOKENS} THEN 1
+                    ELSE (len(toks) - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1)
+                         // {CHUNK_STRIDE} + 1
+               END AS n_chunks
+        FROM t WHERE len(toks) >= 1
+    ),
+    chunks AS (
+        SELECT doc_id, n, CAST(s.i AS INT) AS chunk_id,
+               CASE WHEN s.i = n_chunks - 1
+                    THEN GREATEST(1, n - {CHUNK_TOKENS} + 1)
+                    ELSE 1 + s.i * {CHUNK_STRIDE}
+               END AS start_tok,
+               toks
+        FROM sized, UNNEST(generate_series(0, n_chunks - 1)) AS s(i)
+    )
+    SELECT doc_id, chunk_id, CAST(start_tok AS INT) AS start_tok,
+           CAST(LEAST({CHUNK_TOKENS}, n - start_tok + 1) AS INT) AS n_tokens,
+           array_to_string(
+               toks[start_tok : start_tok
+                    + LEAST({CHUNK_TOKENS}, n - start_tok + 1) - 1],
+               ' ') AS chunk_text
+    FROM chunks
+    """,
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: split each document's non-empty token stream
+    into {CHUNK_TOKENS}-token windows advancing {CHUNK_STRIDE} tokens per
+    step (16-token overlap preserves cross-boundary context), with the LAST
+    window right-aligned to the document end so no trailing fragment is
+    shorter than necessary — the standard splitter in front of a
+    bounded-context embedder. n_chunks = ceil((n−C)/S)+1 is computed in
+    integer arithmetic ((n−C+S−1) div S + 1), never float CEIL.
+
+    Scale shape: map-only — tokenize, per-row sequence explode, slice; no
+    shuffle anywhere, each chunk row carries its provenance (doc_id,
+    chunk_id, start_tok) so downstream dedup/packing can reassemble.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("toks")
+    )
+    n = F.size("toks")
+    n_chunks = F.when(n <= CHUNK_TOKENS, F.lit(1)).otherwise(
+        F.floor((n - CHUNK_TOKENS + CHUNK_STRIDE - 1) / CHUNK_STRIDE).cast("int")
+        + 1
+    )
+    sized = t.filter(n >= 1).select(
+        "doc_id", "toks", n.alias("n"), n_chunks.alias("n_chunks")
+    )
+    chunks = sized.select(
+        "doc_id",
+        "n",
+        "toks",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_id"),
+        F.col("n_chunks"),
+    ).select(
+        "doc_id",
+        "n",
+        "toks",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.when(
+            F.col("chunk_id") == F.col("n_chunks") - 1,
+            F.greatest(F.lit(1), F.col("n") - CHUNK_TOKENS + 1),
+        )
+        .otherwise(1 + F.col("chunk_id") * CHUNK_STRIDE)
+        .alias("start_tok"),
+    )
+    chunk_len = F.least(F.lit(CHUNK_TOKENS), F.col("n") - F.col("start_tok") + 1)
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.col("start_tok").cast("int").alias("start_tok"),
+        chunk_len.cast("int").alias("n_tokens"),
+        F.array_join(
+            F.slice(F.col("toks"), F.col("start_tok"), chunk_len), " "
+        ).alias("chunk_text"),
+    )
