@@ -504,3 +504,114 @@ def graph_kcore_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.select(
         F.col("src").alias("doc_id"), F.col("deg").cast("int").alias("core_degree")
     )
+
+
+# ---------------------------------------------------------------------------
+# Common-neighbor link prediction on the near-dup graph: score NON-adjacent
+# document pairs by how many near-dup neighbors they share. High scorers are
+# duplicates the pairwise LSH pass missed (banding is probabilistic) — the
+# cheap recall-repair step before transitive clustering commits clusters.
+# ---------------------------------------------------------------------------
+def _common_neighbors_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_ORACLE_SHINGLES},
+    {_ORACLE_BANDS},
+    {_ORACLE_PAIR_CTES},
+    edges AS (
+        SELECT doc_id_a AS src, doc_id_b AS dst FROM lsh_pairs
+        UNION ALL
+        SELECT doc_id_b AS src, doc_id_a AS dst FROM lsh_pairs
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+    cn AS (
+        SELECT e1.src AS a, e2.src AS b, COUNT(*) AS common
+        FROM edges e1 JOIN edges e2
+          ON e1.dst = e2.dst AND e1.src < e2.src
+        GROUP BY e1.src, e2.src
+    ),
+    flagged AS (
+        SELECT cn.a, cn.b, cn.common,
+               EXISTS (SELECT 1 FROM lsh_pairs p
+                       WHERE p.doc_id_a = cn.a AND p.doc_id_b = cn.b)
+                   AS is_adjacent
+        FROM cn
+    )
+    SELECT t.a AS doc_id_a, t.b AS doc_id_b,
+           CAST(t.common AS INT) AS common_neighbors,
+           CAST(ROUND(CAST(t.common AS DOUBLE)
+                      / (da.deg + db.deg - t.common), 6) AS DOUBLE)
+               AS neighbor_jaccard,
+           t.is_adjacent
+    FROM flagged t
+    JOIN deg da ON da.node = t.a
+    JOIN deg db ON db.node = t.b
+    """
+
+
+@register("graph_common_neighbors", oracle=_common_neighbors_oracle())
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the MinHash-LSH near-dup graph: for every
+    pair with at least one shared neighbor, the shared-neighbor count,
+    neighbor-set Jaccard (|Γa∩Γb| / |Γa∪Γb|), and whether the pair is
+    already an edge. The non-adjacent rows (is_adjacent = false) are the
+    prediction targets; adjacent rows double as edge-strength scores
+    (embeddedness) for cluster-splitting QA. The LSH
+    band join has false-negative probability (1-s^r)^b per pair; pairs
+    both similar to a third document are exactly where those misses
+    concentrate, so this is the recall-repair candidate list a dedup
+    pipeline re-verifies with exact Jaccard before clustering.
+
+    Scale shape: one self-join of the symmetrized edge list keyed by the
+    shared endpoint (cost Σ deg² — bounded by the LSH bucket cap, same
+    envelope as triangle counting), one left join back against the edge
+    list for the adjacency flag, two degree lookups. No n²
+    expansion at any stage; edges materialize once via localCheckpoint so
+    the three consumers don't each replay the shingle→signature pipeline.
+    """
+    from csv_parquet_s3_spark.operators.dedup import dedup_minhash_lsh_pairs
+
+    pairs = (
+        dedup_minhash_lsh_pairs(spark, sf_dir)
+        .select("doc_id_a", "doc_id_b")
+        .localCheckpoint(eager=True)
+    )
+    edges = pairs.select(
+        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+    e1 = edges.select(F.col("src").alias("a"), "dst")
+    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("dst2"))
+    cn = (
+        e1.join(e2, (F.col("dst") == F.col("dst2")) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    adj = pairs.select(
+        F.col("doc_id_a").alias("a"),
+        F.col("doc_id_b").alias("b"),
+        F.lit(True).alias("is_adjacent"),
+    )
+    flagged = cn.join(adj, ["a", "b"], "left").withColumn(
+        "is_adjacent", F.coalesce("is_adjacent", F.lit(False))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    return (
+        flagged.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.col("a").alias("doc_id_a"),
+            F.col("b").alias("doc_id_b"),
+            F.col("common").cast("int").alias("common_neighbors"),
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common")),
+                6,
+            )
+            .cast("double")
+            .alias("neighbor_jaccard"),
+            "is_adjacent",
+        )
+    )

@@ -1055,3 +1055,66 @@ def dedup_eval_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio("n_common", "n_lsh_pairs").alias("lsh_precision"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Normalization-canonical dedup (C4/CCNet-style): documents that differ only
+# in case, punctuation, or whitespace are the same document. Normalize, hash
+# the canonical form, group — exact dedup's recall-boosted sibling, sitting
+# between byte-exact and MinHash in the dedup ladder.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_normalized_exact",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+                   AS canon_digest
+        FROM documents
+    ),
+    grp AS (
+        SELECT canon_digest, COUNT(*) AS group_size,
+               MIN(doc_id) AS canonical_id
+        FROM norm GROUP BY canon_digest
+    )
+    SELECT n.doc_id, n.canon_digest,
+           CAST(g.group_size AS BIGINT) AS group_size,
+           n.doc_id = g.canonical_id AS is_canonical
+    FROM norm n JOIN grp g ON g.canon_digest = n.canon_digest
+    """,
+)
+def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case/punctuation/whitespace-insensitive exact dedup: canonicalize
+    (lowercase → non-alphanumeric runs → single space → trim), hash the
+    canonical form, and tag every document with its group size and whether
+    it is the group's keeper (smallest doc_id). The normalization that
+    byte-exact dedup misses and MinHash pays 12 hashes to approximate —
+    C4-style pipelines run this pass first.
+
+    Scale shape: map-side normalize + hash, then ONE shuffle keyed by the
+    16-byte digest (never the text) for the group stats, and a digest-keyed
+    self-join to annotate rows — same two-exchange shape as
+    `dedup_exact_documents` with the annotation join on top. Java and RE2
+    agree on the `[^a-z0-9]+` class over ASCII; the corpus is ASCII (the
+    lang column's scripts are romanized) — a Unicode corpus would want an
+    ICU-backed normalizer behind the same digest contract.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = docs.select(
+        "doc_id",
+        F.md5(
+            F.trim(
+                F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")
+            ).cast("binary")
+        ).alias("canon_digest"),
+    )
+    grp = norm.groupBy("canon_digest").agg(
+        F.count("*").cast("bigint").alias("group_size"),
+        F.min("doc_id").alias("canonical_id"),
+    )
+    return norm.join(grp, "canon_digest").select(
+        "doc_id",
+        "canon_digest",
+        "group_size",
+        (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+    )

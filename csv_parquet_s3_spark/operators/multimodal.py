@@ -19,6 +19,7 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W_mm
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -469,4 +470,130 @@ def mm_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("int").alias("n_bytes"),
         "n_distinct_bytes",
         "entropy_nats",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual average-hash (aHash) over opaque binary payloads: 64 equal
+# byte-blocks, bit b = [block mean > global mean]. The binary-modality
+# sibling of SimHash — robust to small local edits (one changed byte moves
+# one block mean), cheap enough to run at ingest, and the standard first
+# screen for image/audio near-dup before a codec-aware pHash. The decode
+# step a real media pipeline would insert (JPEG → luma grid) slots in front
+# of the same block-mean body; here the payload bytes are hashed directly.
+# ---------------------------------------------------------------------------
+AHASH_BITS = 64
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("ahash_hi", T.LongType(), False),
+        T.StructField("ahash_lo", T.LongType(), False),
+    ]
+)
+
+
+def payload_ahash(docs_with_payload: DataFrame) -> DataFrame:
+    """(doc_id, ahash_hi, ahash_lo): 64-bit average-hash packed as two
+    unsigned-32 words. All comparisons are integer cross-multiplications
+    (block_sum·n > total·block_len) — no float means, so the SQL oracle
+    replays the hash bit-for-bit. Bytes map to blocks by pos·64 // n
+    (sizes differ by ≤1; payloads shorter than 64 bytes leave the missing
+    blocks at bit 0)."""
+    n_bits = AHASH_BITS
+
+    def ahash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            his, los = [], []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                n = arr.size
+                hi = lo = 0
+                if n:
+                    blk = (np.arange(n, dtype=np.int64) * n_bits) // n
+                    bsum = np.bincount(blk, weights=arr, minlength=n_bits).astype(
+                        np.int64
+                    )
+                    blen = np.bincount(blk, minlength=n_bits).astype(np.int64)
+                    total = int(arr.sum())
+                    bits = (bsum * n) > (total * blen)
+                    for b in range(32, n_bits):
+                        if bits[b]:
+                            hi |= 1 << (b - 32)
+                    for b in range(32):
+                        if bits[b]:
+                            lo |= 1 << b
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "ahash_hi": his, "ahash_lo": los}
+            )
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        ahash_batches, schema=AHASH_SCHEMA
+    )
+
+
+@register(
+    "mm_payload_ahash",
+    # ASCII corpus ⇒ byte i == ord(char i); a non-ASCII corpus would swap in
+    # the hex-nibble byte extraction used by mm_byte_histogram_features.
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+    ),
+    bytes AS (
+        SELECT doc_id, n,
+               ((CAST(u.i AS BIGINT) - 1) * {AHASH_BITS}) // n AS blk,
+               CAST(ord(substr(text, CAST(u.i AS INT), 1)) AS BIGINT) AS bv
+        FROM b, UNNEST(range(1, n + 1)) AS u(i)
+    ),
+    tot AS (SELECT doc_id, n, SUM(bv) AS total FROM bytes GROUP BY doc_id, n),
+    blk AS (
+        SELECT doc_id, blk, SUM(bv) AS bsum, COUNT(*) AS blen
+        FROM bytes GROUP BY doc_id, blk
+    ),
+    bits AS (
+        SELECT blk.doc_id, blk.blk,
+               CASE WHEN blk.bsum * tot.n > tot.total * blk.blen
+                    THEN 1 ELSE 0 END AS bit
+        FROM blk JOIN tot ON tot.doc_id = blk.doc_id
+    ),
+    codes AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN blk >= 32 THEN bit * (1 << (blk - 32))
+                             ELSE 0 END) AS BIGINT) AS ahash_hi,
+               CAST(SUM(CASE WHEN blk < 32 THEN bit * (1 << blk)
+                             ELSE 0 END) AS BIGINT) AS ahash_lo
+        FROM bits GROUP BY doc_id
+    )
+    SELECT doc_id, ahash_hi, ahash_lo,
+           CAST(COUNT(*) OVER (PARTITION BY ahash_hi, ahash_lo) AS BIGINT)
+               AS n_same_hash
+    FROM codes
+    """,
+)
+def mm_payload_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit average-hash near-dup screen for binary payloads: per
+    document the packed hash plus how many payloads in the corpus share it
+    exactly (hash-equal groups are the dup candidates; Hamming-window
+    banding as in `dedup_simhash_hamming_pairs` composes on top for the
+    fuzzy tier).
+
+    Scale shape: the hash is one Arrow-batched mapInPandas pass — map-only,
+    payloads never shuffle; only the 16-byte codes move in the group-count
+    window (one exchange keyed by the hash). The numpy body (bincount over
+    a position→block map) is the exact shape a decoded-media pHash uses,
+    with the codec stub swapped in front."""
+    docs = load_table(spark, sf_dir, "documents")
+    codes = payload_ahash(attach_payload(docs))
+    w = W_mm.partitionBy("ahash_hi", "ahash_lo")
+    return codes.select(
+        "doc_id",
+        "ahash_hi",
+        "ahash_lo",
+        F.count("*").over(w).cast("bigint").alias("n_same_hash"),
     )

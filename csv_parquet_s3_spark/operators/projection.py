@@ -231,6 +231,151 @@ def power_iteration_pc(emb: DataFrame, iters: int = PCA_ITERS) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Sign-random-projection (SRP) binary embedding — Charikar'02 LSH for cosine:
+# bit_j(x) = [r_j · x > 0] with the same deterministic Rademacher machinery as
+# the JL projection above (prefix 'b' so the two matrices are independent).
+# 64 bits pack into two 32-bit words; search is Hamming ranking via
+# bit_count(xor), the cheapest ANN primitive there is. Completes the
+# compression family: PQ (codebook), SQ8 (scalar), SRP (binary).
+# ---------------------------------------------------------------------------
+SRP_BITS = 64
+_SRP_SIGN_SPARK = _SIGN_SPARK.replace("'p'", "'b'")
+_SRP_SIGN_DUCK = _SIGN_DUCK.replace("'p'", "'b'")
+_SRP_NQ = 5   # vec_id < 5 are the query vectors (matches similarity.py)
+_SRP_K = 10
+
+
+def srp_codes(emb: DataFrame, spark: SparkSession) -> DataFrame:
+    """(vec_id, code_hi, code_lo): 64-bit SRP signature packed as two
+    unsigned-32 words in BIGINT. The per-bit dot products accumulate
+    9-digit-rounded DECIMAL terms (order-independent ⇒ hash-replayable);
+    sign(0) maps to bit 0 on both engines because the sum is exact."""
+    matrix = (
+        spark.range(1)
+        .select(F.explode(F.expr(f"sequence(1, {PROJ_IN})")).alias("i"))
+        .select("i", F.explode(F.expr(f"sequence(0, {SRP_BITS - 1})")).alias("j"))
+        .withColumn("sign", F.expr(_SRP_SIGN_SPARK))
+    )
+    x = emb.select(
+        "vec_id",
+        F.posexplode(F.expr("transform(embedding, v -> CAST(v AS DOUBLE))")).alias(
+            "pos", "xv"
+        ),
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("i"),
+        F.round("xv", 9).cast("decimal(20,9)").alias("xv"),
+    )
+    bits = (
+        x.join(F.broadcast(matrix), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("xv") * F.col("sign")).alias("s"))
+        .select(
+            "vec_id",
+            "j",
+            F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)).alias("bit"),
+        )
+    )
+    return bits.groupBy("vec_id").agg(
+        F.sum(F.expr("CASE WHEN j >= 32 THEN bit * shiftleft(1L, j - 32) ELSE 0L END"))
+        .cast("bigint")
+        .alias("code_hi"),
+        F.sum(F.expr("CASE WHEN j < 32 THEN bit * shiftleft(1L, j) ELSE 0L END"))
+        .cast("bigint")
+        .alias("code_lo"),
+    )
+
+
+_SRP_ORACLE = f"""
+    WITH r AS (
+        SELECT i.i, j.j, {_SRP_SIGN_DUCK} AS sign
+        FROM UNNEST(range(1, {PROJ_IN + 1})) AS i(i),
+             UNNEST(range(0, {SRP_BITS})) AS j(j)
+    ),
+    x AS (
+        SELECT vec_id, CAST(u.i AS BIGINT) AS i,
+               CAST(ROUND(CAST(embedding[u.i] AS DOUBLE), 9)
+                    AS DECIMAL(20, 9)) AS xv
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    bits AS (
+        SELECT x.vec_id, r.j,
+               CASE WHEN SUM(x.xv * r.sign) > 0 THEN 1 ELSE 0 END AS bit
+        FROM x JOIN r ON r.i = x.i
+        GROUP BY x.vec_id, r.j
+    ),
+    codes AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN j >= 32 THEN bit * (1 << (j - 32))
+                             ELSE 0 END) AS BIGINT) AS code_hi,
+               CAST(SUM(CASE WHEN j < 32 THEN bit * (1 << j)
+                             ELSE 0 END) AS BIGINT) AS code_lo
+        FROM bits GROUP BY vec_id
+    ),
+    q AS (SELECT vec_id AS query_id, code_hi AS q_hi, code_lo AS q_lo
+          FROM codes WHERE vec_id < {_SRP_NQ}),
+    scored AS (
+        SELECT q.query_id, c.vec_id,
+               CAST(bit_count(xor(q.q_hi, c.code_hi))
+                    + bit_count(xor(q.q_lo, c.code_lo)) AS INT) AS hamming
+        FROM codes c JOIN q ON c.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, hamming, CAST(rn AS INT) AS rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY hamming, vec_id) AS rn
+        FROM scored
+    ) t WHERE rn <= {_SRP_K}
+"""
+
+
+@register("sim_srp_hamming_topk", oracle=_SRP_ORACLE)
+def sim_srp_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via sign-random-projection LSH: deterministic 64-bit binary
+    signatures (bit j = sign of the Rademacher projection r_j·x), searched
+    by Hamming distance — Pr[bit differs] = θ/π, so Hamming rank
+    approximates cosine rank at 1 bit/dim storage (64× smaller than float).
+
+    Scale shape: signatures are one narrow pass over the corpus (same cell
+    table as the JL projection, shuffle keyed by vec_id); search is a
+    broadcast of |Q| 16-byte codes against the signature table with a
+    2×bit_count(xor) comparator inside codegen — no floats touched at query
+    time. Per-query partial top-k folds map-side before the final
+    |Q|-partition window. The natural coarse stage ahead of the exact or
+    SQ8 re-ranker (`sim_cosine_topk_ivf_pq_refine` pattern)."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = srp_codes(emb, spark)
+    q = (
+        codes.filter(F.col("vec_id") < _SRP_NQ)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("code_hi").alias("q_hi"),
+            F.col("code_lo").alias("q_lo"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                F.bit_count(F.expr("q_hi ^ code_hi"))
+                + F.bit_count(F.expr("q_lo ^ code_lo"))
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+    )
+    wq = W.partitionBy("query_id").orderBy("hamming", "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wq).cast("int"))
+        .filter(F.col("rnk") <= _SRP_K)
+        .select("query_id", "vec_id", "hamming", "rnk")
+    )
+
+
 def _abtt_oracle() -> str:
     """All-but-the-top oracle: the PCA chain (same CTEs) plus the removal
     projection x' = xc − (xc·v)v on the 6-digit-rounded final vector."""

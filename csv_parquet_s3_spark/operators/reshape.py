@@ -1099,3 +1099,64 @@ def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("p"),
     )
+
+
+@register(
+    "q_events_cumulative_unique_users",
+    oracle="""
+    WITH fs AS (
+        SELECT user_id, MIN(date_trunc('day', ts)) AS first_day
+        FROM events GROUP BY user_id
+    ),
+    news AS (
+        SELECT first_day AS day, COUNT(*) AS new_users
+        FROM fs GROUP BY first_day
+    ),
+    dau AS (
+        SELECT date_trunc('day', ts) AS day,
+               COUNT(DISTINCT user_id) AS daily_active
+        FROM events GROUP BY date_trunc('day', ts)
+    )
+    SELECT d.day, d.daily_active,
+           CAST(COALESCE(n.new_users, 0) AS BIGINT) AS new_users,
+           CAST(SUM(COALESCE(n.new_users, 0))
+                OVER (ORDER BY d.day ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cumulative_users
+    FROM dau d LEFT JOIN news n ON n.day = d.day
+    """,
+)
+def q_events_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience growth curve: per day, the distinct actives, the first-ever-
+    seen users, and the running total of unique users to date. The naive
+    formulation — COUNT(DISTINCT user) OVER (ORDER BY day) — re-scans every
+    prefix (quadratic, and Spark refuses DISTINCT window aggregates anyway);
+    the scalable identity is cumulative_uniques(d) = Σ new_users(≤d) where a
+    user is new on MIN(day). Two key-partitioned aggregates (user, then day)
+    and one day-grain running sum over a days-sized frame.
+
+    Scale shape: the user-grain MIN is the only corpus-sized shuffle and it
+    combines map-side; everything after is |days| rows on one partition —
+    fine, because the unbounded window's input is calendar-sized, not
+    data-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    fs = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("first_day")
+    )
+    news = fs.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    dau = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.countDistinct("user_id").alias("daily_active")
+    )
+    wd = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        dau.join(F.broadcast(news), "day", "left")
+        .select(
+            "day",
+            "daily_active",
+            F.coalesce("new_users", F.lit(0)).cast("bigint").alias("new_users"),
+        )
+        .withColumn(
+            "cumulative_users", F.sum("new_users").over(wd).cast("bigint")
+        )
+    )

@@ -180,3 +180,127 @@ def scd1_current_customer_priority(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("o_orderdate").alias("last_change"),
         F.coalesce("n_changes", F.lit(0)).cast("bigint").alias("n_changes"),
     )
+
+
+@register(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH runs AS (
+        SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+               CASE WHEN lag(o_orderpriority) OVER w IS NULL
+                         OR lag(o_orderpriority) OVER w <> o_orderpriority
+                    THEN 1 ELSE 0 END AS new_version
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+    ),
+    numbered AS (
+        SELECT o_custkey, o_orderpriority, o_orderdate,
+               SUM(new_version) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING) AS version
+        FROM runs
+    ),
+    versions AS (
+        SELECT o_custkey, version,
+               MIN(o_orderpriority) AS o_orderpriority,
+               MIN(o_orderdate) AS valid_from
+        FROM numbered GROUP BY o_custkey, version
+    ),
+    hist AS (
+        SELECT o_custkey, version, o_orderpriority, valid_from,
+               lead(valid_from) OVER (PARTITION BY o_custkey
+                                      ORDER BY version) AS valid_to
+        FROM versions
+    ),
+    fact AS (
+        SELECT o.o_custkey AS custkey, l.l_shipdate AS ship,
+               CAST(l_extendedprice AS DECIMAL(12,2))
+                   * CAST(1 - CAST(l_discount AS DECIMAL(4,2))
+                          AS DECIMAL(4,2)) AS rev
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    pit AS (
+        SELECT h.o_orderpriority AS priority_at_ship, f.ship, f.rev
+        FROM fact f LEFT JOIN hist h
+          ON h.o_custkey = f.custkey
+         AND h.valid_from <= f.ship
+         AND (h.valid_to IS NULL OR f.ship < h.valid_to)
+    )
+    SELECT priority_at_ship,
+           CAST(EXTRACT(year FROM ship) AS INT) AS ship_year,
+           COUNT(*) AS n_items,
+           CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS revenue
+    FROM pit GROUP BY priority_at_ship, ship_year
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: each lineitem is priced against the
+    customer-priority SCD2 version EFFECTIVE ON ITS SHIP DATE — the
+    time-travel-correct dimension lookup that feature stores call PIT
+    correctness and Kimball calls a type-2 surrogate lookup. Joining the
+    current dimension instead silently rewrites history; this is the
+    leakage the operator exists to prevent.
+
+    The oracle states the semantics as the textbook non-equi range join
+    (valid_from <= ship < valid_to). The Spark plan computes the SAME match
+    without a range join: version-open rows and fact probes UNION into one
+    stream keyed by customer, one window sorted by (date, row-kind,
+    version) carries the last-opened version onto each probe (as-of trick —
+    versions tile the timeline, so last-open == containing). One shuffle on
+    o_custkey, no BroadcastNestedLoopJoin at any scale; equal-valid_from
+    (zero-width) versions order by version number so the later one wins,
+    matching the oracle's empty-interval exclusion. Facts that predate the
+    key's first version keep a NULL attribute (LEFT semantics) — this
+    corpus ships some lineitems before their customer's first order date,
+    and inventing a later version for them would be exactly the
+    look-ahead leakage the operator exists to prevent.
+
+    Cites the reference's warehouse role (AutoPurge.sql manages dim tables
+    by age); PIT lookup is the query-side counterpart its users run."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    hist = scd2_from_changes(
+        orders.select("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"),
+        key="o_custkey",
+        attr="o_orderpriority",
+        ts="o_orderdate",
+        tiebreak="o_orderkey",
+    )
+    fact = li.join(
+        orders.select("o_orderkey", "o_custkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        F.col("o_custkey").alias("key"),
+        F.col("l_shipdate").alias("t"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("bigint").alias("version"),
+        F.lit(None).cast("string").alias("attr"),
+        F.expr(
+            "CAST(l_extendedprice AS DECIMAL(12,2))"
+            " * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))"
+        ).alias("rev"),
+    )
+    vrows = hist.select(
+        F.col("o_custkey").alias("key"),
+        F.col("valid_from").alias("t"),
+        F.lit(0).alias("kind"),
+        "version",
+        F.col("o_orderpriority").alias("attr"),
+        F.lit(None).cast("decimal(17,4)").alias("rev"),
+    )
+    w = W.partitionBy("key").orderBy(
+        "t", "kind", F.col("version").asc_nulls_last()
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    pit = (
+        vrows.unionByName(fact)
+        .withColumn("priority_at_ship", F.last("attr", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+    )
+    return pit.groupBy(
+        "priority_at_ship",
+        F.year("t").cast("int").alias("ship_year"),
+    ).agg(
+        F.count("*").alias("n_items"),
+        F.expr("CAST(ROUND(SUM(rev), 2) AS DOUBLE)").alias("revenue"),
+    )

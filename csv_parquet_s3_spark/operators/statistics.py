@@ -678,3 +678,135 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r", "f", "m")
     )
+
+
+# ---------------------------------------------------------------------------
+# Table profiling + rule-based data validation: the stats/QA pair every
+# warehouse runs before trusting a feed. The reference's O17 probes table
+# stats to pick a purge DOP (AutoPurge.sql); the query-side counterpart is
+# a full per-column profile, and the guard-count idea of O14 (COUNT(*) vs
+# max_record_count before destructive action) generalizes to a named-rule
+# violation screen.
+# ---------------------------------------------------------------------------
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+@register(
+    "q_table_profile_orders",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS column_name,
+           (SELECT COUNT(*) FROM orders) AS n_rows,
+           COUNT(*) - COUNT({c}) AS n_nulls,
+           COUNT(DISTINCT {c}) AS n_distinct
+    FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+)
+def q_table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of the orders table in long form: one
+    row per column with row/null/exact-distinct counts — the stats a cost
+    model (or the reference's DOP probe, O17) reads, as a first-class
+    query instead of a side effect.
+
+    Scale shape: ONE scan; Spark expands the multi-distinct aggregate via
+    expand+partial-agg (each distinct column shuffles its own hashed
+    stream, map-side combined). At 100 TB swap approx_count_distinct into
+    the same frame for a single-pass HLL profile — the exact version here
+    is what the oracle can replay."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count("*").alias(f"{c}__rows"),
+            (F.count("*") - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+        ]
+    one = orders.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__rows").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return one.select(F.explode(structs).alias("p")).select("p.*")
+
+
+_ORDER_RULES = (
+    ("null_orderkey", "o_orderkey IS NULL"),
+    ("null_custkey", "o_custkey IS NULL"),
+    ("nonpositive_total", "o_totalprice <= 0"),
+    ("status_domain", "o_orderstatus NOT IN ('O', 'F', 'P')"),
+    (
+        "priority_domain",
+        "o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM',"
+        " '4-NOT SPECIFIED', '5-LOW')",
+    ),
+    (
+        "date_range",
+        "o_orderdate < TIMESTAMP '1990-01-01 00:00:00'"
+        " OR o_orderdate >= TIMESTAMP '2030-01-01 00:00:00'",
+    ),
+)
+
+
+@register(
+    "q_orders_quality_rules",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{name}' AS rule_name,
+           CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations,
+           CAST(ROUND(CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS DOUBLE)
+                / COUNT(*), 6) AS DOUBLE) AS violation_rate
+    FROM orders"""
+        for name, pred in _ORDER_RULES
+    ),
+)
+def q_orders_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-rule data-quality screen over orders (dbt-test / Deequ shape):
+    null keys, non-positive totals, enum-domain escapes, out-of-range
+    dates — one row per rule with violation count and rate. A feed gate
+    compares these against thresholds before publishing a batch, the same
+    guard-before-commit posture as the reference's COUNT(*) check (O14).
+
+    Scale shape: all rules evaluate in ONE scan as conditional aggregates
+    (map-side combined, no per-rule pass); the violation predicates stay
+    inside whole-stage codegen. The long-form explode is rules-sized."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for name, pred in _ORDER_RULES:
+        aggs.append(
+            F.sum(F.when(F.expr(pred), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"{name}__v")
+        )
+    aggs.append(F.count("*").alias("__n"))
+    one = orders.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule_name"),
+                F.col(f"{name}__v").alias("n_violations"),
+                F.round(
+                    F.col(f"{name}__v").cast("double") / F.col("__n"), 6
+                )
+                .cast("double")
+                .alias("violation_rate"),
+            )
+            for name, _ in _ORDER_RULES
+        ]
+    )
+    return one.select(F.explode(structs).alias("r")).select("r.*")

@@ -1360,3 +1360,251 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.col("toks"), F.col("start_tok"), chunk_len), " "
         ).alias("chunk_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram perplexity: the production smoothing for
+# count-based LMs (Kneser & Ney '95; Chen & Goodman '98 found it dominant).
+# Differs from add-k in BOTH terms: seen mass is absolutely discounted
+# (max(c-D,0)/c1), and the redistributed mass follows the CONTINUATION
+# distribution (how many contexts a word completes) rather than raw
+# frequency — "Francisco" is frequent but only ever follows "San", so KN
+# scores it near-zero in fresh contexts where add-k badly overrates it.
+# ---------------------------------------------------------------------------
+KN_DISCOUNT = 0.75
+
+_KN_TERM = (
+    "ROUND(-LN((CAST(c12 AS DOUBLE) - {d}) / CAST(c1 AS DOUBLE)"
+    " + {d} * CAST(nf AS DOUBLE) / CAST(c1 AS DOUBLE)"
+    " * CAST(np AS DOUBLE) / CAST(tt AS DOUBLE)), 6)"
+).format(d=KN_DISCOUNT)
+
+
+@register(
+    "text_bigram_kn_perplexity",
+    oracle=f"""
+    WITH {_BG_TOKS_ORACLE},
+    bigrams AS (
+        SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+        FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+    ),
+    bg AS (SELECT w1, w2, COUNT(*) AS c12 FROM bigrams GROUP BY 1, 2),
+    ctx AS (SELECT w1, SUM(c12) AS c1 FROM bg GROUP BY 1),
+    fanout AS (SELECT w1, COUNT(*) AS nf FROM bg GROUP BY 1),
+    cont AS (SELECT w2, COUNT(*) AS np FROM bg GROUP BY 1),
+    types AS (SELECT COUNT(*) AS tt FROM bg),
+    doc_bg AS (
+        SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bigrams GROUP BY 1, 2, 3
+    ),
+    nll AS (
+        SELECT d.doc_id,
+               CAST(SUM(d.tf) AS BIGINT) AS n_bigrams,
+               SUM(d.tf * CAST({_KN_TERM} AS DECIMAL(20,6))) AS nll_sum
+        FROM doc_bg d
+        JOIN bg b ON b.w1 = d.w1 AND b.w2 = d.w2
+        JOIN ctx c ON c.w1 = d.w1
+        JOIN fanout f ON f.w1 = d.w1
+        JOIN cont p ON p.w2 = d.w2
+        CROSS JOIN types t
+        GROUP BY d.doc_id
+    )
+    SELECT doc_id, CAST(n_bigrams AS INT) AS n_bigrams,
+           CAST(ROUND(CAST(nll_sum AS DOUBLE) / n_bigrams, 6) AS DOUBLE)
+               AS avg_nll,
+           CAST(ROUND(EXP(ROUND(CAST(nll_sum AS DOUBLE) / n_bigrams, 6)), 4)
+               AS DOUBLE) AS kn_perplexity
+    FROM nll
+    """,
+)
+def text_bigram_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under an interpolated Kneser-Ney bigram LM
+    trained on the corpus: p(w2|w1) = max(c12−D,0)/c1 + D·N1+(w1·)/c1 ·
+    N1+(·w2)/|bigram types|, D = {KN_DISCOUNT}. Scored bigrams always have
+    c12 ≥ 1 (the LM trains on the corpus it scores), so the discounted
+    term never hits the max()-floor and the expression stays smooth.
+
+    Determinism: per-bigram NLL rounds to 6 digits then accumulates as
+    DECIMAL(20,6) weighted by exact term frequencies (house libm rule —
+    both engines' ln agree well past 6 digits; the DOUBLE expression text
+    is identical so evaluation order is too).
+
+    Scale shape: identical to :func:`text_bigram_perplexity` — the four LM
+    tables (bigram, context, fan-out, continuation) are vocabulary²-bounded
+    aggregates with map-side combine, the scoring join is keyed on (w1,w2)
+    with no broadcast hint (AQE decides while the LM fits), and the only
+    corpus-sized shuffles are the tokenize-position self-join and the
+    per-doc fold."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.filter(F.split("text", " "), lambda x: x != "")).alias(
+            "ord", "tok"
+        ),
+    )
+    a = toks.select("doc_id", F.col("ord").alias("orda"), F.col("tok").alias("w1"))
+    b = toks.select(
+        "doc_id", (F.col("ord") - 1).alias("orda"), F.col("tok").alias("w2")
+    )
+    bigrams = a.join(b, ["doc_id", "orda"]).select("doc_id", "w1", "w2")
+    bg = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    fanout = bg.groupBy("w1").agg(F.count("*").alias("nf"))
+    cont = bg.groupBy("w2").agg(F.count("*").alias("np"))
+    types = bg.agg(F.count("*").alias("tt"))
+    doc_bg = bigrams.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("tf"))
+    nll = (
+        doc_bg.join(bg, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(fanout, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(types))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_bigrams"),
+            F.sum(
+                F.col("tf") * F.expr(_KN_TERM).cast("decimal(20,6)")
+            ).alias("nll_sum"),
+        )
+    )
+    avg_nll = F.round(F.col("nll_sum").cast("double") / F.col("n_bigrams"), 6)
+    return nll.select(
+        "doc_id",
+        F.col("n_bigrams").cast("int").alias("n_bigrams"),
+        avg_nll.cast("double").alias("avg_nll"),
+        F.round(F.exp(avg_nll), 4).cast("double").alias("kn_perplexity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Held-out perplexity: the leakage-safe LM evaluation. The in-corpus
+# perplexity filters above train and score on the same documents (right for
+# outlier screening, wrong as a quality METRIC — memorization scores 0);
+# this one trains the add-k bigram LM on the deterministic train split only
+# and scores the test split, with unseen contexts/bigrams smoothed to
+# alpha/(alpha*V). The number a data-mixture experiment actually reports.
+# ---------------------------------------------------------------------------
+
+
+def _heldout_oracle() -> str:
+    from csv_parquet_s3_spark.operators.sampling import (
+        TRAIN_PCT,
+        VALID_PCT,
+        _bucket_expr,
+    )
+
+    bucket = _bucket_expr("md5(CAST(d.doc_id AS VARCHAR))")
+    return f"""
+    WITH {_BG_TOKS_ORACLE},
+    split AS (
+        SELECT d.doc_id, {bucket} AS b FROM documents d
+    ),
+    tr_bigrams AS (
+        SELECT a.tok AS w1, c.tok AS w2
+        FROM toks a
+        JOIN toks c ON c.doc_id = a.doc_id AND c.ord = a.ord + 1
+        JOIN split s ON s.doc_id = a.doc_id AND s.b < {TRAIN_PCT}
+    ),
+    bg AS (SELECT w1, w2, COUNT(*) AS c12 FROM tr_bigrams GROUP BY 1, 2),
+    ctx AS (SELECT w1, SUM(c12) AS c1 FROM bg GROUP BY 1),
+    vocab AS (
+        SELECT COUNT(DISTINCT a.tok) AS v
+        FROM toks a JOIN split s ON s.doc_id = a.doc_id AND s.b < {TRAIN_PCT}
+    ),
+    te_bigrams AS (
+        SELECT a.doc_id, a.tok AS w1, c.tok AS w2
+        FROM toks a
+        JOIN toks c ON c.doc_id = a.doc_id AND c.ord = a.ord + 1
+        JOIN split s ON s.doc_id = a.doc_id AND s.b >= {TRAIN_PCT + VALID_PCT}
+    ),
+    doc_bg AS (
+        SELECT doc_id, w1, w2, COUNT(*) AS tf FROM te_bigrams GROUP BY 1, 2, 3
+    ),
+    nll AS (
+        SELECT d.doc_id,
+               CAST(SUM(d.tf) AS BIGINT) AS n_bigrams,
+               SUM(d.tf * CAST(ROUND(LN(
+                       (CAST(COALESCE(c.c1, 0) AS DOUBLE) + {BG_ALPHA} * v.v)
+                       / (CAST(COALESCE(b.c12, 0) AS DOUBLE) + {BG_ALPHA})), 6)
+                   AS DECIMAL(20,6))) AS nll_sum
+        FROM doc_bg d
+        LEFT JOIN bg b ON b.w1 = d.w1 AND b.w2 = d.w2
+        LEFT JOIN ctx c ON c.w1 = d.w1
+        CROSS JOIN vocab v
+        GROUP BY d.doc_id
+    )
+    SELECT doc_id, CAST(n_bigrams AS INT) AS n_bigrams,
+           CAST(ROUND(CAST(nll_sum AS DOUBLE) / n_bigrams, 6) AS DOUBLE)
+               AS avg_nll,
+           CAST(ROUND(EXP(ROUND(CAST(nll_sum AS DOUBLE) / n_bigrams, 6)), 4)
+               AS DOUBLE) AS heldout_perplexity
+    FROM nll
+    """
+
+
+@register("text_heldout_perplexity", oracle=_heldout_oracle())
+def text_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-test-document perplexity under an add-k bigram LM trained ONLY on
+    the deterministic train split (`hash_split` buckets, the same md5
+    arithmetic as `split_documents_train_test` — so train membership is
+    content-stable across engines and appends). Test-only bigrams/contexts
+    fall back to the smoothed floor alpha/(alpha*V) via LEFT joins instead
+    of being silently dropped — dropping them would report memorization as
+    quality, the exact leakage this operator exists to avoid.
+
+    Scale shape: same as `text_bigram_perplexity` (LM tables are
+    vocabulary-bounded aggregates; scoring is a keyed join, AQE picks the
+    strategy) plus one broadcast-sized split frame; the train/test split
+    adds a map-side hash predicate, not a shuffle."""
+    from csv_parquet_s3_spark.operators.sampling import hash_split
+
+    docs = hash_split(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id",
+        "split",
+        F.posexplode(F.filter(F.split("text", " "), lambda x: x != "")).alias(
+            "ord", "tok"
+        ),
+    )
+    def bigrams_of(t):
+        a = t.select(
+            "doc_id", F.col("ord").alias("orda"), F.col("tok").alias("w1")
+        )
+        c = t.select(
+            "doc_id", (F.col("ord") - 1).alias("orda"), F.col("tok").alias("w2")
+        )
+        return a.join(c, ["doc_id", "orda"]).select("doc_id", "w1", "w2")
+
+    tr_toks = toks.filter(F.col("split") == "train").drop("split")
+    te_toks = toks.filter(F.col("split") == "test").drop("split")
+    bg = bigrams_of(tr_toks).groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = tr_toks.agg(F.countDistinct("tok").alias("v"))
+    doc_bg = (
+        bigrams_of(te_toks)
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("tf"))
+    )
+    term = F.round(
+        F.log(
+            (F.coalesce(F.col("c1"), F.lit(0)).cast("double") + BG_ALPHA * F.col("v"))
+            / (F.coalesce(F.col("c12"), F.lit(0)).cast("double") + BG_ALPHA)
+        ),
+        6,
+    ).cast("decimal(20,6)")
+    nll = (
+        doc_bg.join(bg, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("tf") * term).alias("nll_sum"),
+        )
+    )
+    avg_nll = F.round(F.col("nll_sum").cast("double") / F.col("n_bigrams"), 6)
+    return nll.select(
+        "doc_id",
+        F.col("n_bigrams").cast("int").alias("n_bigrams"),
+        avg_nll.cast("double").alias("avg_nll"),
+        F.round(F.exp(avg_nll), 4).cast("double").alias("heldout_perplexity"),
+    )
