@@ -51,7 +51,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # rows-only sketch check and the stalest r02 greens, so no green ages past
 # two rounds unverified.
 VERIFY_PRIORITY: list[str] = [
-    # never-checked r05 late additions first
+    # never-checked r05 closing-wave additions first
+    "sim_srp_hamming_topk",
+    "dedup_normalized_exact",
+    "scd2_point_in_time_join",
+    "graph_common_neighbors",
+    "text_bigram_kn_perplexity",
+    "text_heldout_perplexity",
+    "mm_payload_ahash",
+    "q_events_cumulative_unique_users",
+    "q_table_profile_orders",
+    "q_orders_quality_rules",
+    # never-checked r05 late additions
     "sim_cosine_topk_ivf_pq_refine",
     "stream_events_content_digest",
     "q_fk_orphan_audit",
@@ -87,24 +98,22 @@ VERIFY_PRIORITY: list[str] = [
     "retrieval_bm25_topk",
     "q_user_value_trend",
     "mm_wave_window_features",
-    "retrieval_hybrid_rrf",
     "dedup_minhash_pairs_from_index",
-    "dedup_exact_substring_spans",
-    "dedup_bloom_blocklist",
-    "graph_pagerank_nation_trade",
-    "scd1_current_customer_priority",
-    "q_salted_brand_revenue",
-    "curriculum_length_shards",
     "sim_cosine_topk_ivf_pq_from_index",
     "sim_cosine_topk_ivf_sq8_from_index",
-    "stream_events_dedup_first_seen",
-    "stream_segment_hourly_rollup",
-    "scd2_customer_priority_history",
     "stream_events_sliding_rollup",
     "dedup_modality_agreement",
     # (emb_top_principal_component, added after the window filled with
     # tier-0 entries, takes its first driver row in r06 — locally
-    # hash-checked at sf0.001/0.01/0.1 like everything else.)
+    # hash-checked at sf0.001/0.01/0.1 like everything else. The ten
+    # closing-wave entries above displaced retrieval_hybrid_rrf,
+    # dedup_exact_substring_spans, dedup_bloom_blocklist,
+    # graph_pagerank_nation_trade, scd1_current_customer_priority,
+    # q_salted_brand_revenue, curriculum_length_shards,
+    # stream_events_dedup_first_seen, stream_segment_hourly_rollup and
+    # scd2_customer_priority_history to r06 — all locally hash-green at
+    # three SFs; the verdict-demanded rows (sliding rollup, modality
+    # agreement, the from_index serving queries) keep their slots.)
     # (the forty-three r05 additions above displaced
     # dedup_embedding_ivf_blocked and stream_user_lifetime_totals (r04-green;
     # their r05 changes are hash-checked by the local 3-SF sweeps, re-pin
