@@ -16,6 +16,7 @@ from csv_parquet_s3_spark.operators import (  # noqa: F401
     outer_json,
     packing,
     pipeline,
+    privacy,
     projection,
     relational,
     reshape,

@@ -799,3 +799,160 @@ def q_customer_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame
             "gini"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pruning, evaluated: build a Bloom filter over the
+# filtered orders keys, screen lineitem's join keys against it, and report
+# the measured pass/true/false-positive numbers next to the exact semi-join
+# ground truth. This is Spark's runtime row-group filtering
+# (spark.sql.optimizer.runtime.bloomFilter) made explicit AND measured —
+# the decision artifact for "will a runtime filter pay off on this join".
+# ---------------------------------------------------------------------------
+RF_M_BITS = 65536  # 2^16: positions are exactly the first 4 md5 hex digits
+RF_K = 4
+RF_PRED = "o_orderpriority = '1-URGENT'"
+
+
+def _rf_pos(seed: int, key_expr: str, engine: str) -> str:
+    from csv_parquet_s3_spark.operators.dedup import _BLOOM_HEX_INT
+
+    if engine == "spark":
+        h = f"md5(cast(concat('{seed}:', {key_expr}) as binary))"
+    else:
+        h = f"md5('{seed}:' || {key_expr})"
+    return f"({_BLOOM_HEX_INT.format(h=h)} % {RF_M_BITS})"
+
+
+def _rf_oracle() -> str:
+    build_pos = ", ".join(
+        f"{_rf_pos(i, 'CAST(o_orderkey AS VARCHAR)', 'duck')} AS p{i}"
+        for i in range(RF_K)
+    )
+    probe_pos = ", ".join(
+        f"{_rf_pos(i, 'CAST(k AS VARCHAR)', 'duck')} AS p{i}" for i in range(RF_K)
+    )
+    plist = ", ".join(f"p{i}" for i in range(RF_K))
+    return f"""
+    WITH keys AS (
+        SELECT o_orderkey FROM orders WHERE {RF_PRED}
+    ),
+    bpos AS (SELECT {build_pos} FROM keys),
+    bits AS (
+        SELECT p // 32 AS w, bit_or(CAST(1 AS BIGINT) << (p % 32)) AS mask
+        FROM (SELECT unnest([{plist}]) AS p FROM bpos)
+        GROUP BY w
+    ),
+    probe AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+    ppos AS (SELECT k, {probe_pos} FROM probe),
+    hits AS (
+        SELECT t.k,
+               COUNT(*) FILTER (COALESCE(b.mask, 0)
+                   & (CAST(1 AS BIGINT) << (u.p % 32)) <> 0) AS hits
+        FROM ppos t, LATERAL (SELECT unnest([{plist}]) AS p) u
+        LEFT JOIN bits b ON b.w = u.p // 32
+        GROUP BY t.k
+    ),
+    agg AS (
+        SELECT COUNT(*) AS n_probe,
+               COUNT(*) FILTER (hits = {RF_K}) AS n_pass
+        FROM hits
+    ),
+    truth AS (
+        SELECT COUNT(*) AS n_true
+        FROM probe WHERE k IN (SELECT o_orderkey FROM keys)
+    ),
+    nk AS (SELECT COUNT(*) AS n_keys FROM keys)
+    SELECT CAST(nk.n_keys AS BIGINT) AS n_keys,
+           CAST(agg.n_probe AS BIGINT) AS n_probe,
+           CAST(agg.n_pass AS BIGINT) AS n_pass,
+           CAST(truth.n_true AS BIGINT) AS n_true,
+           CAST(ROUND(CAST(agg.n_pass - truth.n_true AS DOUBLE)
+                / (agg.n_probe - truth.n_true), 6) AS DOUBLE)
+               AS false_positive_rate
+    FROM agg, truth, nk
+    """
+
+
+@register("q_bloom_semijoin_pruning", oracle=_rf_oracle())
+def q_bloom_semijoin_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter evaluation: a {RF_M_BITS}-bit / {RF_K}-hash Bloom
+    filter built from the urgent-orders keys screens lineitem's distinct
+    join keys; output is one row of (keys, probed, Bloom-passed, true
+    matches, measured false-positive rate). n_pass ≥ n_true always (no
+    false negatives — property-tested for the sibling blocklist filter);
+    the FP rate tells the planner whether pre-filtering the fact scan pays
+    before the exact join.
+
+    Scale shape: the build side collapses to a ≤{RF_M_BITS // 32}-row word
+    table via bit_or partial aggregation and BROADCASTS; probing is
+    map-side ({RF_K} codegen'd md5s per key) + one broadcast join — the
+    fact table is never shuffled to be screened, which is the entire point
+    of a runtime filter at 100 TB. Deterministic md5 positions mean the
+    oracle reproduces the exact same false positives."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = orders.filter(F.expr(RF_PRED)).select("o_orderkey")
+    build_pos = [
+        F.expr(_rf_pos(i, "CAST(o_orderkey AS STRING)", "spark")).alias(f"p{i}")
+        for i in range(RF_K)
+    ]
+    parr = F.array(*[F.col(f"p{i}") for i in range(RF_K)])
+    bits = (
+        keys.select(*build_pos)
+        .select(F.explode(parr).alias("p"))
+        .groupBy(F.expr("p div 32").alias("w"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(cast(1 as bigint), cast(p % 32 as int))")
+            ).alias("mask")
+        )
+    )
+    probe = li.select(F.col("l_orderkey").alias("k")).distinct()
+    probe_pos = [
+        F.expr(_rf_pos(i, "CAST(k AS STRING)", "spark")).alias(f"p{i}")
+        for i in range(RF_K)
+    ]
+    hits = (
+        probe.select("k", *probe_pos)
+        .select("k", F.explode(parr).alias("p"))
+        .join(F.broadcast(bits), F.expr("p div 32") == F.col("w"), "left")
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr(
+                        "coalesce(mask, cast(0 as bigint))"
+                        " & shiftleft(cast(1 as bigint), cast(p % 32 as int))"
+                    )
+                    != 0,
+                    1,
+                ).otherwise(0)
+            ).alias("hits")
+        )
+    )
+    agg = hits.agg(
+        F.count("*").alias("n_probe"),
+        F.sum(F.when(F.col("hits") == RF_K, 1).otherwise(0)).alias("n_pass"),
+    )
+    truth = probe.join(keys, probe.k == keys.o_orderkey, "left_semi").agg(
+        F.count("*").alias("n_true")
+    )
+    nk = keys.agg(F.count("*").alias("n_keys"))
+    return (
+        agg.crossJoin(F.broadcast(truth))
+        .crossJoin(F.broadcast(nk))
+        .select(
+            F.col("n_keys").cast("bigint").alias("n_keys"),
+            F.col("n_probe").cast("bigint").alias("n_probe"),
+            F.col("n_pass").cast("bigint").alias("n_pass"),
+            F.col("n_true").cast("bigint").alias("n_true"),
+            F.round(
+                (F.col("n_pass") - F.col("n_true")).cast("double")
+                / (F.col("n_probe") - F.col("n_true")),
+                6,
+            )
+            .cast("double")
+            .alias("false_positive_rate"),
+        )
+    )

@@ -81,3 +81,98 @@ def user_value_ewma(events: DataFrame, alpha: float = EWMA_ALPHA) -> DataFrame:
 )
 def q_events_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_value_ewma(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Holt double-exponential smoothing (level + trend): the next step up from
+# EWMA for short-horizon forecasting. Same recursive shape — each state
+# depends on the previous output — so it lives in the same grouped-Pandas
+# slot, with the same recursive-CTE oracle discipline.
+# ---------------------------------------------------------------------------
+HOLT_ALPHA = 0.4  # level smoothing
+HOLT_BETA = 0.2   # trend smoothing
+
+HOLT_SCHEMA = (
+    "user_id bigint, event_id bigint, ts timestamp, value double,"
+    " level double, trend double, forecast_next double"
+)
+
+
+def user_value_holt(
+    events: DataFrame, alpha: float = HOLT_ALPHA, beta: float = HOLT_BETA
+) -> DataFrame:
+    """Per-user Holt smoothing of event values in (ts, event_id) order:
+    l_t = α·y_t + (1−α)(l_{t−1} + b_{t−1}), b_t = β(l_t − l_{t−1}) +
+    (1−β)b_{t−1}, initialized l_1 = y_1, b_1 = 0. ``forecast_next`` is the
+    one-step-ahead point forecast l_t + b_t. UNROUNDED like the EWMA: both
+    engines run the identical IEEE double expression order, so the raw
+    doubles agree bit-for-bit and rounding would only reintroduce
+    half-even-vs-half-away tie divergence."""
+    a, bb = alpha, beta
+
+    def holt_group(pdf):
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        levels, trends = [], []
+        l = b = None
+        for y in pdf["value"]:
+            if l is None:
+                l, b = y, 0.0
+            else:
+                l_prev = l
+                l = a * y + (1 - a) * (l + b)
+                b = bb * (l - l_prev) + (1 - bb) * b
+            levels.append(l)
+            trends.append(b)
+        pdf["level"] = levels
+        pdf["trend"] = trends
+        pdf["forecast_next"] = pdf["level"] + pdf["trend"]
+        return pdf[
+            ["user_id", "event_id", "ts", "value", "level", "trend", "forecast_next"]
+        ]
+
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(holt_group, schema=HOLT_SCHEMA)
+    )
+
+
+@register(
+    "q_events_user_holt",
+    oracle=f"""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    holt AS (
+      SELECT user_id, event_id, ts, value, rn,
+             value AS l, CAST(0.0 AS DOUBLE) AS b,
+             CAST(NULL AS DOUBLE) AS l_prev
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.event_id, o.ts, o.value, o.rn,
+             {HOLT_ALPHA} * o.value + (1 - {HOLT_ALPHA}) * (h.l + h.b),
+             {HOLT_BETA} * (({HOLT_ALPHA} * o.value
+                 + (1 - {HOLT_ALPHA}) * (h.l + h.b)) - h.l)
+                 + (1 - {HOLT_BETA}) * h.b,
+             h.l
+      FROM ordered o JOIN holt h ON o.user_id = h.user_id AND o.rn = h.rn + 1
+    )
+    SELECT user_id, event_id, ts, value, l AS level, b AS trend,
+           l + b AS forecast_next
+    FROM holt
+    """,
+)
+def q_events_user_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt level+trend state and one-step forecast over the event
+    value stream — the forecasting primitive behind burn-rate and demand
+    alerts, as a hash-checked query.
+
+    Scale shape: one shuffle on user_id; each user's series folds
+    sequentially inside its Arrow batch (recursion is inherently
+    per-series; SERIES COUNT is the parallelism axis, which is exactly how
+    a forecasting fleet at 100 TB distributes). The oracle replays the
+    identical recurrence as a recursive CTE, depth = max events per user,
+    bit-exact unrounded (same discipline as `q_events_user_ewma`)."""
+    return user_value_holt(load_table(spark, sf_dir, "events"))

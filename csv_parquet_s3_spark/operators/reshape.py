@@ -1160,3 +1160,127 @@ def q_events_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFr
             "cumulative_users", F.sum("new_users").over(wd).cast("bigint")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution: distribute each purchase's value over the user's
+# preceding touchpoints (clicks/views in a 24 h lookback) under the three
+# standard models — linear (equal split), first-touch, last-touch. The
+# marketing-analytics workload whose join shape (per-user fact×fact with a
+# time band) is exactly the one that must NOT be written as a global range
+# join.
+# ---------------------------------------------------------------------------
+ATTR_LOOKBACK_H = 24
+
+
+@register(
+    "q_multitouch_attribution",
+    oracle=f"""
+    WITH p AS (
+        SELECT event_id AS pe, user_id, ts AS pts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+        SELECT event_id AS te, user_id, ts AS tts, event_type AS touch_type
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    j AS (
+        SELECT p.pe, p.value, t.te, t.tts, t.touch_type,
+               COUNT(*) OVER (PARTITION BY p.pe) AS n_touches,
+               ROW_NUMBER() OVER (PARTITION BY p.pe
+                                  ORDER BY t.tts, t.te) AS rn_first,
+               ROW_NUMBER() OVER (PARTITION BY p.pe
+                                  ORDER BY t.tts DESC, t.te DESC) AS rn_last
+        FROM p JOIN t ON t.user_id = p.user_id
+         AND t.tts < p.pts
+         AND t.tts >= p.pts - INTERVAL {ATTR_LOOKBACK_H} HOUR
+    ),
+    credits AS (
+        SELECT touch_type, 'linear' AS model,
+               CAST(ROUND(value / n_touches, 6) AS DECIMAL(20,6)) AS credit
+        FROM j
+        UNION ALL
+        SELECT touch_type, 'first_touch',
+               CAST(ROUND(value, 6) AS DECIMAL(20,6))
+        FROM j WHERE rn_first = 1
+        UNION ALL
+        SELECT touch_type, 'last_touch',
+               CAST(ROUND(value, 6) AS DECIMAL(20,6))
+        FROM j WHERE rn_last = 1
+    )
+    SELECT touch_type, model, COUNT(*) AS n_credited,
+           CAST(ROUND(CAST(SUM(credit) AS DOUBLE), 2) AS DOUBLE)
+               AS credited_value
+    FROM credits GROUP BY touch_type, model
+    """,
+)
+def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution report: per (touchpoint type, model) the credited
+    conversion value, under linear / first-touch / last-touch models over a
+    {ATTR_LOOKBACK_H} h lookback. Purchases with no preceding touch carry
+    no credit (the untracked-conversion bucket a real report shows
+    separately).
+
+    Scale shape: the purchase×touch expansion is keyed on user_id — ONE
+    shuffle each side, per-user cross products bounded by per-user
+    activity (AQE splits hot users), never a global time-range join. The
+    three models reuse the same joined frame: two extra window ranks, no
+    extra joins. Per-touch credits round to 6 digits into DECIMAL so the
+    final sums are order-independent and hash-replayable."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pe"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    t = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("te"),
+        F.col("user_id").alias("tu"),
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    j = p.join(
+        t,
+        (F.col("tu") == F.col("pu"))
+        & (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.expr(f"pts - INTERVAL {ATTR_LOOKBACK_H} HOURS")),
+    )
+    wp = W.partitionBy("pe")
+    j = j.select(
+        "pe",
+        "value",
+        "touch_type",
+        F.count("*").over(wp).alias("n_touches"),
+        F.row_number().over(wp.orderBy("tts", "te")).alias("rn_first"),
+        F.row_number()
+        .over(wp.orderBy(F.desc("tts"), F.desc("te")))
+        .alias("rn_last"),
+    )
+    dec = "decimal(20,6)"
+    linear = j.select(
+        "touch_type",
+        F.lit("linear").alias("model"),
+        F.round(F.col("value") / F.col("n_touches"), 6).cast(dec).alias("credit"),
+    )
+    first = j.filter(F.col("rn_first") == 1).select(
+        "touch_type",
+        F.lit("first_touch").alias("model"),
+        F.round(F.col("value"), 6).cast(dec).alias("credit"),
+    )
+    last = j.filter(F.col("rn_last") == 1).select(
+        "touch_type",
+        F.lit("last_touch").alias("model"),
+        F.round(F.col("value"), 6).cast(dec).alias("credit"),
+    )
+    return (
+        linear.unionByName(first)
+        .unionByName(last)
+        .groupBy("touch_type", "model")
+        .agg(
+            F.count("*").alias("n_credited"),
+            F.round(F.sum("credit").cast("double"), 2)
+            .cast("double")
+            .alias("credited_value"),
+        )
+    )

@@ -23,7 +23,7 @@ need no rounding.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from csv_parquet_s3_spark.operators.advanced import _KMV_HEX_INT
@@ -810,3 +810,233 @@ def q_orders_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return one.select(F.explode(structs).alias("r")).select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# Experimentation as a query: deterministic 50/50 assignment (md5 bucket of
+# the customer key — the same content-stable hash-Bernoulli discipline as
+# hash_split) and a Welch t-test on order value between the arms. The A/B
+# readout a growth team runs daily; on a pre-experiment corpus like this one
+# it doubles as an A/A calibration check (|t| should be small).
+# ---------------------------------------------------------------------------
+AB_SPLIT_PCT = 50
+
+
+def _ab_oracle() -> str:
+    from csv_parquet_s3_spark.operators.sampling import _bucket_expr
+
+    bucket = _bucket_expr("md5(CAST(o_custkey AS VARCHAR))")
+    moments = """
+        SELECT CASE WHEN b < {pct} THEN 'A' ELSE 'B' END AS arm,
+               COUNT(*) AS n,
+               SUM(CAST(c AS DECIMAL(38,0))) AS s,
+               SUM(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))) AS sq
+        FROM (SELECT {bucket} AS b,
+                     CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c
+              FROM orders) t
+        GROUP BY arm
+    """.format(pct=AB_SPLIT_PCT, bucket=bucket)
+    return f"""
+    WITH m AS ({moments}),
+    w AS (
+        SELECT
+            MAX(CASE WHEN arm = 'A' THEN n END) AS na,
+            MAX(CASE WHEN arm = 'B' THEN n END) AS nb,
+            MAX(CASE WHEN arm = 'A' THEN s END) AS sa,
+            MAX(CASE WHEN arm = 'B' THEN s END) AS sb,
+            MAX(CASE WHEN arm = 'A' THEN sq END) AS qa,
+            MAX(CASE WHEN arm = 'B' THEN sq END) AS qb
+        FROM m
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(ROUND(CAST(sa AS DOUBLE) / 100 / na, 6) AS DOUBLE) AS mean_a,
+           CAST(ROUND(CAST(sb AS DOUBLE) / 100 / nb, 6) AS DOUBLE) AS mean_b,
+           CAST(ROUND(
+             (CAST(sa AS DOUBLE) / 100 / na - CAST(sb AS DOUBLE) / 100 / nb)
+             / SQRT(
+                ((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na)
+                  / (na - 1) / 10000) / na
+              + ((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / nb)
+                  / (nb - 1) / 10000) / nb
+             ), 6) AS DOUBLE) AS welch_t
+    FROM w
+    """
+
+
+@register("q_ab_welch_t", oracle=_ab_oracle())
+def q_ab_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t statistic for mean order value between two
+    deterministically assigned customer arms (md5-bucket 50/50 on
+    o_custkey). Assignment is content-stable — re-runs, appends and other
+    engines agree on every customer's arm, so the statistic itself is
+    hash-checkable, and cluster-randomized (by customer, not order) as a
+    real experiment would be.
+
+    Determinism: per-arm moments are exact (bigint cents into
+    DECIMAL(38,0) sums); the t formula is one fixed-shape double
+    expression over six exact numbers, identical text on both engines.
+
+    Scale shape: one scan, one 2-group aggregate with map-side combine,
+    one-row output — the entire test is a partial-aggregation pass no
+    matter the corpus size."""
+    from csv_parquet_s3_spark.operators.sampling import _bucket_expr
+
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = _bucket_expr("md5(CAST(CAST(o_custkey AS STRING) AS BINARY))")
+    m = (
+        orders.select(
+            F.when(F.expr(bucket) < AB_SPLIT_PCT, "A").otherwise("B").alias("arm"),
+            F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("c"),
+        )
+        .groupBy("arm")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("c").cast("decimal(38,0)")).alias("s"),
+            F.sum(
+                F.col("c").cast("decimal(38,0)") * F.col("c").cast("decimal(38,0)")
+            ).alias("sq"),
+        )
+    )
+    w = m.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "A", F.col("s"))).alias("sa"),
+        F.max(F.when(F.col("arm") == "B", F.col("s"))).alias("sb"),
+        F.max(F.when(F.col("arm") == "A", F.col("sq"))).alias("qa"),
+        F.max(F.when(F.col("arm") == "B", F.col("sq"))).alias("qb"),
+    )
+    return w.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.expr("CAST(ROUND(CAST(sa AS DOUBLE) / 100 / na, 6) AS DOUBLE)").alias(
+            "mean_a"
+        ),
+        F.expr("CAST(ROUND(CAST(sb AS DOUBLE) / 100 / nb, 6) AS DOUBLE)").alias(
+            "mean_b"
+        ),
+        F.expr(
+            """CAST(ROUND(
+             (CAST(sa AS DOUBLE) / 100 / na - CAST(sb AS DOUBLE) / 100 / nb)
+             / SQRT(
+                ((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na)
+                  / (na - 1) / 10000) / na
+              + ((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / nb)
+                  / (nb - 1) / 10000) / nb
+             ), 6) AS DOUBLE)"""
+        ).alias("welch_t"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval — resampling at data-warehouse scale.
+# A classical bootstrap resamples rows WITH replacement B times (impossible
+# to coordinate distributedly); the Poisson bootstrap (Chamandy et al.,
+# Google) draws each row's per-replica multiplicity w ~ Poisson(1)
+# independently, which needs no coordination at all. Here the draw is
+# DERANDOMIZED: u = md5(replica:key)/2^32 through the Poisson(1) inverse
+# CDF, so every engine reproduces the identical resample — the bootstrap
+# becomes hash-checkable.
+# ---------------------------------------------------------------------------
+BOOT_B = 32  # replicas
+
+# Poisson(1) inverse-CDF breakpoints: P(W<=k) for k=0..4 (then 5+)
+_POIS_CDF = (0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+             0.9810118431238462, 0.9963401531726563)
+
+
+def _boot_w(u_expr: str) -> str:
+    w = "6"
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w = f"CASE WHEN {u_expr} < {_POIS_CDF[k]!r} THEN {k} ELSE {w} END"
+    return w
+
+
+def _boot_oracle() -> str:
+    from csv_parquet_s3_spark.operators.dedup import _BLOOM_HEX_INT
+
+    h = "md5(b || ':' || CAST(o_orderkey AS VARCHAR))"
+    u = f"(CAST({_BLOOM_HEX_INT.format(h=h)} AS DOUBLE) / {16 ** 8})"
+    return f"""
+    WITH reps AS (
+        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS x,
+               CAST(u.b AS INT) AS b, {_boot_w(u)} AS w
+        FROM orders, UNNEST(range(0, {BOOT_B})) AS u(b)
+    ),
+    means AS (
+        SELECT b,
+               CAST(ROUND(CAST(SUM(w * x) AS DOUBLE) / SUM(w), 6) AS DOUBLE)
+                   AS m
+        FROM reps GROUP BY b
+    ),
+    ranked AS (
+        SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS rn FROM means
+    ),
+    base AS (
+        SELECT CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                   AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS sample_mean
+        FROM orders
+    )
+    SELECT base.sample_mean,
+           (SELECT m FROM ranked WHERE rn = 1) AS ci_lo,
+           (SELECT m FROM ranked WHERE rn = {BOOT_B}) AS ci_hi,
+           CAST({BOOT_B} AS INT) AS n_replicas
+    FROM base
+    """
+
+
+@register("q_revenue_bootstrap_ci", oracle=_boot_oracle())
+def q_revenue_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for mean order value via the
+    derandomized Poisson bootstrap: each order's multiplicity in replica b
+    is the Poisson(1) inverse CDF of a uniform derived from
+    md5(b:orderkey). One row out: the sample mean, the min/max of the
+    {BOOT_B} replica means (≈ the 3%/97% envelope at B={BOOT_B}), and B.
+
+    Scale shape: the corpus × B expansion happens MAP-SIDE (explode of a
+    constant range — no shuffle amplification) and immediately folds into
+    B partial aggregates with map-side combine: one shuffle of B·partitions
+    tiny rows regardless of corpus size. Replica means accumulate exact
+    DECIMAL weighted sums before ONE double division, so the oracle
+    reproduces every replica bit-for-bit. The textbook version of what
+    sampled-percentile error bars cost at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    from csv_parquet_s3_spark.operators.dedup import _BLOOM_HEX_INT
+
+    h = "md5(cast(concat(cast(b as string), ':', cast(o_orderkey as string)) as binary))"
+    u = f"(CAST({_BLOOM_HEX_INT.format(h=h)} AS DOUBLE) / {16 ** 8})"
+    reps = orders.select(
+        "o_orderkey",
+        F.expr("CAST(o_totalprice AS DECIMAL(12,2))").alias("x"),
+        F.explode(F.expr(f"sequence(0, {BOOT_B - 1})")).alias("b"),
+    ).select(
+        "o_orderkey",
+        "x",
+        F.col("b").cast("int").alias("b"),
+        F.expr(_boot_w(u)).alias("w"),
+    )
+    means = reps.groupBy("b").agg(
+        F.expr("CAST(ROUND(CAST(SUM(w * x) AS DOUBLE) / SUM(w), 6) AS DOUBLE)").alias(
+            "m"
+        )
+    )
+    ranked = means.select(
+        "m", F.row_number().over(W.orderBy("m", "b")).alias("rn")
+    )
+    lo = ranked.filter(F.col("rn") == 1).select(F.col("m").alias("ci_lo"))
+    hi = ranked.filter(F.col("rn") == BOOT_B).select(F.col("m").alias("ci_hi"))
+    base = orders.agg(
+        F.expr(
+            "CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)"
+            " / COUNT(*), 6) AS DOUBLE)"
+        ).alias("sample_mean")
+    )
+    return (
+        base.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "sample_mean",
+            "ci_lo",
+            "ci_hi",
+            F.lit(BOOT_B).cast("int").alias("n_replicas"),
+        )
+    )

@@ -1409,9 +1409,10 @@ _KN_TERM = (
         GROUP BY d.doc_id
     )
     SELECT doc_id, CAST(n_bigrams AS INT) AS n_bigrams,
-           CAST(ROUND(CAST(nll_sum AS DOUBLE) / n_bigrams, 6) AS DOUBLE)
-               AS avg_nll,
-           CAST(ROUND(EXP(ROUND(CAST(nll_sum AS DOUBLE) / n_bigrams, 6)), 4)
+           CAST((2 * CAST(nll_sum * 1000000 AS BIGINT) + n_bigrams)
+                // (2 * n_bigrams) AS DOUBLE) / 1000000.0 AS avg_nll,
+           CAST(ROUND(EXP(CAST((2 * CAST(nll_sum * 1000000 AS BIGINT)
+                + n_bigrams) // (2 * n_bigrams) AS DOUBLE) / 1000000.0), 4)
                AS DOUBLE) AS kn_perplexity
     FROM nll
     """,
@@ -1466,11 +1467,18 @@ def text_bigram_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nll_sum"),
         )
     )
-    avg_nll = F.round(F.col("nll_sum").cast("double") / F.col("n_bigrams"), 6)
+    # avg = half-up integer division in micro-nats: the 6-digit DECIMAL sum
+    # divided by small n lands on exact 7th-digit midpoints ~1/n of the time,
+    # where the engines' double-rounding procedures disagree (observed at
+    # sf0.1); (2M + n) DIV (2n) is exact integer arithmetic on both.
+    avg_nll = F.expr(
+        "CAST((2 * CAST(nll_sum * 1000000 AS BIGINT) + n_bigrams)"
+        " DIV (2 * n_bigrams) AS DOUBLE) / 1000000.0"
+    )
     return nll.select(
         "doc_id",
         F.col("n_bigrams").cast("int").alias("n_bigrams"),
-        avg_nll.cast("double").alias("avg_nll"),
+        avg_nll.alias("avg_nll"),
         F.round(F.exp(avg_nll), 4).cast("double").alias("kn_perplexity"),
     )
 
@@ -1533,9 +1541,10 @@ def _heldout_oracle() -> str:
         GROUP BY d.doc_id
     )
     SELECT doc_id, CAST(n_bigrams AS INT) AS n_bigrams,
-           CAST(ROUND(CAST(nll_sum AS DOUBLE) / n_bigrams, 6) AS DOUBLE)
-               AS avg_nll,
-           CAST(ROUND(EXP(ROUND(CAST(nll_sum AS DOUBLE) / n_bigrams, 6)), 4)
+           CAST((2 * CAST(nll_sum * 1000000 AS BIGINT) + n_bigrams)
+                // (2 * n_bigrams) AS DOUBLE) / 1000000.0 AS avg_nll,
+           CAST(ROUND(EXP(CAST((2 * CAST(nll_sum * 1000000 AS BIGINT)
+                + n_bigrams) // (2 * n_bigrams) AS DOUBLE) / 1000000.0), 4)
                AS DOUBLE) AS heldout_perplexity
     FROM nll
     """
@@ -1601,10 +1610,15 @@ def text_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("tf") * term).alias("nll_sum"),
         )
     )
-    avg_nll = F.round(F.col("nll_sum").cast("double") / F.col("n_bigrams"), 6)
+    # tie-proof average: see text_bigram_kn_perplexity (integer half-up
+    # division in micro-nats instead of rounding a DECIMAL/int quotient).
+    avg_nll = F.expr(
+        "CAST((2 * CAST(nll_sum * 1000000 AS BIGINT) + n_bigrams)"
+        " DIV (2 * n_bigrams) AS DOUBLE) / 1000000.0"
+    )
     return nll.select(
         "doc_id",
         F.col("n_bigrams").cast("int").alias("n_bigrams"),
-        avg_nll.cast("double").alias("avg_nll"),
+        avg_nll.alias("avg_nll"),
         F.round(F.exp(avg_nll), 4).cast("double").alias("heldout_perplexity"),
     )
