@@ -28,6 +28,7 @@ from csv_parquet_s3_spark.operators import (  # noqa: F401
     statistics,
     streaming_batch,
     textstats,
+    tokenizer,
     tpch_ext,
 )
 from csv_parquet_s3_spark.operators.registry import ORACLES, QUERIES

