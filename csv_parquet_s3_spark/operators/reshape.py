@@ -1284,3 +1284,170 @@ def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("credited_value"),
         )
     )
+
+
+@register(
+    "q_user_activity_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', DATE '1990-01-01',
+                         CAST(date_trunc('day', ts) AS DATE)) AS di
+        FROM events
+    ),
+    isl AS (
+        SELECT user_id, di,
+               di - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY di)
+                   AS grp
+        FROM days
+    ),
+    runs AS (
+        SELECT user_id, COUNT(*) AS len, MAX(di) AS run_end
+        FROM isl GROUP BY user_id, grp
+    ),
+    mx AS (SELECT MAX(di) AS corpus_last FROM days)
+    SELECT r.user_id,
+           CAST(MAX(r.len) AS BIGINT) AS longest_streak_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(CASE WHEN r.run_end = m.corpus_last THEN r.len
+                         ELSE 0 END) AS BIGINT) AS current_streak_days
+    FROM runs r CROSS JOIN mx m
+    GROUP BY r.user_id
+    """,
+)
+def q_user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity streaks: longest run of CONSECUTIVE active days,
+    how many distinct runs, and the streak still alive on the corpus's
+    last day (0 if broken) — the engagement metric behind every 'N-day
+    streak' product surface. Pure gaps-and-islands: day_index −
+    row_number() is constant exactly within a consecutive run.
+
+    Scale shape: distinct user-days (one keyed aggregate), one window and
+    one aggregate per user partition — a single shuffle on user_id; the
+    corpus-last-day scalar attaches as a broadcast. No self-join, no
+    calendar expansion."""
+    ev = load_table(spark, sf_dir, "events")
+    days = (
+        ev.select(
+            "user_id",
+            F.expr(
+                "datediff(CAST(date_trunc('day', ts) AS DATE), DATE '1990-01-01')"
+            ).alias("di"),
+        )
+        .distinct()
+    )
+    isl = days.withColumn(
+        "grp",
+        F.col("di") - F.row_number().over(W.partitionBy("user_id").orderBy("di")),
+    )
+    runs = isl.groupBy("user_id", "grp").agg(
+        F.count("*").alias("len"), F.max("di").alias("run_end")
+    )
+    mx = days.agg(F.max("di").alias("corpus_last"))
+    return (
+        runs.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.max("len").cast("bigint").alias("longest_streak_days"),
+            F.count("*").cast("bigint").alias("n_streaks"),
+            F.max(
+                F.when(F.col("run_end") == F.col("corpus_last"), F.col("len"))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("current_streak_days"),
+        )
+    )
+
+
+CF_TOP_K = 5
+
+
+@register(
+    "q_item_cf_neighbors",
+    oracle=f"""
+    WITH ui AS (
+        SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    pop AS (SELECT i, COUNT(*) AS n FROM ui GROUP BY i),
+    co AS (
+        SELECT a.i AS item_i, b.i AS item_j, COUNT(*) AS n_co
+        FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i
+        GROUP BY a.i, b.i
+    ),
+    scored AS (
+        SELECT c.item_i, c.item_j, c.n_co,
+               CAST(ROUND(c.n_co / SQRT(CAST(pi.n * pj.n AS DOUBLE)), 6)
+                    AS DOUBLE) AS cosine_sim
+        FROM co c
+        JOIN pop pi ON pi.i = c.item_i
+        JOIN pop pj ON pj.i = c.item_j
+    )
+    SELECT item_i, item_j, CAST(n_co AS BIGINT) AS n_co, cosine_sim,
+           CAST(rn AS INT) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY item_i
+                                     ORDER BY cosine_sim DESC, item_j) AS rn
+        FROM scored
+    ) t WHERE rn <= {CF_TOP_K}
+    """,
+)
+def q_item_cf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: top-{CF_TOP_K} neighbors per part
+    by co-purchase cosine (n_ij / √(n_i·n_j)) over the distinct
+    customer×part matrix — the batch job behind 'customers also bought'.
+    Cosine normalization is what separates this from raw affinity lift
+    (`q_event_type_affinity`): popular items stop dominating every list.
+
+    Scale shape: the pair expansion is keyed on the CUSTOMER — per-user
+    cross products bounded by basket size (Σ basket², the same envelope as
+    triangle counting), never item×item; popularity joins are item-sized.
+    At 100 TB the standard mitigation composes here unchanged: cap or
+    down-sample super-baskets before the self-join (cf.
+    `cap_documents_per_source`), and AQE splits residual hot customers.
+    Per-item partial top-k folds before the final window."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ui = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    pop = ui.groupBy("i").agg(F.count("*").alias("n"))
+    a = ui.select("u", F.col("i").alias("item_i"))
+    b = ui.select(F.col("u").alias("u2"), F.col("i").alias("item_j"))
+    co = (
+        a.join(b, (F.col("u") == F.col("u2")) & (F.col("item_i") < F.col("item_j")))
+        .groupBy("item_i", "item_j")
+        .agg(F.count("*").alias("n_co"))
+    )
+    pi = pop.select(F.col("i").alias("item_i"), F.col("n").alias("n_i"))
+    pj = pop.select(F.col("i").alias("item_j"), F.col("n").alias("n_j"))
+    scored = (
+        co.join(pi, "item_i")
+        .join(pj, "item_j")
+        .select(
+            "item_i",
+            "item_j",
+            "n_co",
+            F.round(
+                F.col("n_co") / F.sqrt((F.col("n_i") * F.col("n_j")).cast("double")),
+                6,
+            )
+            .cast("double")
+            .alias("cosine_sim"),
+        )
+    )
+    wi = W.partitionBy("item_i").orderBy(F.desc("cosine_sim"), "item_j")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wi).cast("int"))
+        .filter(F.col("rnk") <= CF_TOP_K)
+        .select(
+            "item_i",
+            "item_j",
+            F.col("n_co").cast("bigint").alias("n_co"),
+            "cosine_sim",
+            "rnk",
+        )
+    )

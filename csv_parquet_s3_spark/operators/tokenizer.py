@@ -221,3 +221,189 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         merges = row if merges is None else merges.unionByName(row)
     return merges
+
+
+# ---------------------------------------------------------------------------
+# Apply the learned merges: encode the corpus with the trained tokenizer.
+# Real tokenizers encode per DISTINCT WORD and cache (Zipf makes the
+# vocabulary tiny next to the corpus), so the merge loop here runs over the
+# distinct-word symbol table and a final join prices every document —
+# the corpus itself is touched exactly twice (tokenize, then join+sum).
+# ---------------------------------------------------------------------------
+
+
+def _apply_round_oracle(r: int) -> str:
+    """CTE block applying trained merge t{r} to the vocab table v{r-1}
+    (same island-parity greedy rewrite as training, pair fixed by t{r})."""
+    p = r - 1
+    return f"""
+    vm{r} AS (
+        SELECT v.word, v.pos, v.sym, t.a, t.b,
+               CASE WHEN v.sym = t.a
+                         AND lead(v.sym) OVER (PARTITION BY v.word
+                                               ORDER BY v.pos) = t.b
+                    THEN 1 ELSE 0 END AS hit
+        FROM v{p} v CROSS JOIN t{r} t
+    ),
+    vg{r} AS (
+        SELECT word, pos, sym, a, b, hit,
+               pos - ROW_NUMBER() OVER (PARTITION BY word, hit ORDER BY pos)
+                   AS grp
+        FROM vm{r}
+    ),
+    vi{r} AS (
+        SELECT word, pos, sym, a, b,
+               CASE WHEN hit = 1 THEN
+                   ROW_NUMBER() OVER (PARTITION BY word, grp, hit
+                                      ORDER BY pos) % 2
+               ELSE 0 END AS take
+        FROM vg{r}
+    ),
+    v{r} AS (
+        SELECT word,
+               ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+               CASE WHEN take = 1 THEN a || b ELSE sym END AS sym
+        FROM vi{r} i
+        WHERE NOT EXISTS (
+            SELECT 1 FROM vi{r} x
+            WHERE x.word = i.word AND x.pos = i.pos - 1 AND x.take = 1)
+    )"""
+
+
+def _bpe_apply_oracle() -> str:
+    blocks = [_bpe_words_oracle()]
+    blocks += [_bpe_round_oracle(r) for r in range(1, BPE_MERGES + 1)]
+    blocks.append("""
+    doc_toks AS (
+        SELECT doc_id, tok AS word
+        FROM (SELECT doc_id,
+                     unnest(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS tok
+              FROM documents)
+    ),
+    v0 AS (
+        SELECT word, CAST(u.i AS BIGINT) AS pos,
+               substr(word, CAST(u.i AS INT), 1) AS sym
+        FROM (SELECT DISTINCT word FROM doc_toks) w,
+             UNNEST(range(1, length(word) + 1)) AS u(i)
+    )""")
+    blocks += [_apply_round_oracle(r) for r in range(1, BPE_MERGES + 1)]
+    blocks.append(f"""
+    wlen AS (
+        SELECT word, COUNT(*) AS n_syms, MAX(pos) AS _mx
+        FROM v{BPE_MERGES} GROUP BY word
+    )""")
+    return (
+        "WITH"
+        + ",".join(blocks)
+        + """
+    SELECT d.doc_id,
+           CAST(SUM(length(d.word)) AS BIGINT) AS n_chars,
+           CAST(SUM(w.n_syms) AS BIGINT) AS n_bpe_tokens,
+           CAST(ROUND(CAST(SUM(w.n_syms) AS DOUBLE)
+                / SUM(length(d.word)), 6) AS DOUBLE) AS tokens_per_char
+    FROM doc_toks d JOIN wlen w ON w.word = d.word
+    GROUP BY d.doc_id
+    """
+    )
+
+
+def _apply_merge(v: DataFrame, top: DataFrame) -> DataFrame:
+    """Apply one trained merge (1-row frame (a, b)) to the vocab symbol
+    table (word, pos, sym) — training's rewrite with the pair fixed."""
+    wp = W.partitionBy("word").orderBy("pos")
+    mk = (
+        v.withColumn("nxt", F.lead("sym").over(wp))
+        .crossJoin(F.broadcast(top))
+        .withColumn(
+            "hit",
+            F.when(
+                (F.col("sym") == F.col("a")) & (F.col("nxt") == F.col("b")), 1
+            ).otherwise(0),
+        )
+    )
+    isl = mk.withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(W.partitionBy("word", "hit").orderBy("pos")),
+    ).withColumn(
+        "take",
+        F.when(
+            F.col("hit") == 1,
+            F.row_number().over(W.partitionBy("word", "grp", "hit").orderBy("pos"))
+            % 2,
+        ).otherwise(0),
+    )
+    consumed = isl.filter(F.col("take") == 1).select(
+        F.col("word").alias("cw"), (F.col("pos") + 1).alias("cp")
+    )
+    return (
+        isl.join(
+            consumed,
+            (F.col("word") == F.col("cw")) & (F.col("pos") == F.col("cp")),
+            "left_anti",
+        )
+        .select(
+            "word",
+            F.row_number().over(wp).alias("pos"),
+            F.when(F.col("take") == 1, F.concat("a", "b"))
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+        )
+    )
+
+
+@register("text_bpe_apply_merges", oracle=_bpe_apply_oracle())
+def text_bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every document with the merges learned by
+    `text_bpe_learn_merges`: per doc, character count, BPE token count
+    after the {BPE_MERGES} ranked merges, and tokens-per-char — the
+    fertility number that decides whether a tokenizer is worth shipping
+    for a corpus.
+
+    Scale shape: the merge loop rewrites the DISTINCT-WORD symbol table
+    (Zipf-bounded, not corpus-bounded) — the encode-with-cache trick every
+    production tokenizer uses; the corpus appears only in the initial
+    tokenize and the final word→doc join+sum (two shuffles on word/doc).
+    Merges attach as one-row broadcasts in rank order; greedy
+    non-overlapping rewrite is the same island-parity window as training.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    merges = text_bpe_learn_merges(spark, sf_dir).localCheckpoint(eager=True)
+    doc_toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("word"),
+    )
+    v = (
+        doc_toks.select("word")
+        .distinct()
+        .select(
+            "word",
+            F.explode(F.expr("sequence(1, length(word))")).alias("pos"),
+        )
+        .select(
+            "word",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.expr("substr(word, CAST(pos AS INT), 1)").alias("sym"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for r in range(1, BPE_MERGES + 1):
+        top = merges.filter(F.col("merge_rank") == r).select(
+            F.col("left_sym").alias("a"), F.col("right_sym").alias("b")
+        )
+        v = _apply_merge(v, top).localCheckpoint(eager=True)
+    wlen = v.groupBy("word").agg(F.count("*").alias("n_syms"))
+    return (
+        doc_toks.join(wlen, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+            F.sum("n_syms").cast("bigint").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_syms").cast("double") / F.sum(F.length("word")), 6
+            )
+            .cast("double")
+            .alias("tokens_per_char"),
+        )
+    )
