@@ -581,9 +581,10 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY d.doc_id
     )
     SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
-           CAST(ROUND(CAST(nll_sum AS DOUBLE) / n_tokens, 6) AS DOUBLE)
-               AS avg_nll,
-           CAST(ROUND(EXP(ROUND(CAST(nll_sum AS DOUBLE) / n_tokens, 6)), 4)
+           CAST((2 * CAST(nll_sum * 1000000 AS BIGINT) + n_tokens)
+                // (2 * n_tokens) AS DOUBLE) / 1000000.0 AS avg_nll,
+           CAST(ROUND(EXP(CAST((2 * CAST(nll_sum * 1000000 AS BIGINT)
+                + n_tokens) // (2 * n_tokens) AS DOUBLE) / 1000000.0), 4)
                AS DOUBLE) AS perplexity
     FROM nll
     """,
@@ -629,7 +630,14 @@ def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("tf") * tok_nll).alias("nll_sum"),
         )
     )
-    avg_nll = F.round(F.col("nll_sum").cast("double") / F.col("n_tokens"), 6)
+    # tie-proof average (see text_bigram_kn_perplexity): a DECIMAL(,6) sum
+    # over small n lands on exact 7th-digit midpoints ~1/n of the time where
+    # the engines' double-round procedures diverge; integer half-up division
+    # in micro-nats is exact on both.
+    avg_nll = F.expr(
+        "CAST((2 * CAST(nll_sum * 1000000 AS BIGINT) + n_tokens)"
+        " DIV (2 * n_tokens) AS DOUBLE) / 1000000.0"
+    )
     return nll.select(
         "doc_id",
         F.col("n_tokens").cast("int").alias("n_tokens"),
@@ -1196,9 +1204,10 @@ _BG_TOKS_ORACLE = """
         GROUP BY d.doc_id
     )
     SELECT doc_id, CAST(n_bigrams AS INT) AS n_bigrams,
-           CAST(ROUND(CAST(nll_sum AS DOUBLE) / n_bigrams, 6) AS DOUBLE)
-               AS avg_nll,
-           CAST(ROUND(EXP(ROUND(CAST(nll_sum AS DOUBLE) / n_bigrams, 6)), 4)
+           CAST((2 * CAST(nll_sum * 1000000 AS BIGINT) + n_bigrams)
+                // (2 * n_bigrams) AS DOUBLE) / 1000000.0 AS avg_nll,
+           CAST(ROUND(EXP(CAST((2 * CAST(nll_sum * 1000000 AS BIGINT)
+                + n_bigrams) // (2 * n_bigrams) AS DOUBLE) / 1000000.0), 4)
                AS DOUBLE) AS perplexity
     FROM nll
     """,
@@ -1254,7 +1263,11 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("tf") * term).alias("nll_sum"),
         )
     )
-    avg_nll = F.round(F.col("nll_sum").cast("double") / F.col("n_bigrams"), 6)
+    # tie-proof average — same integer half-up division as the KN sibling.
+    avg_nll = F.expr(
+        "CAST((2 * CAST(nll_sum * 1000000 AS BIGINT) + n_bigrams)"
+        " DIV (2 * n_bigrams) AS DOUBLE) / 1000000.0"
+    )
     return nll.select(
         "doc_id",
         F.col("n_bigrams").cast("int").alias("n_bigrams"),
@@ -1621,4 +1634,137 @@ def text_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bigrams").cast("int").alias("n_bigrams"),
         avg_nll.alias("avg_nll"),
         F.round(F.exp(avg_nll), 4).cast("double").alias("heldout_perplexity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (Rose et al. '10): candidate phrases are maximal
+# runs of non-stopword tokens; a word scores deg(w)/freq(w) where deg sums
+# the lengths of every phrase it appears in (its within-phrase co-occurrence
+# count, self included); a phrase scores the sum of its words' scores. The
+# phrase-level complement to TF-IDF (unigram) and PMI (bigram) keywording.
+# ---------------------------------------------------------------------------
+RAKE_TOP_K = 20
+
+
+@register(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH toks AS (
+        SELECT t.doc_id, s.i AS pos, t.ftoks[s.i] AS tok
+        FROM (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '),
+                                 x -> x <> '') AS ftoks
+              FROM documents) t,
+             UNNEST(generate_series(1, len(t.ftoks))) AS s(i)
+    ),
+    content AS (
+        SELECT doc_id, pos, tok,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS grp
+        FROM toks WHERE tok NOT IN ({_STOP_SQL})
+    ),
+    phr AS (
+        SELECT doc_id, grp,
+               string_agg(tok, ' ' ORDER BY pos) AS phrase,
+               COUNT(*) AS plen
+        FROM content GROUP BY doc_id, grp
+    ),
+    wstat AS (
+        SELECT c.tok, COUNT(*) AS freq, SUM(p.plen) AS deg
+        FROM content c
+        JOIN phr p ON p.doc_id = c.doc_id AND p.grp = c.grp
+        GROUP BY c.tok
+    ),
+    wscore AS (
+        SELECT tok,
+               CAST(ROUND(CAST(deg AS DOUBLE) / freq, 6)
+                    AS DECIMAL(20,6)) AS wsc
+        FROM wstat
+    ),
+    pscore AS (
+        SELECT p.phrase, p.plen,
+               SUM(w.wsc) AS sc
+        FROM content c
+        JOIN phr p ON p.doc_id = c.doc_id AND p.grp = c.grp
+        JOIN wscore w ON w.tok = c.tok
+        GROUP BY p.doc_id, p.grp, p.phrase, p.plen
+    ),
+    agg AS (
+        SELECT phrase, CAST(MAX(plen) AS INT) AS n_words,
+               COUNT(*) AS n_occurrences,
+               CAST(MAX(sc) AS DOUBLE) AS rake_score
+        FROM pscore GROUP BY phrase
+    )
+    SELECT phrase, n_words, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+           rake_score, CAST(rn AS INT) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY rake_score DESC, phrase) AS rn
+        FROM agg
+    ) t WHERE rn <= {RAKE_TOP_K}
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-{RAKE_TOP_K} RAKE keyphrases: stopword-delimited candidate
+    phrases scored by summed word degree/frequency ratios. Multi-word
+    phrases whose members co-occur in long candidates outrank bare frequent
+    unigrams — the property TF-IDF lacks.
+
+    Phrase identity is (doc, island) during scoring — identical texts in
+    different docs score identically (deg/freq are corpus-global), so the
+    final per-text aggregate is exact, not an average. Per-word scores
+    round to 6 digits into DECIMAL before the phrase sum (order-independent
+    ⇒ hash-replayable).
+
+    Scale shape: islands via one window over content tokens; all joins are
+    keyed on (doc, island) or the word — vocabulary-sized stats frames,
+    corpus-sized frames touched a bounded number of times, and a final
+    phrase-type aggregate + global top-k ({RAKE_TOP_K} rows through the
+    single-partition window after per-partition pre-top-k)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).alias("p0", "tok"),
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    content = toks.filter(~F.col("tok").isin(*STOPWORDS)).withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(W.partitionBy("doc_id").orderBy("pos")),
+    )
+    phr = content.groupBy("doc_id", "grp").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, tok))),"
+            " x -> x.tok), ' ')"
+        ).alias("phrase"),
+        F.count("*").alias("plen"),
+    )
+    wstat = (
+        content.join(phr, ["doc_id", "grp"])
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"), F.sum("plen").alias("deg"))
+    )
+    wscore = wstat.select(
+        "tok",
+        F.round(F.col("deg").cast("double") / F.col("freq"), 6)
+        .cast("decimal(20,6)")
+        .alias("wsc"),
+    )
+    pscore = (
+        content.join(phr, ["doc_id", "grp"])
+        .join(wscore, "tok")
+        .groupBy("doc_id", "grp", "phrase", "plen")
+        .agg(F.sum("wsc").alias("sc"))
+    )
+    agg = pscore.groupBy("phrase").agg(
+        F.max("plen").cast("int").alias("n_words"),
+        F.count("*").cast("bigint").alias("n_occurrences"),
+        F.max("sc").cast("double").alias("rake_score"),
+    )
+    wr = W.orderBy(F.desc("rake_score"), "phrase")
+    return (
+        agg.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= RAKE_TOP_K)
+        .select("phrase", "n_words", "n_occurrences", "rake_score", "rnk")
     )
