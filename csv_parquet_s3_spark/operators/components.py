@@ -446,7 +446,7 @@ def _kcore_oracle() -> str:
     WITH RECURSIVE {_ORACLE_SHINGLES},
     {_ORACLE_BANDS},
     {_ORACLE_PAIR_CTES},
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT doc_id_a AS src, doc_id_b AS dst FROM lsh_pairs
         UNION ALL
         SELECT doc_id_b AS src, doc_id_a AS dst FROM lsh_pairs
@@ -517,7 +517,7 @@ def _common_neighbors_oracle() -> str:
     WITH RECURSIVE {_ORACLE_SHINGLES},
     {_ORACLE_BANDS},
     {_ORACLE_PAIR_CTES},
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT doc_id_a AS src, doc_id_b AS dst FROM lsh_pairs
         UNION ALL
         SELECT doc_id_b AS src, doc_id_a AS dst FROM lsh_pairs

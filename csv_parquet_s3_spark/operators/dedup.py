@@ -110,7 +110,7 @@ _ORACLE_SHINGLES = """
         SELECT doc_id, string_split(text, ' ') AS toks
         FROM documents WHERE len(string_split(text, ' ')) >= 3
     ),
-    shingles AS (
+    shingles AS MATERIALIZED (
         SELECT DISTINCT doc_id, s AS shingle
         FROM shingled, UNNEST(list_transform(range(1, len(toks) - 1),
                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS t(s)
@@ -149,7 +149,7 @@ _ORACLE_BANDS = f"""
         FROM shingles, UNNEST(range(0, {NUM_PERMS})) AS perms(p)
         GROUP BY doc_id, p
     ),
-    bands AS (
+    bands AS MATERIALIZED (
         SELECT doc_id, CAST(p // {BAND_SIZE} AS BIGINT) AS band,
                md5(string_agg(mh, ',' ORDER BY p)) AS bucket
         FROM hashes GROUP BY doc_id, CAST(p // {BAND_SIZE} AS BIGINT)
@@ -238,7 +238,7 @@ _ORACLE_PAIR_CTES = f"""
         JOIN shingles sb ON sb.doc_id = c.doc_id_b AND sb.shingle = sa.shingle
         GROUP BY c.doc_id_a, c.doc_id_b
     ),
-    lsh_pairs AS (
+    lsh_pairs AS MATERIALIZED (
         SELECT i.doc_id_a, i.doc_id_b,
                CAST(ROUND(CAST(i.n_common AS DOUBLE)
                           / (za.n + zb.n - i.n_common), 6) AS DOUBLE) AS jaccard
