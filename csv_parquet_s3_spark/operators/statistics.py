@@ -1040,3 +1040,262 @@ def q_revenue_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(BOOT_B).cast("int").alias("n_replicas"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier time-to-reorder: survival analysis as a query. Each customer
+# contributes one duration — days from first to second order (event=1), or
+# days from first order to the corpus horizon if no reorder came (event=0,
+# right-censored). Ignoring the censored rows (as a naive AVG does) biases
+# retention optimistic; KM handles them correctly with a product-limit over
+# the at-risk set.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_survival_reorder_km",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_custkey, o_orderdate,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+    ),
+    horizon AS (SELECT MAX(o_orderdate) AS h FROM orders),
+    durations AS (
+        SELECT f.o_custkey,
+               CASE WHEN s.o_orderdate IS NOT NULL
+                    THEN date_diff('day', f.o_orderdate, s.o_orderdate)
+                    ELSE date_diff('day', f.o_orderdate, hz.h) END AS t,
+               CASE WHEN s.o_orderdate IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM ranked f
+        LEFT JOIN ranked s ON s.o_custkey = f.o_custkey AND s.rn = 2
+        CROSS JOIN horizon hz
+        WHERE f.rn = 1
+    ),
+    n_total AS (SELECT COUNT(*) AS n FROM durations),
+    bytime AS (
+        SELECT t, SUM(ev) AS d,
+               COUNT(*) AS entering
+        FROM durations GROUP BY t
+    ),
+    risk AS (
+        SELECT t, d,
+               nt.n - COALESCE(SUM(entering) OVER (
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS n_risk
+        FROM bytime CROSS JOIN n_total nt
+    ),
+    km AS (
+        SELECT t, d, n_risk,
+               SUM(CASE WHEN d < n_risk
+                        THEN CAST(ROUND(LN(1 - CAST(d AS DOUBLE) / n_risk), 6)
+                                  AS DECIMAL(20,6)) END) OVER (
+                   ORDER BY t ROWS UNBOUNDED PRECEDING) AS logS,
+               CASE WHEN d = n_risk THEN 1 ELSE 0 END AS died_out
+        FROM risk WHERE d > 0
+    )
+    SELECT CAST(t AS BIGINT) AS t_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CASE WHEN died_out = 1 THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST(ROUND(EXP(CAST(logS AS DOUBLE)), 6) AS DOUBLE)
+           END AS survival
+    FROM km
+    """,
+)
+def q_survival_reorder_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of time-to-reorder: S(t) = Π(1 − dᵢ/nᵢ)
+    over event times, with customers who never reordered right-censored at
+    the corpus horizon — they leave the risk set without counting as
+    events, which is exactly what a plain average of observed gaps gets
+    wrong. One row per event time: at-risk count, events, S(t).
+
+    Determinism: the product-limit runs as exp(Σ ln(1 − d/n)) with each ln
+    rounded to 6 into DECIMAL (house libm rule) — the running sum is
+    order-defined by the time index, so both engines agree bit-for-bit.
+
+    Scale shape: one window to rank orders per customer, one LEFT
+    self-join for the second order, then everything is EVENT-TIME-sized
+    (distinct durations): the cumulative at-risk window runs over at most
+    |distinct t| rows on one partition — days-sized, not customer-sized."""
+    orders = load_table(spark, sf_dir, "orders")
+    wk = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = orders.select(
+        "o_custkey", "o_orderdate", F.row_number().over(wk).alias("rn")
+    )
+    f = ranked.filter(F.col("rn") == 1).select(
+        "o_custkey", F.col("o_orderdate").alias("d1")
+    )
+    s2 = ranked.filter(F.col("rn") == 2).select(
+        F.col("o_custkey").alias("ck2"), F.col("o_orderdate").alias("d2")
+    )
+    hz = orders.agg(F.max("o_orderdate").alias("h"))
+    durations = (
+        f.join(s2, f.o_custkey == s2.ck2, "left")
+        .crossJoin(F.broadcast(hz))
+        .select(
+            F.when(
+                F.col("d2").isNotNull(),
+                F.expr("datediff(CAST(d2 AS DATE), CAST(d1 AS DATE))"),
+            )
+            .otherwise(F.expr("datediff(CAST(h AS DATE), CAST(d1 AS DATE))"))
+            .alias("t"),
+            F.when(F.col("d2").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    n_total = durations.agg(F.count("*").alias("n"))
+    bytime = durations.groupBy("t").agg(
+        F.sum("ev").alias("d"), F.count("*").alias("entering")
+    )
+    wt = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    risk = bytime.crossJoin(F.broadcast(n_total)).select(
+        "t",
+        "d",
+        (F.col("n") - F.coalesce(F.sum("entering").over(wt), F.lit(0))).alias(
+            "n_risk"
+        ),
+    )
+    wcum = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    km = (
+        risk.filter(F.col("d") > 0)
+        .withColumn(
+            "logS",
+            F.sum(
+                F.when(
+                    F.col("d") < F.col("n_risk"),
+                    F.round(
+                        F.log(1 - F.col("d").cast("double") / F.col("n_risk")),
+                        6,
+                    ).cast("decimal(20,6)"),
+                )
+            ).over(wcum),
+        )
+        .withColumn(
+            "died_out", F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0)
+        )
+    )
+    return km.select(
+        F.col("t").cast("bigint").alias("t_days"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("n_events"),
+        F.when(F.col("died_out") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("logS").cast("double")), 6))
+        .cast("double")
+        .alias("survival"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gains / lift table: score-model evaluation as a query. Score customers by
+# a ranking signal (account balance as the stand-in model score), label
+# them by recent activity (an order within the final 90 days of the
+# corpus), and report per-decile response, cumulative gain and lift — the
+# table every targeting/propensity model review starts from.
+# ---------------------------------------------------------------------------
+GAINS_RECENT_DAYS = 90
+
+
+@register(
+    "q_model_gains_table",
+    oracle=f"""
+    WITH horizon AS (SELECT MAX(o_orderdate) AS h FROM orders),
+    labels AS (
+        SELECT c.c_custkey, c.c_acctbal,
+               CASE WHEN EXISTS (
+                   SELECT 1 FROM orders o, horizon hz
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_orderdate > hz.h - INTERVAL {GAINS_RECENT_DAYS} DAY
+               ) THEN 1 ELSE 0 END AS label
+        FROM customer c
+    ),
+    scored AS (
+        SELECT label,
+               NTILE(10) OVER (ORDER BY c_acctbal DESC, c_custkey) AS decile
+        FROM labels
+    ),
+    base AS (
+        SELECT COUNT(*) AS n_all, SUM(label) AS pos_all FROM scored
+    ),
+    dec AS (
+        SELECT decile, COUNT(*) AS n, SUM(label) AS pos
+        FROM scored GROUP BY decile
+    )
+    SELECT CAST(d.decile AS INT) AS decile,
+           CAST(d.n AS BIGINT) AS n_customers,
+           CAST(d.pos AS BIGINT) AS n_positive,
+           CAST(ROUND(CAST(d.pos AS DOUBLE) / d.n, 6) AS DOUBLE)
+               AS response_rate,
+           CAST(ROUND(CAST(SUM(d.pos) OVER (ORDER BY d.decile
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                / b.pos_all, 6) AS DOUBLE) AS cumulative_gain,
+           CAST(ROUND((CAST(d.pos AS DOUBLE) / d.n)
+                / (CAST(b.pos_all AS DOUBLE) / b.n_all), 6) AS DOUBLE)
+               AS lift
+    FROM dec d CROSS JOIN base b
+    """,
+)
+def q_model_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gains table for a customer-ranking score: response rate,
+    cumulative gain (share of all positives captured through decile k) and
+    lift vs the base rate. If the score carries signal the lift is front-
+    loaded; a flat ~1.0 column says the score is noise — the go/no-go
+    readout for shipping a targeting model.
+
+    Scale shape: the label is one semi-join-shaped EXISTS against the
+    orders feed (Spark side: left-semi + coalesce); the decile NTILE runs
+    over customers on one ordered partition — at true scale swap NTILE for
+    percent_rank over a pre-aggregated score histogram; the decile
+    aggregate and window over 10 rows are free."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    hz = orders.agg(F.max("o_orderdate").alias("h"))
+    recent = (
+        orders.crossJoin(F.broadcast(hz))
+        .filter(
+            F.expr(f"o_orderdate > h - INTERVAL {GAINS_RECENT_DAYS} DAYS")
+        )
+        .select(F.col("o_custkey").alias("rk"))
+        .distinct()
+    )
+    labels = cust.join(recent, cust.c_custkey == recent.rk, "left").select(
+        "c_custkey",
+        "c_acctbal",
+        F.when(F.col("rk").isNotNull(), 1).otherwise(0).alias("label"),
+    )
+    scored = labels.select(
+        "label",
+        F.ntile(10)
+        .over(W.orderBy(F.desc("c_acctbal"), "c_custkey"))
+        .alias("decile"),
+    )
+    base = scored.agg(
+        F.count("*").alias("n_all"), F.sum("label").alias("pos_all")
+    )
+    dec = scored.groupBy("decile").agg(
+        F.count("*").alias("n"), F.sum("label").alias("pos")
+    )
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        dec.crossJoin(F.broadcast(base))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            F.col("n").cast("bigint").alias("n_customers"),
+            F.col("pos").cast("bigint").alias("n_positive"),
+            F.round(F.col("pos").cast("double") / F.col("n"), 6)
+            .cast("double")
+            .alias("response_rate"),
+            F.round(
+                F.sum("pos").over(wc).cast("double") / F.col("pos_all"), 6
+            )
+            .cast("double")
+            .alias("cumulative_gain"),
+            F.round(
+                (F.col("pos").cast("double") / F.col("n"))
+                / (F.col("pos_all").cast("double") / F.col("n_all")),
+                6,
+            )
+            .cast("double")
+            .alias("lift"),
+        )
+    )
