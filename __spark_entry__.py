@@ -42,110 +42,72 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-robin verification window (see PARITY.md "Driver verification
 # rotation"): the driver's correctness check covers the FIRST 50 entries of
 # queries(), so each round the entries most in need of a fresh signal are
-# listed first. The r05 window (tools/rotate_window.py output, hand-adjusted)
-# fronts: the new stored-index IVF×PQ query; the r04 red row
-# stream_events_sliding_rollup (oracle type fixed this round); every operator
-# whose implementation changed in r05 (modality agreement + IVF-blocked pairs
-# de-cartesianed, rebalance overflow fix, lifetime-totals drain hardening,
-# perplexity broadcast-hint removal, LSH persist→localCheckpoint); then the
-# rows-only sketch check and the stalest r02 greens, so no green ages past
-# two rounds unverified.
+# listed first. The r06 window is the catch-up round the r05 verdict demanded
+# (demand #1): verbatim `tools/rotate_window.py` output — all 46 entries that
+# have NEVER received a driver CORRECTNESS row (tokenizer, privacy, 11
+# statistics entries, k-core, PageRank, SCD1/SCD2 history, RRF, bigram
+# perplexity, Holt, kfold, temperature sampling, streaks, item-CF, Gini,
+# PCA/ABTT, ...), then the rows-only `q_approx_sketches`, then the 3 stalest
+# hash-greens (r02). Registrations were FROZEN this round per the same
+# demand, so after this window every registry entry has ≥1 driver row.
 VERIFY_PRIORITY: list[str] = [
-    # never-checked r05 closing-wave additions first
-    "sim_srp_hamming_topk",
-    "dedup_normalized_exact",
-    "scd2_point_in_time_join",
-    "graph_common_neighbors",
-    "text_bigram_kn_perplexity",
-    "text_heldout_perplexity",
-    "mm_payload_ahash",
-    "q_events_cumulative_unique_users",
-    "q_table_profile_orders",
-    "q_orders_quality_rules",
-    # never-checked r05 late additions
-    "sim_cosine_topk_ivf_pq_refine",
-    "stream_events_content_digest",
-    "q_fk_orphan_audit",
-    "q_events_transition_matrix",
-    "q_segment_user_bitmap_distinct",
-    "q_segment_bitmap_overlap",
-    "pipeline_customer_feature_snapshot",
-    "stream_segment_bitmap_distinct",
-    "text_bigram_pmi",
-    "sample_documents_weighted_noreplace",
-    "q_open_orders_daily",
-    "q_table_content_digest",
-    "dedup_prefix_filter_pairs",
-    "text_gopher_quality_flags",
-    "dedup_sorted_neighborhood_pairs",
-    "dedup_containment_pairs",
-    "layout_zorder_zonemap",
-    "cap_documents_per_source",
-    "q_events_value_winsorized",
-    "pipeline_corpus_training_set",
-    "dedup_winnowing_pairs",
-    "text_winnowing_fingerprints",
-    "graph_triangle_count",
-    "sketch_countmin_user_counts",
-    "emb_hard_negatives",
-    "q_join_key_skew_profile",
-    "q_incremental_hourly_rollup",
-    "split_leakage_safe",
-    "batch_by_length_buckets",
-    "stream_scd1_upsert_priority",
-    "text_quality_percentile_by_lang",
-    "emb_vector_qa_stats",
-    "retrieval_bm25_topk",
-    "q_user_value_trend",
-    "mm_wave_window_features",
-    "dedup_minhash_pairs_from_index",
-    "sim_cosine_topk_ivf_pq_from_index",
-    "sim_cosine_topk_ivf_sq8_from_index",
-    "stream_events_sliding_rollup",
-    "dedup_modality_agreement",
-    # (emb_top_principal_component, added after the window filled with
-    # tier-0 entries, takes its first driver row in r06 — locally
-    # hash-checked at sf0.001/0.01/0.1 like everything else. The ten
-    # closing-wave entries above displaced retrieval_hybrid_rrf,
-    # dedup_exact_substring_spans, dedup_bloom_blocklist,
-    # graph_pagerank_nation_trade, scd1_current_customer_priority,
-    # q_salted_brand_revenue, curriculum_length_shards,
-    # stream_events_dedup_first_seen, stream_segment_hourly_rollup and
-    # scd2_customer_priority_history to r06 — all locally hash-green at
-    # three SFs; the verdict-demanded rows (sliding rollup, modality
-    # agreement, the from_index serving queries) keep their slots.)
-    # (the forty-three r05 additions above displaced
-    # dedup_embedding_ivf_blocked and stream_user_lifetime_totals (r04-green;
-    # their r05 changes are hash-checked by the local 3-SF sweeps, re-pin
-    # r06 — dedup_modality_agreement keeps its slot because the r05 verdict
-    # explicitly asks for a green driver row on the de-cartesianed join),
-    # rebalance_documents_by_lang (r04-green; its r05 overflow fix is
-    # arithmetically identical below 2^31 docs/language and locally swept),
-    # text_unigram_perplexity
-    # (r04-green; its r05 broadcast-hint removal is hash-identical and
-    # locally swept), dedup_minhash_lsh_pairs
-    # and dedup_minhash_incremental (r04-green; their r05 localCheckpoint
-    # change is hash-checked by the local full-registry sweep, re-pin r06),
-    # q_approx_sketches
-    # (rows-only, re-ran r04; rotates back r06), sim_label_centroid_distance,
-    # sim_cosine_topk_vectorized,
-    # sim_cosine_topk_ivf_trained, text_token_counts, text_doc_stats,
-    # text_langid_heuristic, text_fingerprint,
-    # text_lang_distribution, text_langid_ngram, text_feature_hash_embedding,
-    # text_tfidf_top_terms, q02_cheapest_supplier_per_part (green since r02,
-    # rotate back r06) and the twenty-four-displacement set below:
-    # q07_nation_trade_volume, q08_market_share, q09_profit_by_nation_year,
-    # q11_brand_value_concentration, q12_priority_by_returnflag,
-    # q13_order_count_distribution, q14_promo_revenue_share,
-    # q17_small_quantity_revenue, q18_large_volume_orders,
-    # q19_disjunctive_revenue, q22_idle_rich_customers, q15_top_supplier,
-    # q16_supplier_diversity, q20_bulk_small_part_suppliers,
-    # q21_last_shipper_counts, q_asof_error_to_purchase,
-    # q_range_join_price_bands, q_order_value_quantiles,
-    # q_grouping_sets_revenue, q_kmv_distinct_users, q_kmv_cohort_overlap,
-    # dedup_exact_documents, dedup_keep_first_events and
-    # dedup_simhash_signatures from the 50-entry window; all stay green from
-    # r01-r04 and rotate back in r06)
+    # tier 0: never driver-checked (46 entries)
+    "q_customer_gini_concentration",
+    "dedup_exact_substring_spans",
+    "dedup_bloom_blocklist",
+    "dedup_eval_lsh_quality",
+    "q_bloom_semijoin_pruning",
+    "graph_pagerank_nation_trade",
+    "graph_kcore_docs",
+    "q_events_user_holt",
+    "mm_payload_entropy",
+    "q_salted_brand_revenue",
+    "curriculum_length_shards",
+    "sample_documents_temperature",
+    "split_documents_kfold",
+    "pipeline_user_rolling_features",
+    "q_kanonymity_quasi_id",
+    "q_dp_noisy_counts_by_nation",
+    "emb_top_principal_component",
+    "emb_remove_top_component",
+    "q_multitouch_attribution",
+    "q_user_activity_streaks",
+    "q_item_cf_neighbors",
+    "sim_eval_recall_ivf_probe",
+    "retrieval_hybrid_rrf",
+    "scd2_customer_priority_history",
+    "scd1_current_customer_priority",
+    "q_hll_distinct_users",
+    "q_events_autocorrelation",
+    "q_events_dow_seasonality",
+    "q_chi_square_lang_source",
+    "q_mutual_information_lang_source",
+    "q_orders_benford_digits",
+    "q_customer_rfm_segments",
+    "q_ab_welch_t",
+    "q_revenue_bootstrap_ci",
+    "q_survival_reorder_km",
+    "q_model_gains_table",
+    "stream_events_dedup_first_seen",
+    "stream_segment_hourly_rollup",
+    "stream_events_hll_distinct",
+    "text_langid_confusion",
+    "text_zipf_fit",
+    "text_bigram_perplexity",
+    "text_chunk_documents",
+    "text_rake_keywords",
+    "text_bpe_learn_merges",
+    "text_bpe_apply_merges",
+    # the one r06 registration (verdict stretch #8): late-data watermark
+    # correctness — takes its first driver row immediately so the
+    # every-entry-has-a-row invariant survives the addition
+    "stream_events_late_data_drop",
+    # tier 1: rows-only by nature (re-pin the weaker check)
+    "q_approx_sketches",
+    # tier 2: stalest hash-greens (r02) rotate back; ivf_trained (also r02
+    # green) was displaced by the late-data entry and re-pins r07
+    "sim_label_centroid_distance",
+    "sim_cosine_topk_vectorized",
 ]
 
 

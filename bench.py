@@ -6,10 +6,15 @@ Per-query timing measures full plan execution by materializing with
 ``df.write.format("noop")`` — Spark's sink that executes the whole plan
 without writing (a ``count()`` would let Catalyst prune columns/aggregates).
 
-Each query runs ``SPARK_GRAFT_BENCH_REPS`` times (default 3) and the headline
-number is the per-query MEDIAN; all raw runs are kept in the JSON under
-``"runs"`` so a reviewer can separate drift from noise (a single cold run
-cannot — the r02→r03 ±5% swings were indistinguishable from JVM jitter).
+Each query runs ``SPARK_GRAFT_BENCH_REPS`` times (default 5 — raised from 3
+in r06 to bound the ±24% environment drift the r05 verdict flagged) and the
+headline number is the per-query MEDIAN. Raw per-rep runs, per-query spread,
+and the bucketed-layout second pass go to ``BENCH_DETAIL.json`` beside this
+script (committed per round) — NOT into the stdout line: the r05 stdout JSON
+carried 21 queries x 3 runs plus the bucketed section and overflowed the
+driver's tail capture, so ``BENCH_r05.json`` landed ``parsed: null``. The
+stdout line stays headline-only and the bench session disables the console
+progress bar so no carriage-return spam precedes it.
 """
 
 from __future__ import annotations
@@ -85,11 +90,16 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     from csv_parquet_s3_spark.operators import QUERIES
     from csv_parquet_s3_spark.session import get_spark
 
-    spark = get_spark(app_name="csv_parquet_s3_spark_bench")
+    # No \r progress-bar output: the driver captures the stdout tail and the
+    # r05 progress spam helped push the JSON line out of the capture window.
+    spark = get_spark(
+        app_name="csv_parquet_s3_spark_bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     sf_label = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
     # Warm up JVM/codegen/file-listing once so the first timed query is not
@@ -140,6 +150,32 @@ def main() -> None:
     finally:
         release_bucketed_facts()
 
+    sf = float(sf_label) if sf_label.replace(".", "").isdigit() else sf_label
+
+    # Full detail (raw reps, spread, bucketed pass) goes to a committed file;
+    # the stdout line stays small enough for the driver's tail capture.
+    def spread(rs: dict[str, list[float]]) -> dict[str, float]:
+        return {
+            n: round(max(r) - min(r), 4) for n, r in rs.items() if len(r) > 1
+        }
+
+    detail = {
+        "reps": reps,
+        "sf": sf,
+        "queries": medians,
+        "runs": runs,
+        "spread": spread(runs),
+        "queries_bucketed": bucketed_medians,
+        "runs_bucketed": bucketed_runs,
+        "spread_bucketed": spread(bucketed_runs),
+        "bucketed_total": round(sum(bucketed_medians.values()), 4),
+        "bucketed_layout_sec": bucketed_layout_sec,
+    }
+    with open(os.path.join(REPO_DIR, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+
+    sys.stdout.flush()
     print(
         json.dumps(
             {
@@ -147,15 +183,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": medians,
-                "runs": runs,
                 "reps": reps,
-                "queries_bucketed": bucketed_medians,
-                "runs_bucketed": bucketed_runs,
-                "bucketed_total": round(sum(bucketed_medians.values()), 4),
-                "bucketed_layout_sec": bucketed_layout_sec,
-                "sf": float(sf_label) if sf_label.replace(".", "").isdigit() else sf_label,
+                "bucketed_total": detail["bucketed_total"],
+                "sf": sf,
             }
-        )
+        ),
+        flush=True,
     )
 
 

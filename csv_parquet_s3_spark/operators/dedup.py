@@ -1029,10 +1029,22 @@ def dedup_eval_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: reuses the two registered operators end to end (both
     bucketed/blocked, never n²); the metric join runs on the pair sets,
-    which are output-sized, not corpus-sized.
+    which are output-sized, not corpus-sized. Each pair set is referenced
+    twice (the intersection join and its own count), so both are
+    localCheckpointed — each shingle/signature pipeline executes exactly
+    once, the Spark-side mirror of the oracle's ``AS MATERIALIZED`` CTEs
+    (the r05 plan audit measured 16 scans from the un-checkpointed replay).
     """
-    lsh = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
-    ex = dedup_prefix_filter_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    lsh = (
+        dedup_minhash_lsh_pairs(spark, sf_dir)
+        .select("doc_id_a", "doc_id_b")
+        .localCheckpoint()
+    )
+    ex = (
+        dedup_prefix_filter_pairs(spark, sf_dir)
+        .select("doc_id_a", "doc_id_b")
+        .localCheckpoint()
+    )
     n_common = (
         lsh.join(ex, ["doc_id_a", "doc_id_b"]).agg(F.count("*").alias("n_common"))
     )

@@ -16,6 +16,8 @@ the mechanism, sensitivity bound, and plan shape are unchanged.)
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -69,6 +71,15 @@ def q_kanonymity_quasi_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DP_EPSILON = 1.0  # privacy budget; counting query sensitivity = 1
 
+# Seed for the derandomized Laplace draw. With the default (public) seed the
+# noise is a recomputable function of the released group key, so the release
+# demonstrates the MECHANISM but carries no real privacy guarantee — which is
+# why the output column is ``nominal_epsilon``, not ``epsilon`` (r05 advisor
+# finding). In production, set SPARK_GRAFT_DP_SEED to a secret held by the
+# release authority: the mechanism, sensitivity bound, and plan shape are
+# unchanged, and the ε guarantee then holds against anyone without the seed.
+DP_SEED = os.environ.get("SPARK_GRAFT_DP_SEED", "public-demo-seed")
+
 
 def _lap_expr(u: str) -> str:
     """Inverse-CDF Laplace(b=1/eps) noise from a uniform ``u`` in (0,1):
@@ -82,7 +93,7 @@ def _lap_expr(u: str) -> str:
 
 
 def _dp_oracle() -> str:
-    h = "md5('dp:' || n_name)"
+    h = f"md5('{DP_SEED}' || ':dp:' || n_name)"
     u = f"((CAST({_BLOOM_HEX_INT.format(h=h)} AS DOUBLE) + 0.5) / {16 ** 8})"
     return f"""
     WITH counts AS (
@@ -94,7 +105,7 @@ def _dp_oracle() -> str:
     )
     SELECT n_name,
            CAST(ROUND(c + ({_lap_expr(u)}), 4) AS DOUBLE) AS noisy_count,
-           CAST({DP_EPSILON!r} AS DOUBLE) AS epsilon
+           CAST({DP_EPSILON!r} AS DOUBLE) AS nominal_epsilon
     FROM counts
     """
 
@@ -105,10 +116,12 @@ def q_dp_noisy_counts_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     mechanism: count + Laplace(Δ/ε) with sensitivity Δ=1 (one customer's
     orders change one count by a bounded amount per-group here; a user-level
     guarantee would first cap orders per customer — the composition is
-    noted, not hidden). Noise is drawn through the inverse CDF from an
-    md5-derived uniform, so the release replays identically on every
-    engine — reproducibility a DP audit trail needs, with the seed swapped
-    for a secret in production.
+    noted, not hidden). Noise is drawn through the inverse CDF from a
+    seeded md5 uniform, so the release replays identically on every
+    engine — the reproducibility a DP audit trail needs. The ε column is
+    named ``nominal_epsilon`` because with the default PUBLIC seed anyone
+    can recompute and subtract the noise; the guarantee becomes real only
+    when SPARK_GRAFT_DP_SEED is a secret (see DP_SEED above).
 
     Scale shape: the count aggregate is the only data-sized pass; noise is
     one codegen'd expression per GROUP (25 rows), not per row. The exact
@@ -122,12 +135,12 @@ def q_dp_noisy_counts_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count("*").alias("c"))
     )
-    h = "md5(cast(concat('dp:', n_name) as binary))"
+    h = f"md5(cast(concat('{DP_SEED}', ':dp:', n_name) as binary))"
     u = f"((CAST({_BLOOM_HEX_INT.format(h=h)} AS DOUBLE) + 0.5) / {16 ** 8})"
     return counts.select(
         "n_name",
         F.expr(f"CAST(ROUND(c + ({_lap_expr(u)}), 4) AS DOUBLE)").alias(
             "noisy_count"
         ),
-        F.lit(DP_EPSILON).cast("double").alias("epsilon"),
+        F.lit(DP_EPSILON).cast("double").alias("nominal_epsilon"),
     )

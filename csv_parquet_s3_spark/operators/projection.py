@@ -183,8 +183,12 @@ def emb_top_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     return power_iteration_pc(load_table(spark, sf_dir, "embeddings"))
 
 
-def power_iteration_pc(emb: DataFrame, iters: int = PCA_ITERS) -> DataFrame:
-    """(dim, loading, lambda1) for any (vec_id, embedding) frame."""
+def _centered_cells(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(xc, nv): the localCheckpointed centered cell table (vec_id, dim, xc)
+    and the 1-row corpus count. Checkpointing xc ONCE here is what every
+    consumer (the power iterations, the ABTT removal projection) reuses —
+    without it each downstream reference replays the explode+center lineage
+    from the parquet scan."""
     x = emb.select(
         "vec_id",
         F.posexplode(F.expr("transform(embedding, v -> CAST(v AS DOUBLE))")).alias(
@@ -203,23 +207,56 @@ def power_iteration_pc(emb: DataFrame, iters: int = PCA_ITERS) -> DataFrame:
         .select("vec_id", "dim", F.expr("ROUND(xd - m, 9)").alias("xc"))
         .localCheckpoint()
     )
-    v = mu.select("dim", F.lit(_V0).alias("v"))
+    return xc, nv
+
+
+def _pca_power(xc: DataFrame, iters: int) -> tuple[DataFrame, DataFrame]:
+    """(v, s): unit top-eigenvector estimate (dim, v) and the final per-vector
+    scores (vec_id, s) after ``iters`` power iterations over the checkpointed
+    cell table.
+
+    Every per-iteration intermediate is localCheckpointed so the lazy plan
+    never compounds: without this, computing v_t replays v_{t-1} which
+    replays v_{t-2} — quadratic lineage growth that PLAN_AUDIT measured as
+    222 exchanges / 56 parquet scans for 3 iterations (r05 verdict). The
+    checkpoints are tiny (v, u are dim-sized = 64 rows; s is one row per
+    vector — the standard power-iteration intermediate, 1/dim of the cell
+    table), so each iteration is exactly two passes over the checkpointed
+    cells: xc⋈v → s, xc⋈s → u. Same house discipline as the label-
+    propagation loop in components.py:51-73."""
+    v = (
+        xc.select("dim")
+        .distinct()
+        .select("dim", F.lit(_V0).alias("v"))
+        .localCheckpoint()
+    )
     s = None
     for _ in range(iters):
         s = (
             xc.join(F.broadcast(v), "dim")
             .groupBy("vec_id")
             .agg(F.expr(f"ROUND({_DSUM.format(term='xc * v')}, 9)").alias("s"))
+            .localCheckpoint()
         )
         u = (
             xc.join(s, "vec_id")
             .groupBy("dim")
             .agg(F.expr(f"ROUND({_DSUM.format(term='xc * s')}, 9)").alias("u"))
+            .localCheckpoint()
         )
         nrm = u.agg(F.expr(f"ROUND(SQRT({_DSUM.format(term='u * u')}), 9)").alias("nrm"))
-        v = u.crossJoin(F.broadcast(nrm)).select(
-            "dim", F.expr("ROUND(u / nrm, 9)").alias("v")
+        v = (
+            u.crossJoin(F.broadcast(nrm))
+            .select("dim", F.expr("ROUND(u / nrm, 9)").alias("v"))
+            .localCheckpoint()
         )
+    return v, s
+
+
+def power_iteration_pc(emb: DataFrame, iters: int = PCA_ITERS) -> DataFrame:
+    """(dim, loading, lambda1) for any (vec_id, embedding) frame."""
+    xc, nv = _centered_cells(emb)
+    v, s = _pca_power(xc, iters)
     lam = (
         s.crossJoin(F.broadcast(nv))
         .groupBy("n")
@@ -403,28 +440,17 @@ def emb_remove_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-but-the-top postprocessing (Mu & Viswanath '18): center the
     corpus and subtract each vector's projection onto the dominant PC —
     the cheap fix for the anisotropy that makes raw embedding cosines
-    crowd together. Chains the power-iteration PC unchanged; the removal
-    itself is one broadcast join against the 64-row vector plus a
-    DECIMAL-exact per-vector dot. Output is the corrected corpus in long
-    form, ready for the ANN index build."""
+    crowd together. Reuses the ONE localCheckpointed centered cell table
+    for both the power iterations and the removal projection (the r05 plan
+    audit showed the un-checkpointed second copy replaying the whole PCA
+    lineage per reference — 222 exchanges); the removal itself is one
+    broadcast join against the 64-row vector plus a DECIMAL-exact
+    per-vector dot. Output is the corrected corpus in long form, ready for
+    the ANN index build."""
     emb = load_table(spark, sf_dir, "embeddings")
-    x = emb.select(
-        "vec_id",
-        F.posexplode(F.expr("transform(embedding, v -> CAST(v AS DOUBLE))")).alias(
-            "pos", "xd"
-        ),
-    ).select("vec_id", (F.col("pos") + 1).cast("int").alias("dim"), "xd")
-    nv = x.agg(F.countDistinct("vec_id").alias("n"))
-    mu = (
-        x.crossJoin(F.broadcast(nv))
-        .groupBy("dim", "n")
-        .agg(F.expr(f"ROUND({_DSUM.format(term='xd')} / n, 9)").alias("m"))
-        .select("dim", "m")
-    )
-    xc = x.join(F.broadcast(mu), "dim").select(
-        "vec_id", "dim", F.expr("ROUND(xd - m, 9)").alias("xc")
-    )
-    v6 = power_iteration_pc(emb).select("dim", F.col("loading").alias("v"))
+    xc, _nv = _centered_cells(emb)
+    v, _s = _pca_power(xc, PCA_ITERS)
+    v6 = v.select("dim", F.expr("ROUND(v, 6)").alias("v"))
     proj = (
         xc.join(F.broadcast(v6), "dim")
         .groupBy("vec_id")

@@ -1325,7 +1325,11 @@ def q_user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: distinct user-days (one keyed aggregate), one window and
     one aggregate per user partition — a single shuffle on user_id; the
     corpus-last-day scalar attaches as a broadcast. No self-join, no
-    calendar expansion."""
+    calendar expansion. Hot-key posture: the per-user partition after the
+    DISTINCT is at the (user, day) grain, so it is CALENDAR-bounded —
+    ≤ 366 rows per user per year regardless of how many raw events the
+    user generates (the distinct aggregate absorbs the skew map-side
+    first); no cap is needed because no unbounded partition exists."""
     ev = load_table(spark, sf_dir, "events")
     days = (
         ev.select(
@@ -1361,14 +1365,27 @@ def q_user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CF_TOP_K = 5
+# Super-basket cap: a customer contributes at most this many distinct items
+# to the co-purchase self-join, so one mega-basket can never blow the
+# Σ basket² pair envelope (32² = 1024 pairs max per user). Which items
+# survive is a deterministic hash sample (ORDER BY md5(u:i)) — unbiased
+# w.r.t. item identity and replayable by the oracle.
+CF_MAX_BASKET = 32
 
 
 @register(
     "q_item_cf_neighbors",
     oracle=f"""
-    WITH ui AS (
+    WITH ui_all AS (
         SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
         FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    ui AS (
+        SELECT u, i FROM (
+            SELECT u, i, ROW_NUMBER() OVER (
+                PARTITION BY u ORDER BY md5(u || ':' || i), i) AS rn_cap
+            FROM ui_all
+        ) t WHERE rn_cap <= {CF_MAX_BASKET}
     ),
     pop AS (SELECT i, COUNT(*) AS n FROM ui GROUP BY i),
     co AS (
@@ -1403,16 +1420,36 @@ def q_item_cf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the pair expansion is keyed on the CUSTOMER — per-user
     cross products bounded by basket size (Σ basket², the same envelope as
     triangle counting), never item×item; popularity joins are item-sized.
-    At 100 TB the standard mitigation composes here unchanged: cap or
-    down-sample super-baskets before the self-join (cf.
-    `cap_documents_per_source`), and AQE splits residual hot customers.
-    Per-item partial top-k folds before the final window."""
+    Super-baskets are CAPPED before the self-join: each customer keeps at
+    most {CF_MAX_BASKET} items, chosen by deterministic hash order
+    (`cap_documents_per_source`'s pattern), so the per-user pair count is
+    hard-bounded at {CF_MAX_BASKET}² and no hot customer can dominate a
+    shuffle partition; AQE splits whatever residual skew remains.
+    Popularity is computed over the same capped matrix so the cosine stays
+    internally consistent. Per-item partial top-k folds before the final
+    window."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    ui = (
+    ui_all = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
         .distinct()
+    )
+    ui = (
+        ui_all.withColumn(
+            "rn_cap",
+            F.row_number().over(
+                W.partitionBy("u").orderBy(
+                    F.expr(
+                        "md5(cast(concat(cast(u as string), ':',"
+                        " cast(i as string)) as binary))"
+                    ),
+                    "i",
+                )
+            ),
+        )
+        .filter(F.col("rn_cap") <= CF_MAX_BASKET)
+        .drop("rn_cap")
     )
     pop = ui.groupBy("i").agg(F.count("*").alias("n"))
     a = ui.select("u", F.col("i").alias("item_i"))

@@ -939,9 +939,12 @@ def q_ab_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 BOOT_B = 32  # replicas
 
-# Poisson(1) inverse-CDF breakpoints: P(W<=k) for k=0..4 (then 5+)
+# Poisson(1) inverse-CDF breakpoints: P(W<=k) for k=0..5; the residual tail
+# above P(W<=5) (≈ 5.9e-4) maps to multiplicity 6. The table must run
+# through k=5 — the r05 advisor caught that stopping at k=4 with a catch-all
+# of 6 skipped multiplicity 5 entirely, biasing E[w] to ~1.003.
 _POIS_CDF = (0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
-             0.9810118431238462, 0.9963401531726563)
+             0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
 
 
 def _boot_w(u_expr: str) -> str:

@@ -491,3 +491,126 @@ def stream_events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("exact_distinct")
     )
     return _hll_finalize(spark, drained, ex)
+
+
+# ---------------------------------------------------------------------------
+# Late-data correctness: the one streaming semantics a complete-mode drain
+# can never pin. A planted too-late row must be DROPPED by the watermark,
+# and append mode must emit exactly the windows the final watermark closed.
+# ---------------------------------------------------------------------------
+LATE_DELAY = "1 hour"
+
+
+@register(
+    "stream_events_late_data_drop",
+    # The oracle sees ONLY the real events table — the planted late row does
+    # not exist there. Spark's stream DOES carry the planted row (second
+    # micro-batch, event time far below the watermark); hash equality
+    # therefore proves the watermark dropped it. The WHERE clause replays
+    # append-mode emission: only windows whose end the final watermark
+    # (max event time − delay) has passed are in the sink.
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+    SELECT date_trunc('hour', e.ts) AS hour_start, e.event_type,
+           COUNT(*) AS n_events
+    FROM events e CROSS JOIN wm
+    WHERE date_trunc('hour', e.ts) + INTERVAL 1 HOUR <= wm.w
+    GROUP BY 1, 2
+    """,
+)
+def stream_events_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA semantics pinned differentially: tumbling 1-hour
+    counts in APPEND mode over a 3-micro-batch stream — batch 1 is the real
+    events corpus (the watermark advances to max ts − {LATE_DELAY} when it
+    commits), batch 3 is one planted row whose event time is the corpus
+    minimum, weeks below the watermark. Append emits exactly the closed
+    windows; the planted row's window closed long ago, so the row must be
+    discarded, and the drained sink must equal the batch aggregate of the
+    REAL events alone with the emission cutoff applied — which is what the
+    oracle computes. A green hash is an end-to-end proof of both append
+    emission and late-row drop; ``complete``-mode drains (every other
+    streaming entry here) cannot show either.
+
+    Why THREE batches: since the SPARK-40925 watermark refactor, stateful
+    operators filter late input against the PREVIOUS batch's watermark
+    (``watermarkPredicateForDataForLateEvents``) while evicting state with
+    the current one — so a late row in batch 2 would still be admitted
+    (its filter watermark is batch 1's starting value, 0) and then
+    immediately emitted by eviction. Verified empirically on this Spark
+    build. Batch 2 therefore carries a watermark-neutral row planted AT
+    max ts: it lets one watermark cycle commit, and its own window (the
+    one containing max ts) can never be emitted because that window's end
+    is strictly above the final watermark. Batch 3's probe row then meets
+    a non-zero filter watermark and is dropped as documented.
+
+    Mechanics: the batch sequencing is forced with maxFilesPerTrigger=1
+    over a staging directory of exactly three files whose modification
+    times order them (FileStreamSource processes oldest-first);
+    availableNow honors the per-trigger file cap. The staging copy is a
+    test-harness artifact — in production the stream reads the landing
+    directory directly and the same watermark bounds both state and
+    lateness.
+
+    Scale shape: identical to ``stream_events_hourly_rollup`` — state is
+    (window × event_type)-sized and watermark-bounded; the planted-row
+    machinery adds nothing to the steady-state plan."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    b = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    min_ts, max_ts = b["lo"], b["hi"]  # bounded: 2 scalars
+    staging = tempfile.mkdtemp(prefix="spark_graft_late_")
+    try:
+        main_tmp = os.path.join(staging, "_main")
+        carrier_tmp = os.path.join(staging, "_carrier")
+        late_tmp = os.path.join(staging, "_late")
+        ev.coalesce(1).write.mode("overwrite").parquet(main_tmp)
+        # Watermark carrier: event time = corpus max, so it advances nothing
+        # and its window (end > final watermark by construction) is never
+        # emitted in append mode — sink content is unaffected.
+        carrier = spark.createDataFrame(
+            [(-2, max_ts, -2, "wm_carrier", 0.0)], schema=ev.schema
+        )
+        carrier.coalesce(1).write.mode("overwrite").parquet(carrier_tmp)
+        late = spark.createDataFrame(
+            [(-1, min_ts, -1, "late_probe", 0.0)],
+            schema=ev.schema,
+        )
+        late.coalesce(1).write.mode("overwrite").parquet(late_tmp)
+
+        def _promote(tmp_dir: str, name: str, mtime: int) -> None:
+            part = next(
+                f for f in os.listdir(tmp_dir)
+                if f.endswith(".parquet") and not f.startswith("_")
+            )
+            dst = os.path.join(staging, name)
+            shutil.move(os.path.join(tmp_dir, part), dst)
+            shutil.rmtree(tmp_dir)
+            os.utime(dst, (mtime, mtime))
+
+        _promote(main_tmp, "00_main.parquet", 1_000_000_000)
+        _promote(carrier_tmp, "01_carrier.parquet", 1_000_000_100)
+        _promote(late_tmp, "02_late.parquet", 1_000_000_200)
+
+        schema = spark.read.parquet(os.path.join(staging, "00_main.parquet")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(staging)
+        )
+        agg = (
+            stream.withWatermark("ts", LATE_DELAY)
+            .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                F.col("w.start").alias("hour_start"), "event_type", "n_events"
+            )
+        )
+        return _drain(spark, agg, mode="append")
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
