@@ -270,12 +270,18 @@ def ivf_blocked_pairs(emb: DataFrame) -> DataFrame:
         6,
     ).cast("double")
     w = W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("list_id"))
+    # localCheckpoint: both legs of the shared-cell self-join reference the
+    # assignment, and un-checkpointed each leg replays the centroid
+    # cross-join + per-vector window. The frame is probe×n rows of two ints
+    # — cheap to pin, and at 100 TB the assignment is an index artifact
+    # anyway (similarity_index stores it; this inline variant mirrors that).
     assign = (
         e.crossJoin(F.broadcast(cent))
         .withColumn("csim", csim)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= CELL_ASSIGN)
         .select("vec_id", "list_id")
+        .localCheckpoint()
     )
     a = assign.select(F.col("vec_id").alias("vec_id_a"), "list_id")
     b = assign.select(F.col("vec_id").alias("vec_id_b"), F.col("list_id").alias("list_b"))
@@ -380,8 +386,14 @@ def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         verified_pairs_from_signatures,
     )
 
+    # localCheckpoint before the pair generator — it references the
+    # signature table three times (band join legs + Jaccard verify), and
+    # un-checkpointed each reference replays the shingle pipeline (the
+    # same discipline dedup_minhash_lsh_pairs applies; the r06 audit
+    # measured 10 scans here without it).
+    shingle_sets = signature_table(_shingles(spark, sf_dir)).localCheckpoint()
     tpairs = (
-        verified_pairs_from_signatures(signature_table(_shingles(spark, sf_dir)))
+        verified_pairs_from_signatures(shingle_sets)
         .select(F.col("doc_id_a").alias("id_a"), F.col("doc_id_b").alias("id_b"))
         .withColumn("in_text", F.lit(True))
     )

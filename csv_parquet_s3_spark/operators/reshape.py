@@ -753,11 +753,14 @@ def q_event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one distinct projection (user, type) — the "basket"
     relation — then a self-join keyed on user_id whose volume is
     Σ types-per-user², bounded by the (small) type vocabulary, never by
-    users². Single-division doubles keep the oracle exact.
+    users². Single-division doubles keep the oracle exact. The basket
+    relation is localCheckpointed: the singles counts, both self-join legs
+    and the user total all reference it, and un-checkpointed each replays
+    the corpus-wide distinct (5 scans / 9 exchanges in the r06 audit).
     """
     ev = load_table(spark, sf_dir, "events")
-    per_user = ev.select("user_id", "event_type").distinct()
-    n_users = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    per_user = ev.select("user_id", "event_type").distinct().localCheckpoint()
+    n_users = per_user.agg(F.countDistinct("user_id").alias("n_users"))
     singles = per_user.groupBy("event_type").agg(F.count("*").alias("n"))
     a = per_user.select(F.col("user_id"), F.col("event_type").alias("type_a"))
     b = per_user.select(F.col("user_id"), F.col("event_type").alias("type_b"))

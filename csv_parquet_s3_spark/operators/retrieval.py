@@ -239,13 +239,16 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).filter(F.col("token") != "")
     # Every statistic chains off doc_tf (dl = Σtf per doc, df = row count
-    # per token, stats from dl): each branch still plans its own text scan
-    # (cheap columnar read), but everything SHUFFLED beyond the first
-    # partial aggregate is distinct (doc, token) pairs, not raw token
-    # occurrences — the naive per-branch `toks` formulation shuffles the
-    # full occurrence stream twice more (dl, df) and needs an extra
-    # distinct for qterms.
-    doc_tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    # per token, stats from dl), and doc_tf is localCheckpointed: it is the
+    # index artifact (built once per corpus snapshot at 100 TB), and four
+    # consumers reference it (dl, df, qterms, the scoring join) — without
+    # the checkpoint each replays the tokenize + partial aggregate (the r06
+    # plan audit measured 5 scans / 11 exchanges). Everything SHUFFLED
+    # beyond the first partial aggregate is distinct (doc, token) pairs,
+    # not raw token occurrences.
+    doc_tf = (
+        toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf")).localCheckpoint()
+    )
     dl = doc_tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"),

@@ -384,10 +384,15 @@ def q_chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one groupBy over the corpus, then all arithmetic on the
     |langs|×|sources| cells frame — association testing costs one aggregation
-    regardless of corpus size.
+    regardless of corpus size. The cells frame is localCheckpointed because
+    every marginal (rows_, cols_, tot, dims) references it: without the
+    checkpoint each reference replays the corpus scan+aggregate (the r06
+    plan audit measured 8 scans / 16 exchanges for what is one pass).
     """
     docs = load_table(spark, sf_dir, "documents")
-    cells = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    cells = (
+        docs.groupBy("lang", "source").agg(F.count("*").alias("o")).localCheckpoint()
+    )
     rows_ = cells.groupBy("lang").agg(F.sum("o").alias("rt"))
     cols_ = cells.groupBy("source").agg(F.sum("o").alias("ct"))
     tot = cells.agg(F.sum("o").alias("n"))
@@ -467,9 +472,15 @@ def q_mutual_information_lang_source(spark: SparkSession, sf_dir: str) -> DataFr
     are revealed by its language. Per-cell LN terms are rounded to 6 digits
     and weighted by EXACT integer counts into DECIMAL sums; the single /N and
     normalization happen once at the end in textual IEEE order.
+
+    The cells frame is localCheckpointed — the MI sum, both entropies and
+    the total each reference it, and without the checkpoint each reference
+    replays the corpus aggregate (9 scans / 20 exchanges in the r06 audit).
     """
     docs = load_table(spark, sf_dir, "documents")
-    cells = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    cells = (
+        docs.groupBy("lang", "source").agg(F.count("*").alias("o")).localCheckpoint()
+    )
     rows_ = cells.groupBy("lang").agg(F.sum("o").alias("rt"))
     cols_ = cells.groupBy("source").agg(F.sum("o").alias("ct"))
     tot = cells.agg(F.sum("o").alias("n"))
@@ -1121,16 +1132,24 @@ def q_survival_reorder_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one window to rank orders per customer, one LEFT
     self-join for the second order, then everything is EVENT-TIME-sized
     (distinct durations): the cumulative at-risk window runs over at most
-    |distinct t| rows on one partition — days-sized, not customer-sized."""
+    |distinct t| rows on one partition — days-sized, not customer-sized.
+    The rank-≤2 frame is localCheckpointed (both the first- and
+    second-order legs reference it — un-checkpointed, each replays the
+    orders window), as is the customer-sized durations frame (referenced
+    by the total count and the per-time aggregate)."""
     orders = load_table(spark, sf_dir, "orders")
     wk = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    ranked = orders.select(
-        "o_custkey", "o_orderdate", F.row_number().over(wk).alias("rn")
+    top2 = (
+        orders.select(
+            "o_custkey", "o_orderdate", F.row_number().over(wk).alias("rn")
+        )
+        .filter(F.col("rn") <= 2)
+        .localCheckpoint()
     )
-    f = ranked.filter(F.col("rn") == 1).select(
+    f = top2.filter(F.col("rn") == 1).select(
         "o_custkey", F.col("o_orderdate").alias("d1")
     )
-    s2 = ranked.filter(F.col("rn") == 2).select(
+    s2 = top2.filter(F.col("rn") == 2).select(
         F.col("o_custkey").alias("ck2"), F.col("o_orderdate").alias("d2")
     )
     hz = orders.agg(F.max("o_orderdate").alias("h"))
@@ -1146,6 +1165,7 @@ def q_survival_reorder_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("t"),
             F.when(F.col("d2").isNotNull(), 1).otherwise(0).alias("ev"),
         )
+        .localCheckpoint()
     )
     n_total = durations.agg(F.count("*").alias("n"))
     bytime = durations.groupBy("t").agg(

@@ -1064,8 +1064,10 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the diagonal share is per-language recall; off-diagonal rows name the
     confusable pairs a mixture-rebalancing pipeline must care about).
     Composes the classifier unchanged and adds two |langs|²-bounded
-    aggregations."""
-    preds = text_langid_ngram(spark, sf_dir)
+    aggregations. The prediction frame is localCheckpointed — the per-lang
+    totals and the confusion groupBy each reference it, and without the
+    checkpoint both replay the whole profile-learning classifier."""
+    preds = text_langid_ngram(spark, sf_dir).localCheckpoint()
     tot = preds.groupBy("lang").agg(F.count("*").alias("n_true"))
     return (
         preds.join(F.broadcast(tot), "lang")
@@ -1228,7 +1230,11 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts — LM-sized, not corpus-sized), then a per-doc join against the LM
     tables with no broadcast hint (a web-scale bigram table is not
     broadcastable; AQE picks broadcast while it fits). The positional
-    self-join runs on (doc_id, ord) — co-partitioned, one shuffle.
+    self-join runs on (doc_id, ord) — co-partitioned, one shuffle. The
+    bigram stream and the bg count table are localCheckpointed for the same
+    reason as the KN sibling: bigrams feeds both the LM counts and the
+    per-doc tf table, bg feeds ctx and the scoring join — un-checkpointed,
+    every reference replays the tokenize self-join.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
@@ -1241,9 +1247,9 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = toks.select(
         "doc_id", (F.col("ord") - 1).alias("orda"), F.col("tok").alias("w2")
     )
-    bigrams = a.join(b, ["doc_id", "orda"]).select("doc_id", "w1", "w2")
+    bigrams = a.join(b, ["doc_id", "orda"]).select("doc_id", "w1", "w2").localCheckpoint()
     vocab = toks.agg(F.countDistinct("tok").alias("v"))
-    bg = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    bg = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12")).localCheckpoint()
     ctx = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
     doc_bg = bigrams.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("tf"))
     term = F.round(
@@ -1447,7 +1453,11 @@ def text_bigram_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates with map-side combine, the scoring join is keyed on (w1,w2)
     with no broadcast hint (AQE decides while the LM fits), and the only
     corpus-sized shuffles are the tokenize-position self-join and the
-    per-doc fold."""
+    per-doc fold. The bigram stream is localCheckpointed (it feeds BOTH the
+    LM counts and the per-doc tf table — without the checkpoint each replays
+    the tokenize self-join) and so is the vocab²-sized bg table (referenced
+    by all four LM aggregates and the scoring join: the r06 plan audit
+    measured 12 scans / 14 exchanges from the compounded replays)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -1459,8 +1469,8 @@ def text_bigram_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = toks.select(
         "doc_id", (F.col("ord") - 1).alias("orda"), F.col("tok").alias("w2")
     )
-    bigrams = a.join(b, ["doc_id", "orda"]).select("doc_id", "w1", "w2")
-    bg = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    bigrams = a.join(b, ["doc_id", "orda"]).select("doc_id", "w1", "w2").localCheckpoint()
+    bg = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12")).localCheckpoint()
     ctx = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
     fanout = bg.groupBy("w1").agg(F.count("*").alias("nf"))
     cont = bg.groupBy("w2").agg(F.count("*").alias("np"))
@@ -1576,7 +1586,10 @@ def text_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: same as `text_bigram_perplexity` (LM tables are
     vocabulary-bounded aggregates; scoring is a keyed join, AQE picks the
     strategy) plus one broadcast-sized split frame; the train/test split
-    adds a map-side hash predicate, not a shuffle."""
+    adds a map-side hash predicate, not a shuffle. The token stream is
+    localCheckpointed (the train LM counts, the vocab size, and the test
+    scoring table each re-tokenize the corpus otherwise), as is the bg
+    count table (referenced by ctx and the scoring join)."""
     from csv_parquet_s3_spark.operators.sampling import hash_split
 
     docs = hash_split(load_table(spark, sf_dir, "documents"), "doc_id")
@@ -1586,7 +1599,7 @@ def text_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.filter(F.split("text", " "), lambda x: x != "")).alias(
             "ord", "tok"
         ),
-    )
+    ).localCheckpoint()
     def bigrams_of(t):
         a = t.select(
             "doc_id", F.col("ord").alias("orda"), F.col("tok").alias("w1")
@@ -1598,7 +1611,12 @@ def text_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tr_toks = toks.filter(F.col("split") == "train").drop("split")
     te_toks = toks.filter(F.col("split") == "test").drop("split")
-    bg = bigrams_of(tr_toks).groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    bg = (
+        bigrams_of(tr_toks)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .localCheckpoint()
+    )
     ctx = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = tr_toks.agg(F.countDistinct("tok").alias("v"))
     doc_bg = (
