@@ -815,13 +815,16 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id joins, no second pass over exploded shingle rows. The document-
     frequency computation doubles as the blocking filter, so the whole plan
     is: one shingle aggregation, one df aggregation, the rare-bucket
-    self-join (AQE-skew-safe), then bounded array math per candidate."""
-    sh = _shingles(spark, sf_dir)
+    self-join (AQE-skew-safe), then bounded array math per candidate. The
+    shingle frame is localCheckpointed (df counts, the blocking join and
+    the verification sets each reference it) and so is the rare-blocked
+    frame (both self-join legs read it)."""
+    sh = _shingles(spark, sf_dir).localCheckpoint()
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("n_df"))
     rare = dfreq.filter(
         (F.col("n_df") >= 2) & (F.col("n_df") <= CONTAINMENT_MAX_DF)
     ).select("shingle")
-    blocked = sh.join(rare, "shingle")
+    blocked = sh.join(rare, "shingle").localCheckpoint()
     cand = (
         blocked.select("shingle", F.col("doc_id").alias("doc_id_a"))
         .join(
@@ -928,7 +931,15 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def prefix_filter_pairs(sh: DataFrame) -> DataFrame:
     """Exact Jaccard-≥-τ pairs from a (doc_id, shingle) frame (see
-    `dedup_prefix_filter_pairs` for the registered documents instance)."""
+    `dedup_prefix_filter_pairs` for the registered documents instance).
+
+    The shingle frame is localCheckpointed on entry — four consumers
+    reference it (sizes, df counts, the ranking join, the verification
+    sets), and un-checkpointed each replays the shingle explode (the
+    Spark mirror of the oracle's ``AS MATERIALIZED`` shingles CTE). The
+    prefix table is checkpointed too: both self-join legs read it, and it
+    is the small end of the pipeline (rarest ⌈n/2⌉+1 shingles per doc)."""
+    sh = sh.localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     ranked = (
@@ -939,8 +950,10 @@ def prefix_filter_pairs(sh: DataFrame) -> DataFrame:
             F.row_number().over(W.partitionBy("doc_id").orderBy("df", "shingle")),
         )
     )
-    prefix = ranked.filter(F.expr("rn <= n - (n + 1) div 2 + 1")).select(
-        "doc_id", "shingle", "n"
+    prefix = (
+        ranked.filter(F.expr("rn <= n - (n + 1) div 2 + 1"))
+        .select("doc_id", "shingle", "n")
+        .localCheckpoint()
     )
     pa = prefix.select(
         "shingle", F.col("doc_id").alias("doc_id_a"), F.col("n").alias("pn_a")

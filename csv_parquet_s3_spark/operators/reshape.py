@@ -1438,6 +1438,11 @@ def q_item_cf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
         .distinct()
     )
+    # localCheckpoint: the capped basket relation feeds the popularity
+    # counts and BOTH self-join legs — un-checkpointed, each of the three
+    # replays the join+distinct+cap-window pipeline (8 scans in the r06
+    # audit). The materialized frame is the distinct interaction matrix,
+    # the standard CF intermediate.
     ui = (
         ui_all.withColumn(
             "rn_cap",
@@ -1453,6 +1458,7 @@ def q_item_cf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn_cap") <= CF_MAX_BASKET)
         .drop("rn_cap")
+        .localCheckpoint()
     )
     pop = ui.groupBy("i").agg(F.count("*").alias("n"))
     a = ui.select("u", F.col("i").alias("item_i"))

@@ -645,9 +645,20 @@ def sim_eval_recall_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     index deployment watches, computed by composing the two searches
     unchanged and intersecting their top-k sets (a |Q|·k join). Driver-
     checkable because both searches are deterministic; at 100 TB the exact
-    side runs on a sampled query set, which is exactly this shape."""
-    exact = sim_cosine_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
-    approx = sim_cosine_topk_ivf_probe(spark, sf_dir).select("query_id", "vec_id")
+    side runs on a sampled query set, which is exactly this shape. Both
+    top-k sets are localCheckpointed (|Q|·k rows): the exact side feeds the
+    hit join AND the query spine, and un-checkpointed each reference
+    replays the whole corpus search."""
+    exact = (
+        sim_cosine_topk_bruteforce(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .localCheckpoint()
+    )
+    approx = (
+        sim_cosine_topk_ivf_probe(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .localCheckpoint()
+    )
     hits = (
         exact.join(approx, ["query_id", "vec_id"])
         .groupBy("query_id")
