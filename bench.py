@@ -85,6 +85,14 @@ HEADLINE = [
     # round-over-round common set stays comparable; the delta between the
     # two is the price of the refine join.
     "sim_cosine_topk_ivf_pq_refine",
+    # r06 additions: the two scale-relevant operator families the headline
+    # did not yet represent — lexical retrieval (BM25 over the checkpointed
+    # doc-term index) and language modeling (interpolated Kneser-Ney bigram
+    # perplexity, the heaviest text shape: tokenize self-join + four LM
+    # tables + per-doc scoring join). Round-over-round comparisons use the
+    # common-query intersection, so additions don't skew the trend.
+    "retrieval_bm25_topk",
+    "text_bigram_kn_perplexity",
 ]
 
 
