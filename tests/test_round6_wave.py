@@ -148,6 +148,87 @@ def test_poisson_inverse_cdf_hits_all_multiplicities():
 
 
 # ---------------------------------------------------------------------------
+# k-fold assignment: the folds partition the corpus
+# ---------------------------------------------------------------------------
+def test_kfold_partitions_corpus(spark):
+    from csv_parquet_s3_spark.operators import QUERIES
+    from csv_parquet_s3_spark.operators.sampling import KFOLD_K
+    from csv_parquet_s3_spark.sources.tables import load_table
+
+    rows = QUERIES["split_documents_kfold"](spark, SF).collect()
+    assert {r["fold"] for r in rows} <= set(range(KFOLD_K))
+    n_docs = load_table(spark, SF, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs  # disjoint + exhaustive
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], 0.0)
+        by_lang[r["lang"]] += r["lang_share"]
+    for lang, s in by_lang.items():
+        assert abs(s - 1.0) < 1e-4, f"{lang} fold shares do not sum to 1"
+
+
+# ---------------------------------------------------------------------------
+# Temperature sampling: smallest language survives whole; keep rates order
+# inversely to corpus size
+# ---------------------------------------------------------------------------
+def test_temperature_sampling_keep_rates(spark):
+    from csv_parquet_s3_spark.operators import QUERIES
+    from csv_parquet_s3_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    full = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept_rows = QUERIES["sample_documents_temperature"](spark, SF).collect()
+    kept = {}
+    for r in kept_rows:
+        kept[r["lang"]] = kept.get(r["lang"], 0) + 1
+    n_min = min(full.values())
+    smallest = [lang for lang, n in full.items() if n == n_min]
+    for lang in smallest:  # rate (n_min/n_l)^(1-alpha) = 1.0 exactly
+        assert kept.get(lang, 0) == full[lang], "smallest language must keep all"
+    # keep RATE is non-increasing in language size (monotone thresholds)
+    rates = sorted(((full[lang], kept.get(lang, 0) / full[lang]) for lang in full))
+    for (n_a, r_a), (n_b, r_b) in zip(rates, rates[1:]):
+        if n_a < n_b:
+            assert r_a >= r_b - 0.12  # binomial slack at sf0.001 counts
+
+
+# ---------------------------------------------------------------------------
+# Activity streaks: independent Python re-derivation
+# ---------------------------------------------------------------------------
+def test_streaks_match_python_rederivation(spark):
+    from csv_parquet_s3_spark.operators import QUERIES
+    from csv_parquet_s3_spark.sources.tables import load_table
+
+    got = {
+        r["user_id"]: (r["longest_streak_days"], r["n_streaks"], r["current_streak_days"])
+        for r in QUERIES["q_user_activity_streaks"](spark, SF).collect()
+    }
+    days = (
+        load_table(spark, SF, "events")
+        .select("user_id", F.expr("CAST(date_trunc('day', ts) AS DATE)").alias("d"))
+        .distinct()
+        .collect()
+    )
+    by_user = {}
+    for r in days:
+        by_user.setdefault(r["user_id"], set()).add(r["d"])
+    corpus_last = max(d for s in by_user.values() for d in s)
+    for user, ds in by_user.items():
+        ordered = sorted(ds)
+        runs, run = [], [ordered[0]]
+        for a, b in zip(ordered, ordered[1:]):
+            if (b - a).days == 1:
+                run.append(b)
+            else:
+                runs.append(run)
+                run = [b]
+        runs.append(run)
+        longest = max(len(r) for r in runs)
+        current = len(runs[-1]) if runs[-1][-1] == corpus_last else 0
+        assert got[user] == (longest, len(runs), current), f"user {user}"
+
+
+# ---------------------------------------------------------------------------
 # DP release honesty
 # ---------------------------------------------------------------------------
 def test_dp_release_schema_and_seed(spark):
