@@ -892,7 +892,13 @@ def q_bloom_semijoin_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle reproduces the exact same false positives."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    keys = orders.filter(F.expr(RF_PRED)).select("o_orderkey")
+    # localCheckpoint the two shared frames: keys feeds the Bloom build, the
+    # exact semi-join truth arm, and the key count; probe feeds both the
+    # Bloom probe and the truth arm — un-checkpointed, each reference
+    # replays the orders filter / lineitem distinct (5 scans in the r06
+    # audit). Consistency also matters here: both measurement arms must see
+    # the SAME materialized probe set.
+    keys = orders.filter(F.expr(RF_PRED)).select("o_orderkey").localCheckpoint()
     build_pos = [
         F.expr(_rf_pos(i, "CAST(o_orderkey AS STRING)", "spark")).alias(f"p{i}")
         for i in range(RF_K)
@@ -908,7 +914,7 @@ def q_bloom_semijoin_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mask")
         )
     )
-    probe = li.select(F.col("l_orderkey").alias("k")).distinct()
+    probe = li.select(F.col("l_orderkey").alias("k")).distinct().localCheckpoint()
     probe_pos = [
         F.expr(_rf_pos(i, "CAST(k AS STRING)", "spark")).alias(f"p{i}")
         for i in range(RF_K)

@@ -825,10 +825,14 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving user, never the raw event stream.
     """
     ev = load_table(spark, sf_dir, "events")
+    # localCheckpoint: each stage frame feeds BOTH the next stage's join and
+    # the final count — un-checkpointed, the p-count replays the v and c
+    # chains from the events scan (6 scans in the r06 audit for 3 stages).
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
+        .localCheckpoint()
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -836,6 +840,7 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
+        .localCheckpoint()
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")

@@ -1250,6 +1250,9 @@ def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("tts") >= F.expr(f"pts - INTERVAL {ATTR_LOOKBACK_H} HOURS")),
     )
     wp = W.partitionBy("pe")
+    # localCheckpoint: the ranked frame feeds all three model branches —
+    # un-checkpointed, each branch replays the purchase×touch join and the
+    # three windows (6 scans in the r06 audit).
     j = j.select(
         "pe",
         "value",
@@ -1259,7 +1262,7 @@ def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(wp.orderBy(F.desc("tts"), F.desc("te")))
         .alias("rn_last"),
-    )
+    ).localCheckpoint()
     dec = "decimal(20,6)"
     linear = j.select(
         "touch_type",

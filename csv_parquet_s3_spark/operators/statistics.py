@@ -1286,12 +1286,15 @@ def q_model_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         F.when(F.col("rk").isNotNull(), 1).otherwise(0).alias("label"),
     )
+    # localCheckpoint: the base-rate aggregate and the per-decile aggregate
+    # both read the scored frame — un-checkpointed, each replays the label
+    # semi-join + global NTILE window.
     scored = labels.select(
         "label",
         F.ntile(10)
         .over(W.orderBy(F.desc("c_acctbal"), "c_custkey"))
         .alias("decile"),
-    )
+    ).localCheckpoint()
     base = scored.agg(
         F.count("*").alias("n_all"), F.sum("label").alias("pos_all")
     )

@@ -1015,7 +1015,10 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", F.split("text", " ").alias("toks"))
     tok = t.select(F.explode("toks").alias("token"))
-    uni = tok.groupBy("token").agg(F.count("*").alias("n"))
+    # localCheckpoint the vocab-sized count tables: uni feeds the total and
+    # both unigram join legs, bi feeds its total and the scoring filter —
+    # un-checkpointed, each reference replays the corpus tokenization.
+    uni = tok.groupBy("token").agg(F.count("*").alias("n")).localCheckpoint()
     tot = uni.agg(F.sum("n").cast("bigint").alias("n_tokens"))
     # size<2 guard: Spark's sequence(0, size-2) DESCENDS when size<2
     # (emitting [0,-1]) instead of returning empty like DuckDB's range.
@@ -1032,6 +1035,7 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("n_pair"))
+        .localCheckpoint()
     )
     btot = bi.agg(F.sum("n_pair").cast("bigint").alias("n_bigrams"))
     u1 = uni.select(F.col("token").alias("w1"), F.col("n").alias("n1"))
@@ -1746,10 +1750,18 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
         ).alias("p0", "tok"),
     ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
-    content = toks.filter(~F.col("tok").isin(*STOPWORDS)).withColumn(
-        "grp",
-        F.col("pos")
-        - F.row_number().over(W.partitionBy("doc_id").orderBy("pos")),
+    # localCheckpoint the two shared frames: content feeds the island
+    # aggregate and both scoring joins, phr feeds the word stats and the
+    # phrase scoring — un-checkpointed, each reference replays the
+    # tokenize + stopword-island window (4 scans in the r06 audit).
+    content = (
+        toks.filter(~F.col("tok").isin(*STOPWORDS))
+        .withColumn(
+            "grp",
+            F.col("pos")
+            - F.row_number().over(W.partitionBy("doc_id").orderBy("pos")),
+        )
+        .localCheckpoint()
     )
     phr = content.groupBy("doc_id", "grp").agg(
         F.expr(
@@ -1757,7 +1769,7 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             " x -> x.tok), ' ')"
         ).alias("phrase"),
         F.count("*").alias("plen"),
-    )
+    ).localCheckpoint()
     wstat = (
         content.join(phr, ["doc_id", "grp"])
         .groupBy("tok")
