@@ -119,6 +119,46 @@ def main() -> None:
 
     runs: dict[str, list[float]] = {}
     medians: dict[str, float] = {}
+
+    # Hardware calibration anchors, immune to this repo's code evolution:
+    # (a) a pure-JVM whole-stage-codegen loop (no IO), (b) a raw full scan
+    # of the largest table. Run BEFORE and AFTER the query loop: delivered
+    # host CPU throughput fluctuates ±15% on minute timescales with zero
+    # guest-visible steal (measured r06 — two identical back-to-back bench
+    # runs differed ×1.45 with no code change; r04→r05/r06 moved ALL
+    # unchanged queries ×1.25 in lockstep). Query medians divided by the
+    # calibration decompose round-over-round drift into machine speed vs
+    # plan regressions; pre/post disagreement flags a run that straddled a
+    # speed shift. See NOTES_NEXT_ROUND.md.
+    def calibrate(tag: str) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for cname, thunk in (
+            (
+                "jvm",
+                lambda: spark.range(500_000_000)
+                .selectExpr("sum(id * 2)")
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+            ),
+            (
+                "scan",
+                lambda: load_table(spark, sf_dir, "lineitem")
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+            ),
+        ):
+            per_run = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                thunk()
+                per_run.append(round(time.perf_counter() - t0, 4))
+            runs[f"calib_{cname}_{tag}"] = per_run
+            out[f"{cname}_{tag}"] = round(statistics.median(per_run), 4)
+        return out
+
+    calib = calibrate("pre")
     for name in HEADLINE:
         fn = QUERIES[name]
         per_run: list[float] = []
@@ -158,6 +198,8 @@ def main() -> None:
     finally:
         release_bucketed_facts()
 
+    calib.update(calibrate("post"))
+
     sf = float(sf_label) if sf_label.replace(".", "").isdigit() else sf_label
 
     # Full detail (raw reps, spread, bucketed pass) goes to a committed file;
@@ -178,6 +220,7 @@ def main() -> None:
         "spread_bucketed": spread(bucketed_runs),
         "bucketed_total": round(sum(bucketed_medians.values()), 4),
         "bucketed_layout_sec": bucketed_layout_sec,
+        "calib": calib,
     }
     with open(os.path.join(REPO_DIR, "BENCH_DETAIL.json"), "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
@@ -193,6 +236,7 @@ def main() -> None:
                 "queries": medians,
                 "reps": reps,
                 "bucketed_total": detail["bucketed_total"],
+                "calib": calib,
                 "sf": sf,
             }
         ),
