@@ -341,8 +341,12 @@ def q_kmv_cohort_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id")
         )
 
-    a = cohort("error").withColumn("in_a", F.lit(True))
-    b = cohort("purchase").withColumn("in_b", F.lit(True))
+    # localCheckpoint: each cohort feeds both the KMV union frame and the
+    # exact-intersection accuracy reference — un-checkpointed, each
+    # reference replays the events scan + cohort aggregation (4 scans in
+    # the r06 audit for 2 cohort builds).
+    a = cohort("error").withColumn("in_a", F.lit(True)).localCheckpoint()
+    b = cohort("purchase").withColumn("in_b", F.lit(True)).localCheckpoint()
     u = (
         a.join(b, "user_id", "full_outer")
         .select(
@@ -521,15 +525,25 @@ def q_open_orders_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_orderdate")
         .agg(F.max("l_shipdate").alias("closed"))
     )
+    # Both delta rows emit from ONE pass over bounds (map-side explode) —
+    # a two-leg union would reference bounds twice and replay the
+    # orders⋈lineitem join per leg (4 scans in the r06 audit).
     deltas = bounds.select(
-        F.col("o_orderdate").alias("day"),
-        F.lit(1).alias("opened"),
-        F.lit(0).alias("closed_d"),
-    ).unionAll(
-        bounds.select(
-            F.col("closed").alias("day"), F.lit(0).alias("opened"), F.lit(1).alias("closed_d")
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("o_orderdate").alias("day"),
+                    F.lit(1).alias("opened"),
+                    F.lit(0).alias("closed_d"),
+                ),
+                F.struct(
+                    F.col("closed").alias("day"),
+                    F.lit(0).alias("opened"),
+                    F.lit(1).alias("closed_d"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.day", "d.opened", "d.closed_d")
     daily = deltas.groupBy("day").agg(
         F.sum("opened").cast("bigint").alias("n_opened"),
         F.sum("closed_d").cast("bigint").alias("n_closed"),

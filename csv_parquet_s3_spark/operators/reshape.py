@@ -1337,6 +1337,9 @@ def q_user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     user generates (the distinct aggregate absorbs the skew map-side
     first); no cap is needed because no unbounded partition exists."""
     ev = load_table(spark, sf_dir, "events")
+    # localCheckpoint: days feeds both the islands window and the
+    # corpus-last-day scalar — un-checkpointed, the scalar replays the
+    # events scan + distinct shuffle.
     days = (
         ev.select(
             "user_id",
@@ -1345,6 +1348,7 @@ def q_user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("di"),
         )
         .distinct()
+        .localCheckpoint()
     )
     isl = days.withColumn(
         "grp",
