@@ -103,13 +103,17 @@ def pipeline_corpus_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn1") == 1)
         .select("doc_id", "text", "lang", "source", "n_chars")
     )
+    # localCheckpoint: s2 feeds both the language counts and the final
+    # rebalance filter — un-checkpointed, each reference replays the
+    # content-digest dedup window shuffle; counts likewise feeds the target
+    # scalar and the thresholds.
     s2 = s1.filter(
         F.expr(
             f"{_DOC_HASH_SPARK} * {QUALITY_SCALE}"
             f" < least(n_chars, {QUALITY_SCALE}) * {16 ** 8}"
         )
-    )
-    counts = s2.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    ).localCheckpoint()
+    counts = s2.groupBy("lang").agg(F.count("*").alias("n_lang")).localCheckpoint()
     target = counts.agg(F.min("n_lang").alias("t"))
     thr = counts.crossJoin(F.broadcast(target)).select(
         "lang",

@@ -201,7 +201,9 @@ def rebalance_documents_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixture-reweighting step of a training-data pipeline, with no collect
     and no RNG."""
     docs = load_table(spark, sf_dir, "documents")
-    counts = docs.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    # localCheckpoint: counts feeds both the target scalar and the
+    # thresholds — un-checkpointed, each replays the corpus aggregation.
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_lang")).localCheckpoint()
     target = counts.agg(F.min("n_lang").alias("t"))
     thresholds = counts.crossJoin(F.broadcast(target)).select(
         "lang",
@@ -486,7 +488,10 @@ def sample_documents_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     one |langs|-row aggregation broadcast back onto a map-only filter.
     """
     docs = load_table(spark, sf_dir, "documents")
-    counts = docs.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    # localCheckpoint: the |langs|-row counts frame feeds both the min
+    # scalar and the thresholds — un-checkpointed, each replays the corpus
+    # aggregation.
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_lang")).localCheckpoint()
     nmin = counts.agg(F.min("n_lang").alias("nm"))
     rate = F.round(
         F.pow(F.col("nm").cast("double") / F.col("n_lang"), 1 - TEMP_ALPHA), 9

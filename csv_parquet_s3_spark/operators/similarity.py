@@ -231,6 +231,9 @@ def sim_cosine_topk_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     by its probed lists, never the full corpus.
     """
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    # localCheckpoint: the K-row centroid frame is broadcast into BOTH the
+    # corpus assignment and the query probe — un-checkpointed, each
+    # broadcast replays the centroid extraction scan.
     cent = (
         emb.filter(
             (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + K_LISTS)
@@ -240,6 +243,7 @@ def sim_cosine_topk_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vd").alias("cv"),
             F.col("norm").alias("cnorm"),
         )
+        .localCheckpoint()
     )
     cent_sim = F.round(
         _dot(F.col("vd"), F.col("cv")) / (F.col("norm") * F.col("cnorm")), 6

@@ -982,19 +982,15 @@ def _boot_oracle() -> str:
                    AS m
         FROM reps GROUP BY b
     ),
-    ranked AS (
-        SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS rn FROM means
-    ),
+    ext AS (SELECT MIN(m) AS ci_lo, MAX(m) AS ci_hi FROM means),
     base AS (
         SELECT CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
                    AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS sample_mean
         FROM orders
     )
-    SELECT base.sample_mean,
-           (SELECT m FROM ranked WHERE rn = 1) AS ci_lo,
-           (SELECT m FROM ranked WHERE rn = {BOOT_B}) AS ci_hi,
+    SELECT base.sample_mean, ext.ci_lo, ext.ci_hi,
            CAST({BOOT_B} AS INT) AS n_replicas
-    FROM base
+    FROM base, ext
     """
 
 
@@ -1033,26 +1029,23 @@ def q_revenue_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "m"
         )
     )
-    ranked = means.select(
-        "m", F.row_number().over(W.orderBy("m", "b")).alias("rn")
+    # One MIN/MAX aggregate over the B replica means — the earlier global
+    # row_number window was referenced twice (lo, hi) and replayed the full
+    # corpus × B expansion per reference (3 scans in the r06 audit).
+    ext = means.agg(
+        F.min("m").alias("ci_lo"), F.max("m").alias("ci_hi")
     )
-    lo = ranked.filter(F.col("rn") == 1).select(F.col("m").alias("ci_lo"))
-    hi = ranked.filter(F.col("rn") == BOOT_B).select(F.col("m").alias("ci_hi"))
     base = orders.agg(
         F.expr(
             "CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)"
             " / COUNT(*), 6) AS DOUBLE)"
         ).alias("sample_mean")
     )
-    return (
-        base.crossJoin(F.broadcast(lo))
-        .crossJoin(F.broadcast(hi))
-        .select(
-            "sample_mean",
-            "ci_lo",
-            "ci_hi",
-            F.lit(BOOT_B).cast("int").alias("n_replicas"),
-        )
+    return base.crossJoin(F.broadcast(ext)).select(
+        "sample_mean",
+        "ci_lo",
+        "ci_hi",
+        F.lit(BOOT_B).cast("int").alias("n_replicas"),
     )
 
 

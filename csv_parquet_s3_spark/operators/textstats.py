@@ -337,8 +337,17 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).filter(F.col("token") != "")
-    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    # localCheckpoint tf and derive df FROM it: tf's grain is one row per
+    # (doc, token), so rows-per-token IS the document frequency — the
+    # separate countDistinct pass replayed the whole tokenization. n_docs
+    # stays on the documents table (count-only scan; tf would miss
+    # token-less documents).
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
+    )
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.join(F.broadcast(df), "token")
@@ -460,11 +469,15 @@ def text_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # localCheckpoint: the distinct gram set feeds the benchmark side and
+    # the train side (which itself feeds the hit and total aggregates) —
+    # un-checkpointed, each branch replays the explode + distinct shuffle.
     doc_grams = (
         docs.select("doc_id", F.split("text", " ").alias("toks"))
         .filter(F.size("toks") >= REPETITION_NGRAM)
         .select("doc_id", F.explode(F.expr(_NGRAMS_SQL)).alias("g"))
         .distinct()
+        .localCheckpoint()
     )
     is_bench = F.col("doc_id") % BENCHMARK_MOD == 0
     bench = doc_grams.filter(is_bench).select("g").distinct()
@@ -611,8 +624,11 @@ def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).filter(F.col("token") != "")
-    vocab = toks.groupBy("token").agg(F.count("*").alias("cnt"))
-    total = toks.agg(F.count("*").alias("n_total"))
+    # localCheckpoint the vocab-sized LM table (house discipline, same as
+    # the bigram family) and derive the corpus total FROM it — otherwise
+    # vocab and total each replay the tokenization pass.
+    vocab = toks.groupBy("token").agg(F.count("*").alias("cnt")).localCheckpoint()
+    total = vocab.agg(F.sum("cnt").cast("bigint").alias("n_total"))
     doc_tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     tok_nll = F.round(
         F.log(F.col("n_total").cast("double") / F.col("cnt")), 6
