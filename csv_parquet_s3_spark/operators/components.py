@@ -410,10 +410,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(e3, (F.col("a") == F.col("a3")) & (F.col("c2") == F.col("c3")))
         .select("a", "b", F.col("c2").alias("c"))
     )
-    members = (
-        tri.select(F.col("a").alias("doc_id"))
-        .unionAll(tri.select(F.col("b").alias("doc_id")))
-        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    # All three members emit from ONE pass over tri (map-side explode) —
+    # a three-leg union references tri three times and replays the two
+    # triangle joins per leg (6 sort-merge joins in the r06 audit).
+    members = tri.select(
+        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("doc_id")
     )
     return members.groupBy("doc_id").agg(F.count("*").alias("n_triangles"))
 
