@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from csv_parquet_s3_spark.operators.advanced import (
     _DIGEST_COLS_SPARK,
     _KMV_HEX_INT,
+    fk_edge_audit,
     q_fk_orphan_audit,
     q_open_orders_daily,
     q_table_content_digest,
@@ -57,12 +58,35 @@ def test_fk_audit_all_edges_clean_and_fires_on_orphans(spark):
     assert len(rows) == 5
     assert all(r.n_orphans == 0 for r in rows.values())
     assert all(r.n_child_rows > 0 for r in rows.values())
-    # the anti-join really fires: drop half the parents, orphans appear
+    # the audit really fires: drop half the parents, orphans appear
     orders = load_table(spark, SF, "orders")
     li = load_table(spark, SF, "lineitem")
     half = orders.filter(F.col("o_orderkey") % 2 == 0)
-    n = li.join(half, li.l_orderkey == half.o_orderkey, "left_anti").count()
-    assert n > 0
+    fired = fk_edge_audit(li, "l_orderkey", half, "o_orderkey", "e").collect()[0]
+    assert fired.n_orphans > 0
+    assert fired.n_child_rows == li.count()
+
+
+def test_fk_edge_audit_not_exists_semantics(spark):
+    """NOT EXISTS semantics of the single-pass audit on planted data:
+    NULL child keys count as orphans, duplicate parent keys do NOT
+    multiply the child count, and counts are exact."""
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (None,), (9,)], "k int"
+    )
+    parent = spark.createDataFrame([(1,), (1,), (2,), (3,)], "p int")
+    r = fk_edge_audit(child, "k", parent, "p", "edge").collect()[0]
+    # 5 child rows survive the join exactly once each (dup parent key 1
+    # is deduped); orphans = the NULL key + the unmatched 9.
+    assert r.n_child_rows == 5
+    assert r.n_orphans == 2
+
+
+def test_fk_edge_audit_empty_child(spark):
+    child = spark.createDataFrame([], "k int")
+    parent = spark.createDataFrame([(1,)], "p int")
+    r = fk_edge_audit(child, "k", parent, "p", "edge").collect()[0]
+    assert r.n_child_rows == 0 and r.n_orphans == 0
 
 
 def test_open_orders_conservation(spark):
