@@ -453,10 +453,14 @@ def sketch_countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("rb.row_id").alias("row_id"), F.col("rb.bucket").alias("bucket"))
         .agg(F.sum("n").cast("bigint").alias("cell"))
     )
+    # Distributed top-k (TakeOrderedAndProject) + rank over the 10
+    # survivors — not a global rank window over the |users|-sized frame.
     wk = W.orderBy(F.desc("n"), F.asc("user_id"))
-    top = keyc.select(
-        "user_id", "n", F.row_number().over(wk).alias("rk")
-    ).filter(F.col("rk") <= 10)
+    top = (
+        keyc.orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(10)
+        .select("user_id", "n", F.row_number().over(wk).alias("rk"))
+    )
     probe = top.select(
         "rk", "user_id", "n", F.explode(rows).alias("rb")
     ).select("rk", "user_id", "n", F.col("rb.row_id").alias("p_row"), F.col("rb.bucket").alias("p_bucket"))

@@ -911,9 +911,15 @@ def q_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("max_n"),
         F.round(F.expr("CAST(SUM(n) AS DOUBLE)") / F.count("*"), 6).alias("mean_n"),
     )
+    # Distributed top-k: orderBy().limit() plans as TakeOrderedAndProject
+    # (per-partition heaps + merge); the rank window then runs over the 10
+    # survivors only — ranking the full |users|-sized frame would move it
+    # all to ONE partition (WindowExec's no-partition warning).
     wk = W.orderBy(F.desc("n"), F.asc("user_id"))
-    topk = freq.select("user_id", "n", F.row_number().over(wk).alias("rk")).filter(
-        F.col("rk") <= 10
+    topk = (
+        freq.orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(10)
+        .select("user_id", "n", F.row_number().over(wk).alias("rk"))
     )
     return topk.crossJoin(F.broadcast(stats)).select(
         F.col("rk").alias("rank"),

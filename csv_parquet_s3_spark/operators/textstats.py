@@ -1808,9 +1808,13 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_occurrences"),
         F.max("sc").cast("double").alias("rake_score"),
     )
+    # Distributed top-k (TakeOrderedAndProject) + rank over the K
+    # survivors — not a global rank window over the corpus-sized phrase
+    # table.
     wr = W.orderBy(F.desc("rake_score"), "phrase")
     return (
-        agg.withColumn("rnk", F.row_number().over(wr).cast("int"))
-        .filter(F.col("rnk") <= RAKE_TOP_K)
+        agg.orderBy(F.desc("rake_score"), "phrase")
+        .limit(RAKE_TOP_K)
+        .withColumn("rnk", F.row_number().over(wr).cast("int"))
         .select("phrase", "n_words", "n_occurrences", "rake_score", "rnk")
     )
