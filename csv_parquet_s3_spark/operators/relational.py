@@ -388,6 +388,16 @@ def q_window_top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
 )
 def q_window_supplier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full supplier leaderboard: rank, dense rank, and revenue gap to the
+    previous supplier over the GLOBAL revenue order.
+
+    Scale shape: the window runs over the per-supplier aggregate
+    (|suppliers| rows), never the fact table — but a total global ordering
+    with LAG is the semantics, so the frame is one ordered partition by
+    definition. When |suppliers| itself outgrows one executor, the
+    two-phase pattern applies (range-partitioned sort, per-partition
+    ranks, broadcast per-partition offsets); for top-k outputs use
+    orderBy().limit(k) instead (see q_join_key_skew_profile)."""
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_suppkey").agg(F.expr(money_sum(REVENUE, "revenue")))
     w = W.orderBy(F.desc("revenue"), F.asc("l_suppkey"))
