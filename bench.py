@@ -86,12 +86,17 @@ HEADLINE = [
     # two is the price of the refine join.
     "sim_cosine_topk_ivf_pq_refine",
     # r06 additions: the two scale-relevant operator families the headline
-    # did not yet represent — lexical retrieval (BM25 over the checkpointed
-    # doc-term index) and language modeling (interpolated Kneser-Ney bigram
-    # perplexity, the heaviest text shape: tokenize self-join + four LM
-    # tables + per-doc scoring join). Round-over-round comparisons use the
-    # common-query intersection, so additions don't skew the trend.
-    "retrieval_bm25_topk",
+    # did not yet represent — lexical retrieval (BM25) and language modeling
+    # (interpolated Kneser-Ney bigram perplexity, the heaviest text shape:
+    # tokenize self-join + four LM tables + per-doc scoring join).
+    # Round-over-round comparisons use the common-query intersection, so
+    # additions don't skew the trend.
+    # r07: the BM25 headline entry is the SERVING shape — scores probe the
+    # fingerprint-guarded stored doc-term index (tf/df/dl/avgdl parquet)
+    # instead of rebuilding it per query, the same swap MinHash and IVF×PQ
+    # already made. The end-to-end `retrieval_bm25_topk` stays registered
+    # for correctness; the first rep builds the index (visible in "runs").
+    "retrieval_bm25_from_index",
     "text_bigram_kn_perplexity",
 ]
 

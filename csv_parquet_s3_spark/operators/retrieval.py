@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from csv_parquet_s3_spark.operators.registry import register
+from csv_parquet_s3_spark.operators.registry import ORACLES, register
 from csv_parquet_s3_spark.operators.similarity import (
     _ORACLE_DOT,
     _ORACLE_NORM,
@@ -29,10 +29,63 @@ from csv_parquet_s3_spark.operators.similarity import (
     _with_norm,
 )
 from csv_parquet_s3_spark.sources.tables import load_table
+from csv_parquet_s3_spark.plans.materialize import materialize
 
 N_QUERIES = 5   # doc_id < 5 are the probe queries (same convention as similarity)
 RRF_K = 60      # standard RRF dampening constant
 TOP_K = 10
+RRF_TOP_N = 100  # per-ranker truncation depth for the production variant
+
+
+def _rrf_ranker_legs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The two ranker legs shared by the exact and truncated RRF entries:
+    (query_id, doc_id, lex_rank) from distinct-token overlap and
+    (query_id, doc_id, vec_rank) from embedding cosine. Query tokens and
+    query vectors broadcast; candidate scoring is map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # lexical leg: distinct-token overlap via broadcast of the query tokens
+    qdocs = docs.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_distinct(F.split("text", " ")).alias("qtoks"),
+    )
+    cands = docs.select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
+    lex = (
+        cands.crossJoin(F.broadcast(qdocs))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.size(F.array_intersect("toks", "qtoks")).alias("overlap"),
+        )
+    )
+    wl = W.partitionBy("query_id").orderBy(F.desc("overlap"), F.asc("doc_id"))
+    lexrank = lex.select("query_id", "doc_id", F.row_number().over(wl).alias("lex_rank"))
+
+    # vector leg: same arithmetic as sim_cosine_topk_bruteforce
+    embn = _with_norm(emb)
+    qv = embn.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vd").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    vec = (
+        embn.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                _dot(F.col("qv"), F.col("vd")) / (F.col("qnorm") * F.col("norm")), 6
+            )
+            .cast("double")
+            .alias("cos_sim"),
+        )
+    )
+    wv = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+    vecrank = vec.select("query_id", "doc_id", F.row_number().over(wv).alias("vec_rank"))
+    return lexrank, vecrank
 
 
 @register(
@@ -107,49 +160,7 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same double arithmetic on both engines, rounded before the final
     ordering, so the oracle pins the exact fusion.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
-
-    # lexical leg: distinct-token overlap via broadcast of the query tokens
-    qdocs = docs.filter(F.col("doc_id") < N_QUERIES).select(
-        F.col("doc_id").alias("query_id"),
-        F.array_distinct(F.split("text", " ")).alias("qtoks"),
-    )
-    cands = docs.select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
-    lex = (
-        cands.crossJoin(F.broadcast(qdocs))
-        .filter(F.col("doc_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "doc_id",
-            F.size(F.array_intersect("toks", "qtoks")).alias("overlap"),
-        )
-    )
-    wl = W.partitionBy("query_id").orderBy(F.desc("overlap"), F.asc("doc_id"))
-    lexrank = lex.select("query_id", "doc_id", F.row_number().over(wl).alias("lex_rank"))
-
-    # vector leg: same arithmetic as sim_cosine_topk_bruteforce
-    embn = _with_norm(emb)
-    qv = embn.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("vd").alias("qv"),
-        F.col("norm").alias("qnorm"),
-    )
-    vec = (
-        embn.crossJoin(F.broadcast(qv))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("doc_id"),
-            F.round(
-                _dot(F.col("qv"), F.col("vd")) / (F.col("qnorm") * F.col("norm")), 6
-            )
-            .cast("double")
-            .alias("cos_sim"),
-        )
-    )
-    wv = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("doc_id"))
-    vecrank = vec.select("query_id", "doc_id", F.row_number().over(wv).alias("vec_rank"))
+    lexrank, vecrank = _rrf_ranker_legs(spark, sf_dir)
 
     fused = lexrank.join(vecrank, ["query_id", "doc_id"]).select(
         "query_id",
@@ -158,6 +169,110 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_rank").cast("int").alias("vec_rank"),
         F.round(
             1.0 / (RRF_K + F.col("lex_rank")) + 1.0 / (RRF_K + F.col("vec_rank")), 6
+        )
+        .cast("double")
+        .alias("rrf_score"),
+    )
+    wf = W.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.select("*", F.row_number().over(wf).cast("int").alias("rn"))
+        .filter(F.col("rn") <= TOP_K)
+    )
+
+
+@register(
+    "retrieval_hybrid_rrf_topn",
+    oracle=f"""
+    WITH qdocs AS (
+        SELECT doc_id AS query_id, string_split(text, ' ') AS qtoks
+        FROM documents WHERE doc_id < {N_QUERIES}
+    ),
+    cands AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents
+    ),
+    lex AS (
+        SELECT q.query_id, c.doc_id,
+               len(list_intersect(list_distinct(c.toks), list_distinct(q.qtoks)))
+                   AS overlap
+        FROM qdocs q, cands c
+        WHERE c.doc_id <> q.query_id
+    ),
+    lexrank AS (
+        SELECT query_id, doc_id, lex_rank FROM (
+            SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY overlap DESC, doc_id) AS lex_rank
+            FROM lex
+        ) t WHERE lex_rank <= {RRF_TOP_N}
+    ),
+    qv AS (
+        SELECT vec_id AS query_id, embedding AS qv,
+               {_ORACLE_NORM.format(v='embedding')} AS qnorm
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    vec AS (
+        SELECT q.query_id, e.vec_id AS doc_id,
+               CAST(ROUND({_ORACLE_DOT.format(a='q.qv', b='e.embedding')}
+                    / (q.qnorm * {_ORACLE_NORM.format(v='e.embedding')}), 6)
+                    AS DOUBLE) AS cos_sim
+        FROM qv q, embeddings e
+        WHERE e.vec_id <> q.query_id
+    ),
+    vecrank AS (
+        SELECT query_id, doc_id, vec_rank FROM (
+            SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, doc_id) AS vec_rank
+            FROM vec
+        ) t WHERE vec_rank <= {RRF_TOP_N}
+    ),
+    fused AS (
+        SELECT query_id, doc_id,
+               CAST(lex_rank AS INT) AS lex_rank,
+               CAST(vec_rank AS INT) AS vec_rank,
+               CAST(ROUND(COALESCE(1.0 / ({RRF_K} + lex_rank), 0)
+                          + COALESCE(1.0 / ({RRF_K} + vec_rank), 0), 6)
+                    AS DOUBLE) AS rrf_score
+        FROM lexrank FULL JOIN vecrank USING (query_id, doc_id)
+    )
+    SELECT query_id, doc_id, lex_rank, vec_rank, rrf_score, CAST(rn AS INT) AS rn
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY rrf_score DESC, doc_id) AS rn
+        FROM fused
+    ) t WHERE rn <= {TOP_K}
+    """,
+)
+def retrieval_hybrid_rrf_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION RRF recipe: each ranker is truncated to its top-{RRF_TOP_N}
+    before fusion (a candidate absent from a ranker's top-N contributes 0),
+    so fusion state is ≤ N·|queries| rows per ranker instead of the whole
+    corpus — the fix `retrieval_hybrid_rrf`'s docstring defers to keep its
+    oracle exact.
+
+    Physical win: the rank-filter `rn <= {RRF_TOP_N}` lets Spark's
+    InferWindowGroupLimit rewrite each ranker window into a per-partition
+    partial top-N BEFORE the window shuffle (a WindowGroupLimit node in the
+    plan), so full-corpus candidate rows never cross the exchange — where
+    the exact entry must ship every candidate's rank to fusion. The fused
+    frame is a FULL OUTER join of the two bounded top-N sets; the oracle
+    replays the same truncation, so the differential pins the truncated
+    semantics (including the "missing ranker scores 0" convention of
+    Cormack et al.).
+    """
+    lexrank, vecrank = _rrf_ranker_legs(spark, sf_dir)
+    lex_n = lexrank.filter(F.col("lex_rank") <= RRF_TOP_N)
+    vec_n = vecrank.filter(F.col("vec_rank") <= RRF_TOP_N)
+    fused = lex_n.join(vec_n, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.col("lex_rank").cast("int").alias("lex_rank"),
+        F.col("vec_rank").cast("int").alias("vec_rank"),
+        F.round(
+            F.coalesce(1.0 / (RRF_K + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("vec_rank")), F.lit(0.0)),
+            6,
         )
         .cast("double")
         .alias("rrf_score"),
@@ -178,6 +293,56 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 BM25_K1 = 1.2
 BM25_B = 0.75
+
+
+def _bm25_doc_tf(docs: DataFrame) -> DataFrame:
+    """The doc-term index's base table: distinct (doc_id, token) with term
+    frequency. Everything SHUFFLED beyond the first partial aggregate is
+    distinct (doc, token) pairs, not raw token occurrences."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    return toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+
+
+def _bm25_scored_topk(
+    doc_tf: DataFrame, dl: DataFrame, df: DataFrame, stats: DataFrame,
+    qterms: DataFrame,
+) -> DataFrame:
+    """BM25 scoring over the four index tables — shared between the
+    end-to-end entry (tables derived at query time) and the stored-index
+    serving entry (tables read off parquet). The bounded query-term set
+    broadcasts; per-term contributions partial-aggregate map-side; only
+    (query, doc, score) rows shuffle for the per-query top-k."""
+    idf6 = F.round(
+        F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)), 6
+    )
+    tf_w = (
+        F.col("tf")
+        * (BM25_K1 + 1.0)
+        / (F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+    )
+    term_score = F.round(idf6 * tf_w, 6).cast("decimal(20,6)")
+    scored = (
+        doc_tf.join(F.broadcast(qterms), "token")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(df, "token")  # vocabulary-sized: AQE broadcasts, never hinted
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(term_score).alias("score_sum"))
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("score_sum"), F.asc("doc_id"))
+    return (
+        scored.select("*", F.row_number().over(wq).cast("int").alias("rn"))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("score_sum").cast("double").alias("bm25"),
+            "rn",
+        )
+    )
 
 
 @register(
@@ -231,24 +396,18 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; per-candidate scoring joins the bounded query-term set
     against per-doc term frequencies map-side, partial-aggregates the
     per-term contributions, and only (query, doc, score) rows shuffle for
-    the final per-query top-k. The idf table doubles as the reusable index
-    artifact — at 100 TB it is built once per corpus snapshot.
+    the final per-query top-k. This is the END-TO-END shape (index derived
+    at query time); the serving shape a standing corpus runs is
+    ``retrieval_bm25_from_index``, which reads the same four tables off a
+    fingerprint-guarded parquet index built once per corpus snapshot.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
-    ).filter(F.col("token") != "")
     # Every statistic chains off doc_tf (dl = Σtf per doc, df = row count
-    # per token, stats from dl), and doc_tf is localCheckpointed: it is the
-    # index artifact (built once per corpus snapshot at 100 TB), and four
+    # per token, stats from dl), and doc_tf is localCheckpointed: four
     # consumers reference it (dl, df, qterms, the scoring join) — without
     # the checkpoint each replays the tokenize + partial aggregate (the r06
-    # plan audit measured 5 scans / 11 exchanges). Everything SHUFFLED
-    # beyond the first partial aggregate is distinct (doc, token) pairs,
-    # not raw token occurrences.
-    doc_tf = (
-        toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf")).localCheckpoint()
-    )
+    # plan audit measured 5 scans / 11 exchanges).
+    doc_tf = _bm25_doc_tf(docs).transform(materialize)
     dl = doc_tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"),
@@ -258,32 +417,98 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qterms = doc_tf.filter(F.col("doc_id") < N_QUERIES).select(
         F.col("doc_id").alias("query_id"), "token"
     )
-    idf6 = F.round(
-        F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)), 6
+    return _bm25_scored_topk(doc_tf, dl, df, stats, qterms)
+
+
+# ---------------------------------------------------------------------------
+# Stored-index serving: the doc-term index (tf, df, dl, avgdl) is an
+# ingest-time artifact at 100 TB — build it once per corpus snapshot
+# (fingerprint-guarded, atomic rename; same lifecycle as the MinHash
+# signature index in minhash_index.py and the IVF×PQ index in
+# similarity_index.py), then every query is a probe over stored parquet:
+# no tokenization, no corpus-wide aggregation on the query path.
+# ---------------------------------------------------------------------------
+def _bm25_index_root(sf_dir: str) -> str:
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    return os.path.join(repo, "spark-warehouse", "bm25_index", tag)
+
+
+def build_bm25_index(spark: SparkSession, docs: DataFrame, index_path: str) -> None:
+    """Full build: the four BM25 tables as parquet under ``index_path``.
+
+    ``doc_tf`` is the big one (distinct (doc,token) pairs — written
+    partitioned-by-nothing but bucketable by token at a real deployment so
+    the query-term probe is partition-pruned); ``dl`` is |docs| rows,
+    ``df`` is vocabulary-sized, ``stats`` is one row."""
+    doc_tf = _bm25_doc_tf(docs).transform(materialize)
+    doc_tf.write.mode("overwrite").parquet(f"{index_path}/doc_tf")
+    dl = doc_tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")).transform(materialize)
+    dl.write.mode("overwrite").parquet(f"{index_path}/dl")
+    doc_tf.groupBy("token").agg(F.count("*").alias("df")).write.mode(
+        "overwrite"
+    ).parquet(f"{index_path}/df")
+    dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.expr("CAST(SUM(dl) AS DOUBLE)") / F.count("*")).alias("avgdl"),
+    ).write.mode("overwrite").parquet(f"{index_path}/stats")
+
+
+def ensure_bm25_index(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotent doc-term-index materialization for the sf_dir's documents
+    table: skip if the fingerprint marker matches, else build into a temp
+    sibling and rename into place (concurrent readers never see a partial
+    index)."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    from csv_parquet_s3_spark.operators.minhash_index import _documents_fingerprint
+
+    root = _bm25_index_root(sf_dir)
+    marker = os.path.join(root, "_INDEX_META.json")
+    fp = _documents_fingerprint(sf_dir)
+    if os.path.exists(marker):
+        try:
+            with open(marker) as fh:
+                if json.load(fh) == fp:
+                    return root
+        except (ValueError, OSError):
+            pass
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = f"{root}.build-{uuid.uuid4().hex}"
+    build_bm25_index(spark, docs, tmp)
+    with open(os.path.join(tmp, "_INDEX_META.json"), "w") as fh:
+        json.dump(fp, fh)
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    os.rename(tmp, root)
+    return root
+
+
+@register(
+    "retrieval_bm25_from_index",
+    # Serving from the stored index must produce exactly the end-to-end
+    # ranking, so the oracle IS the end-to-end BM25 oracle.
+    oracle=ORACLES["retrieval_bm25_topk"],
+)
+def retrieval_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_K} BM25 served FROM THE STORED doc-term index: tf/df/dl/
+    avgdl come straight off parquet — the per-query cost is the bounded
+    query-term probe + partial-aggregated scoring, never the corpus
+    tokenize/aggregate pass (that cost was paid once at ingest). Cold first
+    call builds the index (visible in bench "runs"); steady state is the
+    serving shape a 100 TB corpus actually runs.
+    """
+    root = ensure_bm25_index(spark, sf_dir)
+    doc_tf = spark.read.parquet(f"{root}/doc_tf")
+    dl = spark.read.parquet(f"{root}/dl")
+    df = spark.read.parquet(f"{root}/df")
+    stats = spark.read.parquet(f"{root}/stats")
+    qterms = doc_tf.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "token"
     )
-    tf_w = (
-        F.col("tf")
-        * (BM25_K1 + 1.0)
-        / (F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
-    )
-    term_score = F.round(idf6 * tf_w, 6).cast("decimal(20,6)")
-    scored = (
-        doc_tf.join(F.broadcast(qterms), "token")
-        .filter(F.col("doc_id") != F.col("query_id"))
-        .join(df, "token")  # vocabulary-sized: AQE broadcasts, never hinted
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum(term_score).alias("score_sum"))
-    )
-    wq = W.partitionBy("query_id").orderBy(F.desc("score_sum"), F.asc("doc_id"))
-    return (
-        scored.select("*", F.row_number().over(wq).cast("int").alias("rn"))
-        .filter(F.col("rn") <= TOP_K)
-        .select(
-            "query_id",
-            "doc_id",
-            F.col("score_sum").cast("double").alias("bm25"),
-            "rn",
-        )
-    )
+    return _bm25_scored_topk(doc_tf, dl, df, stats, qterms)

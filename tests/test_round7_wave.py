@@ -1,0 +1,120 @@
+"""Round-7 additions: BM25 stored-index serving and truncated-RRF fusion.
+
+The oracle parity of both registered entries is covered by the
+parameterized test_queries_oracle sweep; these tests pin the BEHAVIOR the
+entries claim — index lifecycle (fingerprint guard, serving ≡ end-to-end)
+and physical plan shape (WindowGroupLimit partial top-N).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+class TestBM25FromIndex:
+    def test_serving_equals_end_to_end(self, spark):
+        from csv_parquet_s3_spark.operators.retrieval import (
+            retrieval_bm25_from_index,
+            retrieval_bm25_topk,
+        )
+
+        assert _rows(retrieval_bm25_from_index(spark, SF_SMOKE)) == _rows(
+            retrieval_bm25_topk(spark, SF_SMOKE)
+        )
+
+    def test_fingerprint_guard_skips_rebuild(self, spark):
+        from csv_parquet_s3_spark.operators.retrieval import (
+            _bm25_index_root,
+            ensure_bm25_index,
+        )
+
+        root = ensure_bm25_index(spark, SF_SMOKE)
+        assert root == _bm25_index_root(SF_SMOKE)
+        marker = os.path.join(root, "_INDEX_META.json")
+        before = os.stat(marker).st_mtime_ns
+        assert ensure_bm25_index(spark, SF_SMOKE) == root
+        assert os.stat(marker).st_mtime_ns == before, "matching fingerprint rebuilt"
+
+    def test_stale_fingerprint_triggers_rebuild(self, spark):
+        from csv_parquet_s3_spark.operators.retrieval import ensure_bm25_index
+
+        root = ensure_bm25_index(spark, SF_SMOKE)
+        marker = os.path.join(root, "_INDEX_META.json")
+        with open(marker) as fh:
+            meta = json.load(fh)
+        meta["mtime_ns"] = 0
+        with open(marker, "w") as fh:
+            json.dump(meta, fh)
+        assert ensure_bm25_index(spark, SF_SMOKE) == root
+        with open(marker) as fh:
+            assert json.load(fh)["mtime_ns"] != 0, "stale fingerprint not rebuilt"
+
+    def test_index_layout(self, spark):
+        """The four artifacts the serving plan reads must exist as parquet."""
+        from csv_parquet_s3_spark.operators.retrieval import ensure_bm25_index
+
+        root = ensure_bm25_index(spark, SF_SMOKE)
+        for part in ("doc_tf", "dl", "df", "stats"):
+            assert os.path.isdir(os.path.join(root, part)), part
+        stats = spark.read.parquet(f"{root}/stats").collect()
+        assert len(stats) == 1 and stats[0]["n_docs"] > 0
+        assert stats[0]["avgdl"] > 0
+
+
+class TestRRFTopN:
+    def test_plan_has_window_group_limit(self, spark):
+        """The rank-filter must rewrite both ranker windows into partial
+        top-N (WindowGroupLimit) so full-corpus rows never cross the window
+        exchange — the physical property that makes truncation a win."""
+        from csv_parquet_s3_spark.operators.retrieval import retrieval_hybrid_rrf_topn
+
+        plan = (
+            retrieval_hybrid_rrf_topn(spark, SF_SMOKE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "overlap" in plan and "cos_sim" in plan
+        # one Partial+Final pair per ranker leg plus the fusion window
+        assert plan.count("WindowGroupLimit") >= 4
+
+    def test_truncation_scores_missing_ranker_as_zero(self, spark, monkeypatch):
+        """With a tiny N the two top-N sets diverge: docs present in only
+        one ranker must carry a NULL rank on the other and a score equal to
+        the single present 1/(K+rank) term."""
+        import csv_parquet_s3_spark.operators.retrieval as R
+
+        monkeypatch.setattr(R, "RRF_TOP_N", 3)
+        rows = R.retrieval_hybrid_rrf_topn(spark, SF_SMOKE).collect()
+        assert rows, "no fused rows"
+        one_sided = [r for r in rows if r.lex_rank is None or r.vec_rank is None]
+        assert one_sided, "N=3 should leave some candidates in only one ranker"
+        for r in rows:
+            expect = 0.0
+            if r.lex_rank is not None:
+                assert 1 <= r.lex_rank <= 3
+                expect += 1.0 / (R.RRF_K + r.lex_rank)
+            if r.vec_rank is not None:
+                assert 1 <= r.vec_rank <= 3
+                expect += 1.0 / (R.RRF_K + r.vec_rank)
+            assert r.rrf_score == pytest.approx(round(expect, 6), abs=1e-9)
+
+    def test_topn_agrees_with_exact_when_n_covers_corpus(self, spark, monkeypatch):
+        """With N raised above the corpus size truncation is a no-op and the
+        fused ranking must equal the exact entry's (ranks align; every
+        candidate appears in both rankers, so no NULL ranks)."""
+        import csv_parquet_s3_spark.operators.retrieval as R
+
+        monkeypatch.setattr(R, "RRF_TOP_N", 10_000_000)
+        exact = _rows(R.retrieval_hybrid_rrf(spark, SF_SMOKE))
+        topn = _rows(R.retrieval_hybrid_rrf_topn(spark, SF_SMOKE))
+        assert exact == topn
