@@ -42,72 +42,73 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-robin verification window (see PARITY.md "Driver verification
 # rotation"): the driver's correctness check covers the FIRST 50 entries of
 # queries(), so each round the entries most in need of a fresh signal are
-# listed first. The r06 window is the catch-up round the r05 verdict demanded
-# (demand #1): verbatim `tools/rotate_window.py` output — all 46 entries that
-# have NEVER received a driver CORRECTNESS row (tokenizer, privacy, 11
-# statistics entries, k-core, PageRank, SCD1/SCD2 history, RRF, bigram
-# perplexity, Holt, kfold, temperature sampling, streaks, item-CF, Gini,
-# PCA/ABTT, ...), then the rows-only `q_approx_sketches`, then the 3 stalest
-# hash-greens (r02). Registrations were FROZEN this round per the same
-# demand, so after this window every registry entry has ≥1 driver row.
+# listed first. The r07 window resumes the standard rotation
+# (tools/rotate_window.py against CORRECTNESS_r06) with two insertions per
+# the window invariant and the r05-established changed-operator policy:
+# (a) the three r07 registrations take same-round slots (never checked);
+# (b) the eight entries whose CODE changed this round re-pin immediately —
+#     the five leaderboard/segmentation queries rebuilt on the two-phase
+#     distributed rank (plans/ranking.py; values identical, plan changed),
+#     the late-data-drop entry (batch-count assertion added), and the two
+#     refactored retrieval entries (shared scorer / shared ranker legs).
+# Then the rotation output verbatim: rows-only sketches, the stalest r02
+# greens (sim_cosine_topk_ivf_trained first — displaced twice), and the
+# r02-green backlog, trimmed to the 50-slot window.
 VERIFY_PRIORITY: list[str] = [
-    # tier 0: never driver-checked (46 entries)
-    "q_customer_gini_concentration",
-    "dedup_exact_substring_spans",
-    "dedup_bloom_blocklist",
-    "dedup_eval_lsh_quality",
-    "q_bloom_semijoin_pruning",
-    "graph_pagerank_nation_trade",
-    "graph_kcore_docs",
-    "q_events_user_holt",
-    "mm_payload_entropy",
-    "q_salted_brand_revenue",
-    "curriculum_length_shards",
-    "sample_documents_temperature",
-    "split_documents_kfold",
-    "pipeline_user_rolling_features",
-    "q_kanonymity_quasi_id",
-    "q_dp_noisy_counts_by_nation",
-    "emb_top_principal_component",
-    "emb_remove_top_component",
-    "q_multitouch_attribution",
-    "q_user_activity_streaks",
-    "q_item_cf_neighbors",
-    "sim_eval_recall_ivf_probe",
-    "retrieval_hybrid_rrf",
-    "scd2_customer_priority_history",
-    "scd1_current_customer_priority",
-    "q_hll_distinct_users",
-    "q_events_autocorrelation",
-    "q_events_dow_seasonality",
-    "q_chi_square_lang_source",
-    "q_mutual_information_lang_source",
-    "q_orders_benford_digits",
+    # tier 0a: r07 registrations (never driver-checked)
+    "retrieval_bm25_from_index",
+    "retrieval_bm25_incremental",
+    "retrieval_hybrid_rrf_topn",
+    # tier 0b: r07-changed operators re-pin
+    "q_window_supplier_rank",
+    "q_customer_value_deciles",
     "q_customer_rfm_segments",
-    "q_ab_welch_t",
-    "q_revenue_bootstrap_ci",
-    "q_survival_reorder_km",
-    "q_model_gains_table",
-    "stream_events_dedup_first_seen",
-    "stream_segment_hourly_rollup",
-    "stream_events_hll_distinct",
-    "text_langid_confusion",
-    "text_zipf_fit",
-    "text_bigram_perplexity",
-    "text_chunk_documents",
-    "text_rake_keywords",
-    "text_bpe_learn_merges",
-    "text_bpe_apply_merges",
-    # the one r06 registration (verdict stretch #8): late-data watermark
-    # correctness — takes its first driver row immediately so the
-    # every-entry-has-a-row invariant survives the addition
+    "q_customer_gini_concentration",
     "stream_events_late_data_drop",
+    "q_model_gains_table",
+    "retrieval_bm25_topk",
+    "retrieval_hybrid_rrf",
     # tier 1: rows-only by nature (re-pin the weaker check)
     "q_approx_sketches",
-    # tier 2: stalest hash-greens (r02) rotate back; ivf_trained (also r02
-    # green) was displaced by the late-data entry and re-pins r07
-    "sim_label_centroid_distance",
-    "sim_cosine_topk_vectorized",
+    # tier 2: hash-greens, stalest first (rotate_window.py output)
+    "sim_cosine_topk_ivf_trained",
+    "text_token_counts",
+    "text_doc_stats",
+    "text_langid_heuristic",
+    "text_fingerprint",
+    "text_lang_distribution",
+    "text_langid_ngram",
+    "text_feature_hash_embedding",
+    "text_tfidf_top_terms",
+    "q02_cheapest_supplier_per_part",
+    "q07_nation_trade_volume",
+    "q08_market_share",
+    "q09_profit_by_nation_year",
+    "q11_brand_value_concentration",
+    "q12_priority_by_returnflag",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_share",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_revenue",
+    "q22_idle_rich_customers",
+    "q15_top_supplier",
+    "q16_supplier_diversity",
+    "q20_bulk_small_part_suppliers",
+    "q21_last_shipper_counts",
+    "q_asof_error_to_purchase",
+    "q_range_join_price_bands",
+    "q_order_value_quantiles",
+    "q_grouping_sets_revenue",
+    "q_kmv_distinct_users",
+    "q_kmv_cohort_overlap",
+    "dedup_exact_documents",
+    "dedup_keep_first_events",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_signatures",
+    "dedup_simhash_buckets",
+    "dedup_simhash_hamming_pairs",
+    "dedup_cluster_components",
 ]
 
 

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from csv_parquet_s3_spark.operators.registry import register
 from csv_parquet_s3_spark.sources.tables import load_table
+from csv_parquet_s3_spark.plans.materialize import materialize
 
 BAND_WIDTH = 250
 
@@ -345,8 +346,8 @@ def q_kmv_cohort_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact-intersection accuracy reference — un-checkpointed, each
     # reference replays the events scan + cohort aggregation (4 scans in
     # the r06 audit for 2 cohort builds).
-    a = cohort("error").withColumn("in_a", F.lit(True)).localCheckpoint()
-    b = cohort("purchase").withColumn("in_b", F.lit(True)).localCheckpoint()
+    a = cohort("error").withColumn("in_a", F.lit(True)).transform(materialize)
+    b = cohort("purchase").withColumn("in_b", F.lit(True)).transform(materialize)
     u = (
         a.join(b, "user_id", "full_outer")
         .select(
@@ -823,17 +824,21 @@ def q_customer_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame
     spend in integer cents, rank-weighted sums in DECIMAL(38,0) (Σ i·xᵢ
     overflows 64-bit at ~10⁹ customers — Spark would wrap silently where
     DuckDB widens), one double division at the end. The global rank runs
-    over the per-customer aggregate, |customers| rows, not orders."""
+    over the per-customer aggregate, |customers| rows, not orders — and is
+    TWO-PHASE since r07 (plans/ranking.py: distributed range sort +
+    broadcast per-partition offsets), so no single-partition window remains
+    even when |customers| outgrows one executor."""
+    from csv_parquet_s3_spark.plans.ranking import with_global_row_number
+
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.expr(
             "SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))"
         ).alias("cents")
     )
-    ranked = spend.select(
-        "cents",
-        F.row_number().over(W.orderBy("cents", "o_custkey")).alias("i"),
-    )
+    ranked = with_global_row_number(
+        spend, [F.asc("cents"), F.asc("o_custkey")], "i"
+    ).select("cents", "i")
     m = ranked.agg(
         F.count("*").alias("n"),
         F.expr("CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE)").alias("sx"),
@@ -945,7 +950,7 @@ def q_bloom_semijoin_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replays the orders filter / lineitem distinct (5 scans in the r06
     # audit). Consistency also matters here: both measurement arms must see
     # the SAME materialized probe set.
-    keys = orders.filter(F.expr(RF_PRED)).select("o_orderkey").localCheckpoint()
+    keys = orders.filter(F.expr(RF_PRED)).select("o_orderkey").transform(materialize)
     build_pos = [
         F.expr(_rf_pos(i, "CAST(o_orderkey AS STRING)", "spark")).alias(f"p{i}")
         for i in range(RF_K)
@@ -961,7 +966,7 @@ def q_bloom_semijoin_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mask")
         )
     )
-    probe = li.select(F.col("l_orderkey").alias("k")).distinct().localCheckpoint()
+    probe = li.select(F.col("l_orderkey").alias("k")).distinct().transform(materialize)
     probe_pos = [
         F.expr(_rf_pos(i, "CAST(k AS STRING)", "spark")).alias(f"p{i}")
         for i in range(RF_K)

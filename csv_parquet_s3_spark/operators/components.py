@@ -37,6 +37,7 @@ from csv_parquet_s3_spark.operators.dedup import (
     dedup_minhash_lsh_pairs,
 )
 from csv_parquet_s3_spark.operators.registry import register
+from csv_parquet_s3_spark.plans.materialize import materialize
 
 MAX_ROUNDS = 20
 
@@ -48,7 +49,7 @@ def connected_components(pairs: DataFrame, src: str, dst: str) -> DataFrame:
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     labels = (
         edges.select(F.col("u").alias("vertex"))
@@ -70,7 +71,7 @@ def connected_components(pairs: DataFrame, src: str, dst: str) -> DataFrame:
                     "component", F.coalesce("nmin", "component")
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         changed = (
             new_labels.alias("n")
@@ -308,9 +309,9 @@ def graph_pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src",
         "dst",
         (F.col("w").cast("double") / F.sum("w").over(out_w).cast("double")).alias("share"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
 
-    nodes = nation.select(F.col("n_name").alias("node")).localCheckpoint(eager=True)
+    nodes = nation.select(F.col("n_name").alias("node")).transform(materialize)
     return pagerank(nodes, edges).select(
         F.col("node").alias("nation"),
         F.round("rank", 6).cast("double").alias("pagerank"),
@@ -354,7 +355,7 @@ def pagerank(
                     * (F.coalesce(F.col("mass"), F.lit(0.0)) + F.col("dmass") / n_nodes)
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
     return ranks
 
@@ -400,7 +401,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         dedup_minhash_lsh_pairs(spark, sf_dir)
         .select("doc_id_a", "doc_id_b")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     e1 = pairs.select(F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b"))
     e2 = pairs.select(F.col("doc_id_a").alias("b2"), F.col("doc_id_b").alias("c2"))
@@ -479,7 +480,7 @@ def graph_kcore_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         dedup_minhash_lsh_pairs(spark, sf_dir)
         .select("doc_id_a", "doc_id_b")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     edges = pairs.unionAll(
         pairs.select(
@@ -499,7 +500,7 @@ def graph_kcore_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("src")
             .agg(F.count("*").alias("deg"))
             .filter(F.col("deg") >= KCORE_K)
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         alive = deg.select(F.col("src").alias("node"))
     return deg.select(
@@ -574,7 +575,7 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         dedup_minhash_lsh_pairs(spark, sf_dir)
         .select("doc_id_a", "doc_id_b")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     edges = pairs.select(
         F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")

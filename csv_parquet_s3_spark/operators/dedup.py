@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from csv_parquet_s3_spark.operators.registry import ORACLES, register
 from csv_parquet_s3_spark.sources.tables import load_table
+from csv_parquet_s3_spark.plans.materialize import materialize
 
 NUM_PERMS = 12
 BAND_SIZE = 3  # → 4 bands; LSH threshold ≈ (1/4)^(1/3) ≈ 0.63
@@ -278,7 +279,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session (the returned frame is lazy, so there is no safe in-function
     # release point). localCheckpoint blocks are released by the
     # ContextCleaner when the frame is garbage collected.
-    shingle_sets = signature_table(_shingles(spark, sf_dir)).localCheckpoint()
+    shingle_sets = signature_table(_shingles(spark, sf_dir)).transform(materialize)
     return verified_pairs_from_signatures(shingle_sets)
 
 
@@ -819,12 +820,12 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle frame is localCheckpointed (df counts, the blocking join and
     the verification sets each reference it) and so is the rare-blocked
     frame (both self-join legs read it)."""
-    sh = _shingles(spark, sf_dir).localCheckpoint()
+    sh = _shingles(spark, sf_dir).transform(materialize)
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("n_df"))
     rare = dfreq.filter(
         (F.col("n_df") >= 2) & (F.col("n_df") <= CONTAINMENT_MAX_DF)
     ).select("shingle")
-    blocked = sh.join(rare, "shingle").localCheckpoint()
+    blocked = sh.join(rare, "shingle").transform(materialize)
     cand = (
         blocked.select("shingle", F.col("doc_id").alias("doc_id_a"))
         .join(
@@ -939,7 +940,7 @@ def prefix_filter_pairs(sh: DataFrame) -> DataFrame:
     Spark mirror of the oracle's ``AS MATERIALIZED`` shingles CTE). The
     prefix table is checkpointed too: both self-join legs read it, and it
     is the small end of the pipeline (rarest ⌈n/2⌉+1 shingles per doc)."""
-    sh = sh.localCheckpoint()
+    sh = sh.transform(materialize)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     ranked = (
@@ -953,7 +954,7 @@ def prefix_filter_pairs(sh: DataFrame) -> DataFrame:
     prefix = (
         ranked.filter(F.expr("rn <= n - (n + 1) div 2 + 1"))
         .select("doc_id", "shingle", "n")
-        .localCheckpoint()
+        .transform(materialize)
     )
     pa = prefix.select(
         "shingle", F.col("doc_id").alias("doc_id_a"), F.col("n").alias("pn_a")
@@ -1051,12 +1052,12 @@ def dedup_eval_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = (
         dedup_minhash_lsh_pairs(spark, sf_dir)
         .select("doc_id_a", "doc_id_b")
-        .localCheckpoint()
+        .transform(materialize)
     )
     ex = (
         dedup_prefix_filter_pairs(spark, sf_dir)
         .select("doc_id_a", "doc_id_b")
-        .localCheckpoint()
+        .transform(materialize)
     )
     n_common = (
         lsh.join(ex, ["doc_id_a", "doc_id_b"]).agg(F.count("*").alias("n_common"))

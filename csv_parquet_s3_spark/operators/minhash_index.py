@@ -24,6 +24,7 @@ from csv_parquet_s3_spark.operators.dedup import (
 )
 from csv_parquet_s3_spark.operators.registry import ORACLES, register
 from csv_parquet_s3_spark.sources.tables import load_table
+from csv_parquet_s3_spark.plans.materialize import materialize
 
 
 def _shingles_of(docs: DataFrame) -> DataFrame:
@@ -77,7 +78,7 @@ def pairs_against_index(
     # verification reuse, and its blocks are auto-released by the
     # ContextCleaner on GC (a bare persist() here leaked cache — there is no
     # in-function point where the lazy result has materialized).
-    new_sigs = signature_table(_shingles_of(new_docs)).localCheckpoint()
+    new_sigs = signature_table(_shingles_of(new_docs)).transform(materialize)
     idx_sigs = spark.read.parquet(index_path)
     nb = bands_from_signatures(new_sigs).alias("n")
     ib = bands_from_signatures(idx_sigs).alias("i")

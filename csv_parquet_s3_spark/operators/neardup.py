@@ -20,6 +20,7 @@ from csv_parquet_s3_spark.operators.dedup import (
 )
 from csv_parquet_s3_spark.operators.registry import register
 from csv_parquet_s3_spark.sources.tables import load_table
+from csv_parquet_s3_spark.plans.materialize import materialize
 
 COSINE_DUP_THRESHOLD = 0.35
 JACCARD_THRESHOLD = 0.4
@@ -281,7 +282,7 @@ def ivf_blocked_pairs(emb: DataFrame) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= CELL_ASSIGN)
         .select("vec_id", "list_id")
-        .localCheckpoint()
+        .transform(materialize)
     )
     a = assign.select(F.col("vec_id").alias("vec_id_a"), "list_id")
     b = assign.select(F.col("vec_id").alias("vec_id_b"), F.col("list_id").alias("list_b"))
@@ -391,7 +392,7 @@ def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     # un-checkpointed each reference replays the shingle pipeline (the
     # same discipline dedup_minhash_lsh_pairs applies; the r06 audit
     # measured 10 scans here without it).
-    shingle_sets = signature_table(_shingles(spark, sf_dir)).localCheckpoint()
+    shingle_sets = signature_table(_shingles(spark, sf_dir)).transform(materialize)
     tpairs = (
         verified_pairs_from_signatures(shingle_sets)
         .select(F.col("doc_id_a").alias("id_a"), F.col("doc_id_b").alias("id_b"))

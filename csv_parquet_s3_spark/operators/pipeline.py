@@ -34,6 +34,7 @@ from csv_parquet_s3_spark.operators.sampling import (
     QUALITY_SCALE,
 )
 from csv_parquet_s3_spark.sources.tables import load_table
+from csv_parquet_s3_spark.plans.materialize import materialize
 
 
 @register(
@@ -112,8 +113,8 @@ def pipeline_corpus_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{_DOC_HASH_SPARK} * {QUALITY_SCALE}"
             f" < least(n_chars, {QUALITY_SCALE}) * {16 ** 8}"
         )
-    ).localCheckpoint()
-    counts = s2.groupBy("lang").agg(F.count("*").alias("n_lang")).localCheckpoint()
+    ).transform(materialize)
+    counts = s2.groupBy("lang").agg(F.count("*").alias("n_lang")).transform(materialize)
     target = counts.agg(F.min("n_lang").alias("t"))
     thr = counts.crossJoin(F.broadcast(target)).select(
         "lang",

@@ -17,6 +17,7 @@ the mechanism, sensitivity bound, and plan shape are unchanged.)
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -78,7 +79,27 @@ DP_EPSILON = 1.0  # privacy budget; counting query sensitivity = 1
 # finding). In production, set SPARK_GRAFT_DP_SEED to a secret held by the
 # release authority: the mechanism, sensitivity bound, and plan shape are
 # unchanged, and the ε guarantee then holds against anyone without the seed.
-DP_SEED = os.environ.get("SPARK_GRAFT_DP_SEED", "public-demo-seed")
+#
+# The seed is interpolated into BOTH engines' SQL, so it is validated to a
+# quote-free charset (r06 advisor finding: a seed containing a quote or
+# backslash would break — or inject into — both queries). And because the
+# ORACLE string is baked into the registry at import, the operator re-reads
+# the env at call time and fails LOUDLY if the seed changed after import
+# (the two sides would otherwise silently diverge into a hash mismatch).
+_DP_SEED_RE = re.compile(r"^[A-Za-z0-9_.:-]{1,128}$")
+
+
+def _dp_seed() -> str:
+    seed = os.environ.get("SPARK_GRAFT_DP_SEED", "public-demo-seed")
+    if not _DP_SEED_RE.match(seed):
+        raise ValueError(
+            "SPARK_GRAFT_DP_SEED must match [A-Za-z0-9_.:-]{1,128} — it is "
+            "interpolated into SQL on both engines"
+        )
+    return seed
+
+
+DP_SEED = _dp_seed()
 
 
 def _lap_expr(u: str) -> str:
@@ -126,6 +147,13 @@ def q_dp_noisy_counts_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the count aggregate is the only data-sized pass; noise is
     one codegen'd expression per GROUP (25 rows), not per row. The exact
     count never leaves the plan."""
+    if _dp_seed() != DP_SEED:
+        raise RuntimeError(
+            "SPARK_GRAFT_DP_SEED changed after import: the registered oracle "
+            "was baked with the import-time seed, so the release would "
+            "silently diverge from its audit replay. Restart the session "
+            "(or re-import the operators package) with the new seed."
+        )
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")

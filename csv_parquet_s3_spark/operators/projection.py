@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from csv_parquet_s3_spark.operators.registry import register
 from csv_parquet_s3_spark.sources.tables import load_table
+from csv_parquet_s3_spark.plans.materialize import materialize
 
 PROJ_IN = 64   # embedding dim of the corpus
 PROJ_OUT = 16  # sketch dim; scale factor 1/sqrt(PROJ_OUT)
@@ -205,7 +206,7 @@ def _centered_cells(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     xc = (
         x.join(F.broadcast(mu), "dim")
         .select("vec_id", "dim", F.expr("ROUND(xd - m, 9)").alias("xc"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     return xc, nv
 
@@ -228,7 +229,7 @@ def _pca_power(xc: DataFrame, iters: int) -> tuple[DataFrame, DataFrame]:
         xc.select("dim")
         .distinct()
         .select("dim", F.lit(_V0).alias("v"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     s = None
     for _ in range(iters):
@@ -236,19 +237,19 @@ def _pca_power(xc: DataFrame, iters: int) -> tuple[DataFrame, DataFrame]:
             xc.join(F.broadcast(v), "dim")
             .groupBy("vec_id")
             .agg(F.expr(f"ROUND({_DSUM.format(term='xc * v')}, 9)").alias("s"))
-            .localCheckpoint()
+            .transform(materialize)
         )
         u = (
             xc.join(s, "vec_id")
             .groupBy("dim")
             .agg(F.expr(f"ROUND({_DSUM.format(term='xc * s')}, 9)").alias("u"))
-            .localCheckpoint()
+            .transform(materialize)
         )
         nrm = u.agg(F.expr(f"ROUND(SQRT({_DSUM.format(term='u * u')}), 9)").alias("nrm"))
         v = (
             u.crossJoin(F.broadcast(nrm))
             .select("dim", F.expr("ROUND(u / nrm, 9)").alias("v"))
-            .localCheckpoint()
+            .transform(materialize)
         )
     return v, s
 

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from csv_parquet_s3_spark.operators.registry import register
 from csv_parquet_s3_spark.sources.tables import load_table
+from csv_parquet_s3_spark.plans.materialize import materialize
 
 # ---------------------------------------------------------------------------
 # Shared SQL fragments — used verbatim in BOTH the Spark plan (via F.expr)
@@ -392,21 +393,32 @@ def q_window_supplier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     previous supplier over the GLOBAL revenue order.
 
     Scale shape: the window runs over the per-supplier aggregate
-    (|suppliers| rows), never the fact table — but a total global ordering
-    with LAG is the semantics, so the frame is one ordered partition by
-    definition. When |suppliers| itself outgrows one executor, the
-    two-phase pattern applies (range-partitioned sort, per-partition
-    ranks, broadcast per-partition offsets); for top-k outputs use
-    orderBy().limit(k) instead (see q_join_key_skew_profile)."""
+    (|suppliers| rows), never the fact table — and since r07 the global
+    ordering is TWO-PHASE (plans/ranking.py): a distributed range sort
+    assigns per-partition row numbers, broadcast per-partition offsets
+    assemble the global rank, and LAG crosses partition boundaries via a
+    P-row boundary patch — no single-partition window anywhere, so the
+    leaderboard survives |suppliers| outgrowing one executor. The ORDER BY
+    (revenue DESC, l_suppkey) is a total order, so RANK ≡ DENSE_RANK ≡
+    ROW_NUMBER (no peer rows) and the values are unchanged; for top-k
+    outputs use orderBy().limit(k) instead (see q_join_key_skew_profile)."""
+    from csv_parquet_s3_spark.plans.ranking import with_global_lag
+
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_suppkey").agg(F.expr(money_sum(REVENUE, "revenue")))
-    w = W.orderBy(F.desc("revenue"), F.asc("l_suppkey"))
-    return rev.select(
+    ranked = with_global_lag(
+        rev,
+        [F.desc("revenue"), F.asc("l_suppkey")],
+        "revenue",
+        rn_col="rnk",
+        lag_col="__prev_rev",
+    )
+    return ranked.select(
         "l_suppkey",
         "revenue",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.round(F.col("revenue") - F.lag("revenue").over(w), 2)
+        "rnk",
+        F.col("rnk").alias("drnk"),
+        F.round(F.col("revenue") - F.col("__prev_rev"), 2)
         .cast("double")
         .alias("gap_to_prev"),
     )
@@ -842,7 +854,7 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -850,7 +862,7 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from csv_parquet_s3_spark.operators.registry import register
 from csv_parquet_s3_spark.sources.tables import load_table
+from csv_parquet_s3_spark.plans.materialize import materialize
 
 _HOUR_US = 3_600_000_000  # one hour in microseconds
 
@@ -462,14 +463,31 @@ def q_part_size_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer lifetime-value deciles: aggregate to customers, ntile the
-    aggregate (window over |customers| rows, not the fact), re-aggregate
-    per decile — the segmentation double-aggregate."""
+    aggregate (over |customers| rows, not the fact), re-aggregate per
+    decile — the segmentation double-aggregate.
+
+    The NTILE is TWO-PHASE since r07 (plans/ranking.py): a distributed
+    range sort + broadcast offsets assemble the global row_number, and
+    NTILE(10) derives from (row_number, total count) with the exact SQL
+    NTILE fill — no single-partition window, so the segmentation survives
+    |customers| outgrowing one executor."""
+    from csv_parquet_s3_spark.plans.ranking import (
+        ntile_from_rn,
+        with_global_row_number,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.expr("SUM(CAST(o_totalprice AS DECIMAL(12,2)))").alias("total")
     )
-    w = W.orderBy(F.desc("total"), F.asc("o_custkey"))
-    ranked = spend.withColumn("decile", F.ntile(10).over(w))
+    rn = with_global_row_number(
+        spend, [F.desc("total"), F.asc("o_custkey")], "__rn"
+    )
+    n_customers = rn.count()  # one bounded aggregate; the frame is already
+    # materialized by the two-phase rank, so this is a cheap second read
+    ranked = rn.withColumn(
+        "decile", ntile_from_rn(F.col("__rn"), 10, F.lit(n_customers))
+    )
     return ranked.groupBy("decile").agg(
         F.count("*").alias("n_customers"),
         F.expr("CAST(ROUND(SUM(total), 2) AS DOUBLE)").alias("decile_value"),
@@ -759,7 +777,7 @@ def q_event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus-wide distinct (5 scans / 9 exchanges in the r06 audit).
     """
     ev = load_table(spark, sf_dir, "events")
-    per_user = ev.select("user_id", "event_type").distinct().localCheckpoint()
+    per_user = ev.select("user_id", "event_type").distinct().transform(materialize)
     n_users = per_user.agg(F.countDistinct("user_id").alias("n_users"))
     singles = per_user.groupBy("event_type").agg(F.count("*").alias("n"))
     a = per_user.select(F.col("user_id"), F.col("event_type").alias("type_a"))
@@ -1268,7 +1286,7 @@ def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(wp.orderBy(F.desc("tts"), F.desc("te")))
         .alias("rn_last"),
-    ).localCheckpoint()
+    ).transform(materialize)
     dec = "decimal(20,6)"
     linear = j.select(
         "touch_type",
@@ -1354,7 +1372,7 @@ def q_user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("di"),
         )
         .distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
     isl = days.withColumn(
         "grp",
@@ -1471,7 +1489,7 @@ def q_item_cf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn_cap") <= CF_MAX_BASKET)
         .drop("rn_cap")
-        .localCheckpoint()
+        .transform(materialize)
     )
     pop = ui.groupBy("i").agg(F.count("*").alias("n"))
     a = ui.select("u", F.col("i").alias("item_i"))

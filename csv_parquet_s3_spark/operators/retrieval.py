@@ -489,6 +489,19 @@ def ensure_bm25_index(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
+def _bm25_serve_from(spark: SparkSession, index_path: str) -> DataFrame:
+    """The serving plan over a stored index root: probe the four parquet
+    tables, never the corpus."""
+    doc_tf = spark.read.parquet(f"{index_path}/doc_tf")
+    dl = spark.read.parquet(f"{index_path}/dl")
+    df = spark.read.parquet(f"{index_path}/df")
+    stats = spark.read.parquet(f"{index_path}/stats")
+    qterms = doc_tf.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "token"
+    )
+    return _bm25_scored_topk(doc_tf, dl, df, stats, qterms)
+
+
 @register(
     "retrieval_bm25_from_index",
     # Serving from the stored index must produce exactly the end-to-end
@@ -504,11 +517,60 @@ def retrieval_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     serving shape a 100 TB corpus actually runs.
     """
     root = ensure_bm25_index(spark, sf_dir)
-    doc_tf = spark.read.parquet(f"{root}/doc_tf")
-    dl = spark.read.parquet(f"{root}/dl")
-    df = spark.read.parquet(f"{root}/df")
-    stats = spark.read.parquet(f"{root}/stats")
-    qterms = doc_tf.filter(F.col("doc_id") < N_QUERIES).select(
-        F.col("doc_id").alias("query_id"), "token"
-    )
-    return _bm25_scored_topk(doc_tf, dl, df, stats, qterms)
+    return _bm25_serve_from(spark, root)
+
+
+def update_bm25_index(
+    spark: SparkSession, new_docs: DataFrame, index_path: str
+) -> tuple[int, int]:
+    """Incremental index maintenance: tokenize the NEW batch only, MERGE
+    its doc_tf/dl rows by doc_id (`maintenance.upsert` — a re-ingested
+    document's stale tf rows are replaced wholesale, since the anti-join
+    key is the doc), then refresh the collection statistics (df, stats)
+    from the MERGED tables. Per-batch cost: tokenization proportional to
+    the batch, plus an INDEX-sized df/avgdl refresh — the corpus text is
+    never re-read. df is rows-per-token of the (doc, token)-grain tf
+    frame, so the refresh is one aggregate over stored parquet; at a real
+    deployment the df refresh itself is monoidal per shard and can be
+    deferred to a compaction cadence (BM25 tolerates slightly-stale df).
+    Returns (n_docs_updated, n_docs_inserted)."""
+    from csv_parquet_s3_spark.maintenance import upsert
+
+    new_tf = _bm25_doc_tf(new_docs).transform(materialize)
+    new_dl = new_tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    upsert(spark, f"{index_path}/doc_tf", new_tf, key="doc_id")
+    n_upd, n_ins = upsert(spark, f"{index_path}/dl", new_dl, key="doc_id")
+    doc_tf = spark.read.parquet(f"{index_path}/doc_tf")
+    dl = spark.read.parquet(f"{index_path}/dl")
+    doc_tf.groupBy("token").agg(F.count("*").alias("df")).write.mode(
+        "overwrite"
+    ).parquet(f"{index_path}/df")
+    dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.expr("CAST(SUM(dl) AS DOUBLE)") / F.count("*")).alias("avgdl"),
+    ).write.mode("overwrite").parquet(f"{index_path}/stats")
+    return n_upd, n_ins
+
+
+@register(
+    "retrieval_bm25_incremental",
+    # The incremental lifecycle must produce exactly the full-corpus
+    # ranking, so the oracle IS the end-to-end BM25 oracle (same contract
+    # as dedup_minhash_incremental).
+    oracle=ORACLES["retrieval_bm25_topk"],
+)
+def retrieval_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from an INCREMENTALLY built doc-term index: build on the
+    even-doc_id half, MERGE the odd half in (`update_bm25_index`), then
+    answer from the stored index only. Hash-equality with the full-corpus
+    oracle pins incremental ≡ full build through the driver — the
+    build/update/query index lifecycle (MinHash: minhash_index.py; IVF×PQ:
+    similarity_index.py) extended to the lexical ranker.
+    """
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = tempfile.mkdtemp(prefix="bm25_idx_")
+    build_bm25_index(spark, docs.filter(F.col("doc_id") % 2 == 0), idx)
+    update_bm25_index(spark, docs.filter(F.col("doc_id") % 2 == 1), idx)
+    return _bm25_serve_from(spark, idx)

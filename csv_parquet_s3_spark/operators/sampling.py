@@ -203,7 +203,7 @@ def rebalance_documents_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # localCheckpoint: counts feeds both the target scalar and the
     # thresholds — un-checkpointed, each replays the corpus aggregation.
-    counts = docs.groupBy("lang").agg(F.count("*").alias("n_lang")).localCheckpoint()
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_lang")).transform(materialize)
     target = counts.agg(F.min("n_lang").alias("t"))
     thresholds = counts.crossJoin(F.broadcast(target)).select(
         "lang",
@@ -382,6 +382,7 @@ def cap_documents_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Fill the oracle template with the shared band/pair CTEs + bucket expr (the
 # f-string above cannot reference them directly without brace collisions).
 from csv_parquet_s3_spark.operators.dedup import _ORACLE_BANDS, _ORACLE_PAIR_CTES  # noqa: E402
+from csv_parquet_s3_spark.plans.materialize import materialize
 
 ORACLES["split_leakage_safe"] = ORACLES["split_leakage_safe"].format(
     bands=_ORACLE_BANDS,
@@ -491,7 +492,7 @@ def sample_documents_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint: the |langs|-row counts frame feeds both the min
     # scalar and the thresholds — un-checkpointed, each replays the corpus
     # aggregation.
-    counts = docs.groupBy("lang").agg(F.count("*").alias("n_lang")).localCheckpoint()
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_lang")).transform(materialize)
     nmin = counts.agg(F.min("n_lang").alias("nm"))
     rate = F.round(
         F.pow(F.col("nm").cast("double") / F.col("n_lang"), 1 - TEMP_ALPHA), 9

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from csv_parquet_s3_spark.operators.registry import register
 from csv_parquet_s3_spark.sources.tables import load_table
+from csv_parquet_s3_spark.plans.materialize import materialize
 
 N_QUERIES = 5  # vec_id < 5 are the "query" vectors
 TOP_K = 10
@@ -243,7 +244,7 @@ def sim_cosine_topk_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vd").alias("cv"),
             F.col("norm").alias("cnorm"),
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
     cent_sim = F.round(
         _dot(F.col("vd"), F.col("cv")) / (F.col("norm") * F.col("cnorm")), 6
@@ -656,12 +657,12 @@ def sim_eval_recall_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
         sim_cosine_topk_bruteforce(spark, sf_dir)
         .select("query_id", "vec_id")
-        .localCheckpoint()
+        .transform(materialize)
     )
     approx = (
         sim_cosine_topk_ivf_probe(spark, sf_dir)
         .select("query_id", "vec_id")
-        .localCheckpoint()
+        .transform(materialize)
     )
     hits = (
         exact.join(approx, ["query_id", "vec_id"])

@@ -34,6 +34,7 @@ from csv_parquet_s3_spark.operators.similarity import (
     _with_norm,
 )
 from csv_parquet_s3_spark.sources.tables import load_table
+from csv_parquet_s3_spark.plans.materialize import materialize
 
 
 def _centroid_frame(cent: DataFrame) -> DataFrame:
@@ -167,7 +168,7 @@ def train_centroids(
             "vd",
             "norm",
         )
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     pts = emb.select("vec_id", "vd", "norm")
     for _ in range(iters):
         members = _assign(pts, cent)
@@ -180,7 +181,7 @@ def train_centroids(
                 F.coalesce("u.cv", "o.cv").alias("cv"),
                 F.coalesce("u.cnorm", "o.cnorm").alias("cnorm"),
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
     return cent
 
@@ -379,7 +380,7 @@ def kmeans_parallel_seed_ids(
         .limit(1)
         .select("vec_id")
     )
-    cand = emb.join(F.broadcast(first), "vec_id").localCheckpoint(eager=True)
+    cand = emb.join(F.broadcast(first), "vec_id").transform(materialize)
 
     for r in range(1, rounds + 1):
         cframe = cand.select(
@@ -403,7 +404,7 @@ def kmeans_parallel_seed_ids(
         cand = (
             cand.unionByName(emb.join(F.broadcast(picked), "vec_id"))
             .dropDuplicates(["vec_id"])
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
 
     # Weight candidates by attraction, then recluster the candidate set down
@@ -581,7 +582,7 @@ def _train_codebooks_sv(
         )
         cent.count()  # materialize before releasing the frame it reads
         prev.unpersist()
-    final = cent.localCheckpoint(eager=True)
+    final = cent.transform(materialize)
     cent.unpersist()
     sv.unpersist()
     return final

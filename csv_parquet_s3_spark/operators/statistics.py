@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from csv_parquet_s3_spark.operators.advanced import _KMV_HEX_INT
 from csv_parquet_s3_spark.operators.registry import register
+from csv_parquet_s3_spark.plans.materialize import materialize
 from csv_parquet_s3_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -391,7 +392,7 @@ def q_chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     cells = (
-        docs.groupBy("lang", "source").agg(F.count("*").alias("o")).localCheckpoint()
+        docs.groupBy("lang", "source").agg(F.count("*").alias("o")).transform(materialize)
     )
     rows_ = cells.groupBy("lang").agg(F.sum("o").alias("rt"))
     cols_ = cells.groupBy("source").agg(F.sum("o").alias("ct"))
@@ -479,7 +480,7 @@ def q_mutual_information_lang_source(spark: SparkSession, sf_dir: str) -> DataFr
     """
     docs = load_table(spark, sf_dir, "documents")
     cells = (
-        docs.groupBy("lang", "source").agg(F.count("*").alias("o")).localCheckpoint()
+        docs.groupBy("lang", "source").agg(F.count("*").alias("o")).transform(materialize)
     )
     rows_ = cells.groupBy("lang").agg(F.sum("o").alias("rt"))
     cols_ = cells.groupBy("source").agg(F.sum("o").alias("ct"))
@@ -643,26 +644,47 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cell average.
 
     Scale note: the three NTILEs are global sorts over the CUSTOMER
-    aggregate (one row per customer, not per order). At true 100 TB scale
-    the global sort is a range-partitioned shuffle of a heavily pre-reduced
-    frame; if even that is too hot, the quartile boundaries could come from
+    aggregate (one row per customer, not per order) and are TWO-PHASE
+    since r07 (plans/ranking.py): each is a distributed range sort +
+    broadcast offsets + the exact NTILE fill derived from (row_number,
+    total) — no single-partition window. The three coded frames join back
+    on custkey (each side is the pre-reduced customer frame). If even the
+    range sorts are too hot, the quartile boundaries could come from
     approx quantiles instead (the ``curriculum_length_shards`` pattern) at
     the cost of exact quartile cardinalities.
     """
-    orders = load_table(spark, sf_dir, "orders")
-    from pyspark.sql import Window as W
-
-    base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
-        F.count("*").alias("freq"),
-        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("monetary"),
+    from csv_parquet_s3_spark.plans.ranking import (
+        ntile_from_rn,
+        with_global_row_number,
     )
-    coded = base.select(
-        "custkey",
-        "monetary",
-        F.ntile(4).over(W.orderBy("last_order", "custkey")).alias("r"),
-        F.ntile(4).over(W.orderBy("freq", "custkey")).alias("f"),
-        F.ntile(4).over(W.orderBy("monetary", "custkey")).alias("m"),
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    # base feeds three independent rank passes + the count — materialize once
+    base = materialize(
+        orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+            F.count("*").alias("freq"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("monetary"),
+        )
+    )
+    n = base.count()
+
+    def quartile(order_col: str, out: str):
+        rn = with_global_row_number(
+            base.select("custkey", order_col),
+            [F.asc(order_col), F.asc("custkey")],
+            "__rn",
+        )
+        return rn.select(
+            "custkey", ntile_from_rn(F.col("__rn"), 4, F.lit(n)).alias(out)
+        )
+
+    coded = (
+        base.select("custkey", "monetary")
+        .join(quartile("last_order", "r"), "custkey")
+        .join(quartile("freq", "f"), "custkey")
+        .join(quartile("monetary", "m"), "custkey")
     )
     return (
         coded.groupBy("r", "f", "m")
@@ -1137,7 +1159,7 @@ def q_survival_reorder_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey", "o_orderdate", F.row_number().over(wk).alias("rn")
         )
         .filter(F.col("rn") <= 2)
-        .localCheckpoint()
+        .transform(materialize)
     )
     f = top2.filter(F.col("rn") == 1).select(
         "o_custkey", F.col("o_orderdate").alias("d1")
@@ -1158,7 +1180,7 @@ def q_survival_reorder_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("t"),
             F.when(F.col("d2").isNotNull(), 1).otherwise(0).alias("ev"),
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
     n_total = durations.agg(F.count("*").alias("n"))
     bytime = durations.groupBy("t").agg(
@@ -1259,10 +1281,11 @@ def q_model_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     readout for shipping a targeting model.
 
     Scale shape: the label is one semi-join-shaped EXISTS against the
-    orders feed (Spark side: left-semi + coalesce); the decile NTILE runs
-    over customers on one ordered partition — at true scale swap NTILE for
-    percent_rank over a pre-aggregated score histogram; the decile
-    aggregate and window over 10 rows are free."""
+    orders feed (Spark side: left-semi + coalesce); the decile NTILE is
+    TWO-PHASE since r07 (plans/ranking.py: distributed range sort +
+    broadcast offsets + exact NTILE fill) so no customer-sized frame ever
+    crosses an Exchange SinglePartition; the decile aggregate and the
+    cumulative window over 10 rows are free."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     hz = orders.agg(F.max("o_orderdate").alias("h"))
@@ -1279,15 +1302,25 @@ def q_model_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         F.when(F.col("rk").isNotNull(), 1).otherwise(0).alias("label"),
     )
-    # localCheckpoint: the base-rate aggregate and the per-decile aggregate
-    # both read the scored frame — un-checkpointed, each replays the label
-    # semi-join + global NTILE window.
-    scored = labels.select(
-        "label",
-        F.ntile(10)
-        .over(W.orderBy(F.desc("c_acctbal"), "c_custkey"))
-        .alias("decile"),
-    ).localCheckpoint()
+    # materialize: the base-rate aggregate and the per-decile aggregate
+    # both read the scored frame — un-materialized, each replays the label
+    # semi-join + the two-phase rank.
+    from csv_parquet_s3_spark.plans.ranking import (
+        ntile_from_rn,
+        with_global_row_number,
+    )
+
+    labels = materialize(labels)
+    n_cust = labels.count()
+    scored = (
+        with_global_row_number(
+            labels, [F.desc("c_acctbal"), F.asc("c_custkey")], "__rn"
+        )
+        .select(
+            "label", ntile_from_rn(F.col("__rn"), 10, F.lit(n_cust)).alias("decile")
+        )
+        .transform(materialize)
+    )
     base = scored.agg(
         F.count("*").alias("n_all"), F.sum("label").alias("pos_all")
     )

@@ -55,13 +55,25 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _drain(
-    spark: SparkSession, df: DataFrame, timeout_s: int = 180, mode: str = "complete"
+    spark: SparkSession,
+    df: DataFrame,
+    timeout_s: int = 180,
+    mode: str = "complete",
+    expect_input_batches: int | None = None,
 ) -> DataFrame:
     """Run the streaming frame to completion (availableNow) into a memory
     sink and return the sink's content as a batch DataFrame. Aggregations
     drain in ``complete`` mode (keeps windows the final watermark hasn't
     closed); stream-stream INNER joins drain in ``append`` (their only
-    supported mode — matches emit eagerly, so a bounded drain is lossless)."""
+    supported mode — matches emit eagerly, so a bounded drain is lossless).
+
+    ``expect_input_batches`` asserts how many micro-batches CONSUMED rows —
+    for operators whose semantics depend on a specific batch sequencing
+    (the late-data probe needs its rows in 3 separate batches so the
+    SPARK-40925 one-batch-lag watermark filter engages). If a future Spark
+    build reorders files or stops honoring maxFilesPerTrigger under
+    availableNow, this fails as a clear sequencing error instead of a
+    confusing downstream hash mismatch (r06 advisor finding)."""
     name = "stream_drain_" + uuid.uuid4().hex
     q = (
         df.writeStream.format("memory")
@@ -71,6 +83,14 @@ def _drain(
         .start()
     )
     assert q.awaitTermination(timeout_s), "streaming drain did not finish"
+    if expect_input_batches is not None:
+        got = sum(1 for pr in q.recentProgress if pr["numInputRows"] > 0)
+        if got != expect_input_batches:
+            raise RuntimeError(
+                f"micro-batch sequencing broke: {got} batches consumed rows, "
+                f"expected {expect_input_batches} — FileStreamSource ordering "
+                "or maxFilesPerTrigger semantics changed on this Spark build"
+            )
     return spark.table(name)
 
 
@@ -563,6 +583,13 @@ def stream_events_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
     min_ts, max_ts = b["lo"], b["hi"]  # bounded: 2 scalars
+    if min_ts is None or max_ts is None:
+        # an empty events table would otherwise surface as an opaque
+        # createDataFrame/stream failure on a None timestamp (r06 advisor)
+        raise ValueError(
+            f"events table at {sf_dir} is empty — the late-data probe needs "
+            "a real corpus to anchor its watermark carrier and probe rows"
+        )
     staging = tempfile.mkdtemp(prefix="spark_graft_late_")
     try:
         main_tmp = os.path.join(staging, "_main")
@@ -611,6 +638,6 @@ def stream_events_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("w.start").alias("hour_start"), "event_type", "n_events"
             )
         )
-        return _drain(spark, agg, mode="append")
+        return _drain(spark, agg, mode="append", expect_input_batches=3)
     finally:
         shutil.rmtree(staging, ignore_errors=True)

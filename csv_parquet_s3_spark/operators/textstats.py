@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from csv_parquet_s3_spark.operators.registry import register
 from csv_parquet_s3_spark.sources.tables import load_table
+from csv_parquet_s3_spark.plans.materialize import materialize
 
 STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -345,7 +346,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (
         toks.groupBy("doc_id", "token")
         .agg(F.count("*").alias("tf"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     df = tf.groupBy("token").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
@@ -477,7 +478,7 @@ def text_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("toks") >= REPETITION_NGRAM)
         .select("doc_id", F.explode(F.expr(_NGRAMS_SQL)).alias("g"))
         .distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
     is_bench = F.col("doc_id") % BENCHMARK_MOD == 0
     bench = doc_grams.filter(is_bench).select("g").distinct()
@@ -627,7 +628,7 @@ def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint the vocab-sized LM table (house discipline, same as
     # the bigram family) and derive the corpus total FROM it — otherwise
     # vocab and total each replay the tokenization pass.
-    vocab = toks.groupBy("token").agg(F.count("*").alias("cnt")).localCheckpoint()
+    vocab = toks.groupBy("token").agg(F.count("*").alias("cnt")).transform(materialize)
     total = vocab.agg(F.sum("cnt").cast("bigint").alias("n_total"))
     doc_tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     tok_nll = F.round(
@@ -1034,7 +1035,7 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint the vocab-sized count tables: uni feeds the total and
     # both unigram join legs, bi feeds its total and the scoring filter —
     # un-checkpointed, each reference replays the corpus tokenization.
-    uni = tok.groupBy("token").agg(F.count("*").alias("n")).localCheckpoint()
+    uni = tok.groupBy("token").agg(F.count("*").alias("n")).transform(materialize)
     tot = uni.agg(F.sum("n").cast("bigint").alias("n_tokens"))
     # size<2 guard: Spark's sequence(0, size-2) DESCENDS when size<2
     # (emitting [0,-1]) instead of returning empty like DuckDB's range.
@@ -1051,7 +1052,7 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("n_pair"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     btot = bi.agg(F.sum("n_pair").cast("bigint").alias("n_bigrams"))
     u1 = uni.select(F.col("token").alias("w1"), F.col("n").alias("n1"))
@@ -1087,7 +1088,7 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations. The prediction frame is localCheckpointed — the per-lang
     totals and the confusion groupBy each reference it, and without the
     checkpoint both replay the whole profile-learning classifier."""
-    preds = text_langid_ngram(spark, sf_dir).localCheckpoint()
+    preds = text_langid_ngram(spark, sf_dir).transform(materialize)
     tot = preds.groupBy("lang").agg(F.count("*").alias("n_true"))
     return (
         preds.join(F.broadcast(tot), "lang")
@@ -1267,9 +1268,9 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = toks.select(
         "doc_id", (F.col("ord") - 1).alias("orda"), F.col("tok").alias("w2")
     )
-    bigrams = a.join(b, ["doc_id", "orda"]).select("doc_id", "w1", "w2").localCheckpoint()
+    bigrams = a.join(b, ["doc_id", "orda"]).select("doc_id", "w1", "w2").transform(materialize)
     vocab = toks.agg(F.countDistinct("tok").alias("v"))
-    bg = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12")).localCheckpoint()
+    bg = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12")).transform(materialize)
     ctx = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
     doc_bg = bigrams.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("tf"))
     term = F.round(
@@ -1489,8 +1490,8 @@ def text_bigram_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = toks.select(
         "doc_id", (F.col("ord") - 1).alias("orda"), F.col("tok").alias("w2")
     )
-    bigrams = a.join(b, ["doc_id", "orda"]).select("doc_id", "w1", "w2").localCheckpoint()
-    bg = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12")).localCheckpoint()
+    bigrams = a.join(b, ["doc_id", "orda"]).select("doc_id", "w1", "w2").transform(materialize)
+    bg = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12")).transform(materialize)
     ctx = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
     fanout = bg.groupBy("w1").agg(F.count("*").alias("nf"))
     cont = bg.groupBy("w2").agg(F.count("*").alias("np"))
@@ -1619,7 +1620,7 @@ def text_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.filter(F.split("text", " "), lambda x: x != "")).alias(
             "ord", "tok"
         ),
-    ).localCheckpoint()
+    ).transform(materialize)
     def bigrams_of(t):
         a = t.select(
             "doc_id", F.col("ord").alias("orda"), F.col("tok").alias("w1")
@@ -1635,7 +1636,7 @@ def text_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigrams_of(tr_toks)
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("c12"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     ctx = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = tr_toks.agg(F.countDistinct("tok").alias("v"))
@@ -1777,7 +1778,7 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pos")
             - F.row_number().over(W.partitionBy("doc_id").orderBy("pos")),
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
     phr = content.groupBy("doc_id", "grp").agg(
         F.expr(
@@ -1785,7 +1786,7 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             " x -> x.tok), ' ')"
         ).alias("phrase"),
         F.count("*").alias("plen"),
-    ).localCheckpoint()
+    ).transform(materialize)
     wstat = (
         content.join(phr, ["doc_id", "grp"])
         .groupBy("tok")

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from csv_parquet_s3_spark.operators.registry import register
 from csv_parquet_s3_spark.sources.tables import load_table
+from csv_parquet_s3_spark.plans.materialize import materialize
 
 BPE_TOP_WORDS = 128  # train on the top-W vocabulary (Zipf truncation)
 BPE_MERGES = 5       # merge rounds to learn
@@ -208,11 +209,11 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("bigint").alias("pos"),
         F.expr("substr(word, CAST(pos AS INT), 1)").alias("sym"),
     )
-    s = s.localCheckpoint(eager=True)
+    s = s.transform(materialize)
     merges = None
     for r in range(1, BPE_MERGES + 1):
         top, s = _merge_round(s)
-        s = s.localCheckpoint(eager=True)
+        s = s.transform(materialize)
         row = top.select(
             F.lit(r).alias("merge_rank"),
             F.col("a").alias("left_sym"),
@@ -369,7 +370,7 @@ def text_bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-overlapping rewrite is the same island-parity window as training.
     """
     docs = load_table(spark, sf_dir, "documents")
-    merges = text_bpe_learn_merges(spark, sf_dir).localCheckpoint(eager=True)
+    merges = text_bpe_learn_merges(spark, sf_dir).transform(materialize)
     doc_toks = docs.select(
         "doc_id",
         F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("word"),
@@ -386,13 +387,13 @@ def text_bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pos").cast("bigint").alias("pos"),
             F.expr("substr(word, CAST(pos AS INT), 1)").alias("sym"),
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     for r in range(1, BPE_MERGES + 1):
         top = merges.filter(F.col("merge_rank") == r).select(
             F.col("left_sym").alias("a"), F.col("right_sym").alias("b")
         )
-        v = _apply_merge(v, top).localCheckpoint(eager=True)
+        v = _apply_merge(v, top).transform(materialize)
     wlen = v.groupBy("word").agg(F.count("*").alias("n_syms"))
     return (
         doc_toks.join(wlen, "word")

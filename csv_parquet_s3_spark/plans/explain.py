@@ -33,6 +33,10 @@ class PlanStats:
     scans_with_pushed_filters: int
     read_schemas: list[str]
     plan: str
+    # Exchange SinglePartition: everything funnels to ONE task. Expected for
+    # a final 1-row/global aggregate readout; a scale bug when the frame is
+    # entity-sized (the two-phase rank in plans/ranking.py is the fix).
+    n_single_partition: int = 0
 
     def summary(self) -> str:
         return (
@@ -58,4 +62,9 @@ def analyze(df: DataFrame) -> PlanStats:
         scans_with_pushed_filters=len(pushed),
         read_schemas=read_schemas,
         plan=plan,
+        # each Exchange node's detail block is "(N) Exchange" / "Input ..."
+        # / "Arguments: <partitioning>, ..." — match the Arguments line
+        n_single_partition=len(
+            re.findall(r"^Arguments: SinglePartition", plan, re.M)
+        ),
     )

@@ -1,0 +1,87 @@
+"""One choke point for "materialize this shared subframe".
+
+The registry leans on ``localCheckpoint()`` to cut replayed lineage when a
+frame feeds two or more downstream branches (ARCHITECTURE.md: the
+shared-subframe rule). ``localCheckpoint`` stores blocks NON-replicated on
+executors: on a single-JVM local[] session that is free, but on a real
+cluster an executor loss (or dynamic-allocation scale-in) makes the query
+FAIL instead of recompute, and each eager call pins storage memory until
+driver GC clears it. Routing every call site through this helper makes the
+trade-off configurable per deployment instead of baked into 100+ sites:
+
+``SPARK_GRAFT_MATERIALIZE`` =
+  ``local``     (default) ``localCheckpoint(eager=True)`` — fastest, fine
+                where executors are stable (local mode, on-demand nodes);
+  ``reliable``  ``checkpoint(eager=True)`` — writes to the reliable
+                checkpoint dir (set ``spark.sparkContext.setCheckpointDir``
+                to durable storage first); survives executor loss;
+  ``persist``   ``persist(MEMORY_AND_DISK)`` — keeps lineage, so lost
+                blocks RECOMPUTE instead of failing; cheapest safe option
+                under dynamic allocation (note: no lineage TRUNCATION, so
+                iterative loops should prefer local/reliable);
+  ``none``      pass-through — for plan-shape debugging only (replays
+                lineage per consumer).
+
+The mode is read per call, not at import, so tests and batch jobs can flip
+it without re-importing the package.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+
+_VALID = ("local", "reliable", "persist", "none")
+
+# --------------------------------------------------------------------------
+# Pre-checkpoint plan recording. A checkpoint TRUNCATES lineage, so the plan
+# audit (tools/plan_audit.py) cannot see the shuffles/scans INSIDE an
+# iterative operator from the returned frame alone — k-core, PageRank, BPE
+# and the streaming twins used to audit as 0/0/0/0. Because every
+# materialization now flows through this choke point, recording the plan of
+# each frame AS IT IS CHECKPOINTED recovers exactly the per-iteration
+# (pre-truncation) shape the audit was blind to.
+# --------------------------------------------------------------------------
+_RECORDER: list | None = None
+
+
+@contextlib.contextmanager
+def record_checkpoint_plans(into: list) -> Iterator[list]:
+    """While active, every ``materialize()`` call appends a
+    ``plans.explain.PlanStats`` for the frame it truncates to ``into``.
+    Used by the plan audit; nested use is not supported (last wins)."""
+    global _RECORDER
+    prev = _RECORDER
+    _RECORDER = into
+    try:
+        yield into
+    finally:
+        _RECORDER = prev
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Materialize a frame that feeds ≥2 downstream branches (or an
+    iteration boundary), per ``SPARK_GRAFT_MATERIALIZE``."""
+    mode = os.environ.get("SPARK_GRAFT_MATERIALIZE", "local")
+    if mode not in _VALID:
+        raise ValueError(
+            f"SPARK_GRAFT_MATERIALIZE={mode!r}: expected one of {_VALID}"
+        )
+    if _RECORDER is not None:
+        from csv_parquet_s3_spark.plans.explain import analyze
+
+        _RECORDER.append(analyze(df))
+    if mode == "local":
+        return df.localCheckpoint(eager=True)
+    if mode == "reliable":
+        return df.checkpoint(eager=True)
+    if mode == "persist":
+        from pyspark.storagelevel import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()  # eager, matching the checkpoint modes
+        return df
+    return df

@@ -58,6 +58,42 @@ class TestBM25FromIndex:
         with open(marker) as fh:
             assert json.load(fh)["mtime_ns"] != 0, "stale fingerprint not rebuilt"
 
+    def test_incremental_equals_full_build(self, spark):
+        """update_bm25_index merging the odd half into an even-half index
+        must serve exactly the full-corpus ranking (and exercise both the
+        insert path and the collection-statistics refresh)."""
+        import tempfile
+
+        from csv_parquet_s3_spark.operators.retrieval import (
+            retrieval_bm25_incremental,
+            retrieval_bm25_topk,
+        )
+
+        assert _rows(retrieval_bm25_incremental(spark, SF_SMOKE)) == _rows(
+            retrieval_bm25_topk(spark, SF_SMOKE)
+        )
+
+        # re-ingest path: updating with docs already in the index must
+        # REPLACE their tf rows, not duplicate them
+        import pyspark.sql.functions as F
+
+        from csv_parquet_s3_spark.operators.retrieval import (
+            _bm25_serve_from,
+            build_bm25_index,
+            update_bm25_index,
+        )
+        from csv_parquet_s3_spark.sources.tables import load_table
+
+        docs = load_table(spark, SF_SMOKE, "documents")
+        idx = tempfile.mkdtemp(prefix="bm25_reingest_")
+        build_bm25_index(spark, docs, idx)
+        baseline = _rows(_bm25_serve_from(spark, idx))
+        n_upd, n_ins = update_bm25_index(
+            spark, docs.filter(F.col("doc_id") < 10), idx
+        )
+        assert n_upd == 10 and n_ins == 0
+        assert _rows(_bm25_serve_from(spark, idx)) == baseline
+
     def test_index_layout(self, spark):
         """The four artifacts the serving plan reads must exist as parquet."""
         from csv_parquet_s3_spark.operators.retrieval import ensure_bm25_index
