@@ -43,9 +43,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotation"): the driver's correctness check covers the FIRST 50 entries of
 # queries(), so each round the entries most in need of a fresh signal are
 # listed first. The r07 window resumes the standard rotation
-# (tools/rotate_window.py against CORRECTNESS_r06) with two insertions per
-# the window invariant and the r05-established changed-operator policy:
-# (a) the three r07 registrations take same-round slots (never checked);
+# (tools/rotate_window.py against CORRECTNESS_r06) with two insertion
+# groups per the window invariant and the changed-operator policy:
+# (a) the four r07 registrations take same-round slots (never checked);
 # (b) the eight entries whose CODE changed this round re-pin immediately —
 #     the five leaderboard/segmentation queries rebuilt on the two-phase
 #     distributed rank (plans/ranking.py; values identical, plan changed),
@@ -59,6 +59,7 @@ VERIFY_PRIORITY: list[str] = [
     "retrieval_bm25_from_index",
     "retrieval_bm25_incremental",
     "retrieval_hybrid_rrf_topn",
+    "dedup_minhash_batch_vs_index",
     # tier 0b: r07-changed operators re-pin
     "q_window_supplier_rank",
     "q_customer_value_deciles",
@@ -108,7 +109,6 @@ VERIFY_PRIORITY: list[str] = [
     "dedup_simhash_signatures",
     "dedup_simhash_buckets",
     "dedup_simhash_hamming_pairs",
-    "dedup_cluster_components",
 ]
 
 

@@ -198,6 +198,52 @@ def ensure_minhash_index(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
+def _batch_vs_index_oracle() -> str:
+    """Pairs between the odd-doc_id BATCH and the even-doc_id INDEX: the
+    full-corpus LSH oracle restricted to mixed-parity pairs, re-labelled
+    (new = odd side, index = even side). Band collision and Jaccard
+    verification conditions are identical to the full oracle — signatures
+    are a per-document function — so the restriction is exactly a parity
+    filter over the verified pair set."""
+    from csv_parquet_s3_spark.operators.dedup import (
+        _ORACLE_BANDS,
+        _ORACLE_PAIR_CTES,
+        _ORACLE_SHINGLES,
+    )
+
+    return f"""
+    WITH {_ORACLE_SHINGLES},
+    {_ORACLE_BANDS},
+    {_ORACLE_PAIR_CTES}
+    SELECT CASE WHEN doc_id_a % 2 = 1 THEN doc_id_a ELSE doc_id_b END
+               AS new_doc_id,
+           CASE WHEN doc_id_a % 2 = 1 THEN doc_id_b ELSE doc_id_a END
+               AS index_doc_id,
+           jaccard
+    FROM lsh_pairs
+    WHERE (doc_id_a % 2) <> (doc_id_b % 2)
+    """
+
+
+@register("dedup_minhash_batch_vs_index", oracle=_batch_vs_index_oracle())
+def dedup_minhash_batch_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-ingest dedup question, registered: build the signature index
+    on the even-doc_id half, then ask for each ODD document "is it a
+    near-dup of anything already indexed?" via `pairs_against_index` —
+    batch band keys join index band keys (cost |batch| × bucket
+    collisions, never |index|²), verification uses the STORED shingle
+    sets. The oracle is the full-corpus LSH oracle restricted to
+    mixed-parity pairs, so a green hash pins that probing the stored index
+    finds exactly the cross-corpus pairs a monolithic run would.
+    """
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = tempfile.mkdtemp(prefix="minhash_probe_idx_")
+    build_index(spark, docs.filter(F.col("doc_id") % 2 == 0), idx)
+    return pairs_against_index(spark, docs.filter(F.col("doc_id") % 2 == 1), idx)
+
+
 @register(
     "dedup_minhash_pairs_from_index",
     # Serving from the stored index must produce exactly the end-to-end

@@ -439,12 +439,19 @@ def _bm25_index_root(sf_dir: str) -> str:
 def build_bm25_index(spark: SparkSession, docs: DataFrame, index_path: str) -> None:
     """Full build: the four BM25 tables as parquet under ``index_path``.
 
-    ``doc_tf`` is the big one (distinct (doc,token) pairs — written
-    partitioned-by-nothing but bucketable by token at a real deployment so
-    the query-term probe is partition-pruned); ``dl`` is |docs| rows,
-    ``df`` is vocabulary-sized, ``stats`` is one row."""
+    ``doc_tf`` is the big one (distinct (doc,token) pairs); it is written
+    RANGE-SORTED BY doc_id so the serving plan's bounded query-doc probe
+    (``doc_id < N_QUERIES``) is file/row-group-pruned by parquet min/max
+    stats instead of re-scanning the whole index — the scoring pass is the
+    only full read. ``dl`` is |docs| rows, ``df`` is vocabulary-sized,
+    ``stats`` is one row."""
     doc_tf = _bm25_doc_tf(docs).transform(materialize)
-    doc_tf.write.mode("overwrite").parquet(f"{index_path}/doc_tf")
+    (
+        doc_tf.repartitionByRange("doc_id")
+        .sortWithinPartitions("doc_id", "token")
+        .write.mode("overwrite")
+        .parquet(f"{index_path}/doc_tf")
+    )
     dl = doc_tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")).transform(materialize)
     dl.write.mode("overwrite").parquet(f"{index_path}/dl")
     doc_tf.groupBy("token").agg(F.count("*").alias("df")).write.mode(
@@ -470,7 +477,9 @@ def ensure_bm25_index(spark: SparkSession, sf_dir: str) -> str:
 
     root = _bm25_index_root(sf_dir)
     marker = os.path.join(root, "_INDEX_META.json")
-    fp = _documents_fingerprint(sf_dir)
+    # layout version 2: doc_tf range-sorted by doc_id (probe pruning) — a
+    # bump forces indexes built with the unsorted layout to rebuild
+    fp = {**_documents_fingerprint(sf_dir), "bm25_layout": 2}
     if os.path.exists(marker):
         try:
             with open(marker) as fh:

@@ -106,6 +106,32 @@ class TestBM25FromIndex:
         assert stats[0]["avgdl"] > 0
 
 
+class TestMinhashBatchVsIndex:
+    def test_probe_pairs_are_the_mixed_parity_slice(self, spark):
+        """Probing the even-half index with the odd batch must find exactly
+        the odd↔even pairs of the full-corpus run — no pair invented, none
+        lost at the index boundary."""
+        from csv_parquet_s3_spark.operators.dedup import dedup_minhash_lsh_pairs
+        from csv_parquet_s3_spark.operators.minhash_index import (
+            dedup_minhash_batch_vs_index,
+        )
+
+        full = {
+            (r.doc_id_a, r.doc_id_b, r.jaccard)
+            for r in dedup_minhash_lsh_pairs(spark, SF_SMOKE).collect()
+        }
+        expected = {
+            (a, b, j) if a % 2 == 1 else (b, a, j)
+            for (a, b, j) in full
+            if (a % 2) != (b % 2)
+        }
+        got = {
+            (r.new_doc_id, r.index_doc_id, r.jaccard)
+            for r in dedup_minhash_batch_vs_index(spark, SF_SMOKE).collect()
+        }
+        assert got == expected
+
+
 class TestRRFTopN:
     def test_plan_has_window_group_limit(self, spark):
         """The rank-filter must rewrite both ranker windows into partial
