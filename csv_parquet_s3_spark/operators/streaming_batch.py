@@ -204,6 +204,139 @@ def stream_click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @register(
+    "stream_click_purchase_left_outer",
+    oracle="""
+    WITH b AS (SELECT max(ts) AS hi FROM events),
+    c AS (
+        SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT user_id, ts AS purchase_ts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    matched AS (
+        SELECT c.user_id, c.click_ts, p.purchase_ts,
+               p.value AS purchase_value
+        FROM c JOIN p
+          ON p.user_id = c.user_id
+         AND p.purchase_ts > c.click_ts
+         AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+    ),
+    unmatched AS (
+        SELECT c.user_id, c.click_ts,
+               CAST(NULL AS TIMESTAMP) AS purchase_ts,
+               CAST(NULL AS DOUBLE) AS purchase_value
+        FROM c, b
+        WHERE NOT EXISTS (
+            SELECT 1 FROM p
+            WHERE p.user_id = c.user_id
+              AND p.purchase_ts > c.click_ts
+              AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+        )
+        AND c.click_ts + INTERVAL 1 HOUR < b.hi - INTERVAL 30 MINUTE
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+)
+def stream_click_purchase_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join, drained and hash-checked:
+    every click either matches its in-window purchases (emitted eagerly)
+    or emits ONCE with NULL purchase columns — but only after the joint
+    watermark strictly passes click_ts + window, which is the eviction
+    proof that no matching purchase can still arrive. The oracle replays
+    exactly that cutoff: matched pairs ∪ unmatched clicks whose bound is
+    strictly below max(ts) − 30 min (strictness verified empirically: a
+    click whose bound EQUALS the final watermark stays in state
+    unemitted).
+
+    Sequencing: the corpus lands in micro-batch 1; batch 2 plants sentinel
+    watermark-carrier rows at max(ts) on BOTH sides (the joint watermark
+    is the MIN of the two sides' watermarks, so each side needs its own
+    carrier; their own bounds sit above the final watermark, so they never
+    emit); batch 3 plants a second sentinel pair so the eviction pass runs
+    with the batch-2 watermark — outer-null emission, like late-row
+    filtering, uses the PREVIOUS batch's watermark (the SPARK-40925 lag).
+    The 3-batch consumption is asserted via recentProgress.
+
+    Scale shape: join state keyed by user_id, evicted at watermark +
+    window per side — constant per active user, indefinitely runnable;
+    the sentinel machinery is a test-harness artifact."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    hi = ev.agg(F.max("ts").alias("hi")).collect()[0]["hi"]  # bounded: 1 scalar
+    if hi is None:
+        raise ValueError(
+            f"events table at {sf_dir} is empty — the outer-join drain needs "
+            "a real corpus to anchor its watermark carriers"
+        )
+    staging = tempfile.mkdtemp(prefix="spark_graft_outer_")
+    try:
+        def _stage(df: DataFrame, name: str, mtime: int) -> None:
+            tmp = os.path.join(staging, f"_{name}")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp)
+                if f.endswith(".parquet") and not f.startswith("_")
+            )
+            dst = os.path.join(staging, name)
+            shutil.move(os.path.join(tmp, part), dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (mtime, mtime))
+
+        _stage(ev, "00_main.parquet", 1_000_000_000)
+        _stage(
+            spark.createDataFrame(
+                [(-2, hi, -2, "click", 0.0), (-3, hi, -3, "purchase", 0.0)],
+                schema=ev.schema,
+            ),
+            "01_carrier.parquet",
+            1_000_000_100,
+        )
+        _stage(
+            spark.createDataFrame(
+                [(-4, hi, -4, "click", 0.0), (-5, hi, -5, "purchase", 0.0)],
+                schema=ev.schema,
+            ),
+            "02_kick.parquet",
+            1_000_000_200,
+        )
+
+        schema = spark.read.parquet(os.path.join(staging, "00_main.parquet")).schema
+
+        def _src() -> DataFrame:
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("pathGlobFilter", "*.parquet")
+                .parquet(staging)
+            )
+
+        from csv_parquet_s3_spark.streaming.stream_join import (
+            click_purchase_left_outer,
+        )
+
+        clicks = _src().filter(F.col("event_type") == "click")
+        purchases = _src().filter(F.col("event_type") == "purchase")
+        drained = _drain(
+            spark,
+            click_purchase_left_outer(clicks, purchases),
+            mode="append",
+            expect_input_batches=3,
+        )
+        # the sentinel carrier/kick clicks are harness artifacts; their
+        # bounds sit above the final watermark so they never emit, but the
+        # filter keeps the contract explicit
+        return drained.filter(F.col("user_id") >= 0)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+@register(
     "stream_user_lifetime_totals",
     oracle="""
     SELECT user_id,

@@ -55,3 +55,42 @@ def click_purchase_attribution(
     return c.join(p, cond).select(
         "user_id", "click_ts", "purchase_ts", "purchase_value"
     )
+
+
+def click_purchase_left_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window: str = ATTRIBUTION_WINDOW,
+    watermark: str = WATERMARK,
+) -> DataFrame:
+    """LEFT OUTER variant: every click, matched to its in-window purchases
+    OR emitted once with NULL purchase columns — the "unconverted click"
+    feed. The outer side is what makes this the hardest streaming join
+    shape: a NULL-padded row may only emit when the watermark PROVES no
+    matching purchase can still arrive (click_ts + window strictly below
+    the joint watermark — verified empirically on this build: a click
+    whose bound equals the watermark is NOT emitted), and that eviction
+    runs one micro-batch late (the join uses the watermark committed by
+    the previous batch — same SPARK-40925 lag the late-data operator
+    documents). Matched rows still emit eagerly.
+
+    Scale shape: identical to the inner join — state keyed by user_id,
+    bounded by watermark + window per side."""
+    c = clicks.select(F.col("user_id"), F.col("ts").alias("click_ts"))
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    if purchases.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {window}"))
+    )
+    return c.join(p, cond, "leftOuter").select(
+        "user_id", "click_ts", "purchase_ts", "purchase_value"
+    )

@@ -132,6 +132,43 @@ class TestMinhashBatchVsIndex:
         assert got == expected
 
 
+class TestStreamLeftOuter:
+    def test_null_rows_and_eviction_cutoff(self, spark):
+        """The drained outer join must contain NULL-padded unconverted
+        clicks, no sentinel rows, and — the semantics under test — NO
+        null-padded click whose no-more-matches bound (click_ts + 1h)
+        reaches the final watermark (max ts − 30 min): those are still in
+        state when the drain terminates."""
+        from csv_parquet_s3_spark.operators.streaming_batch import (
+            stream_click_purchase_left_outer,
+        )
+        from csv_parquet_s3_spark.sources.tables import load_table
+        import pyspark.sql.functions as F
+
+        out = stream_click_purchase_left_outer(spark, SF_SMOKE)
+        rows = out.collect()
+        assert rows
+        assert all(r.user_id >= 0 for r in rows), "sentinel row leaked"
+        nulls = [r for r in rows if r.purchase_ts is None]
+        matched = [r for r in rows if r.purchase_ts is not None]
+        assert nulls and matched, "both outer and inner rows expected"
+        for r in nulls:
+            assert r.purchase_value is None
+        hi = (
+            load_table(spark, SF_SMOKE, "events")
+            .agg(F.max("ts").alias("hi"))
+            .collect()[0]["hi"]
+        )
+        import datetime
+
+        wm = hi - datetime.timedelta(minutes=30)
+        for r in nulls:
+            assert r.click_ts + datetime.timedelta(hours=1) < wm, (
+                "null row emitted although its bound had not passed the "
+                "final watermark"
+            )
+
+
 class TestRRFTopN:
     def test_plan_has_window_group_limit(self, spark):
         """The rank-filter must rewrite both ranker windows into partial
