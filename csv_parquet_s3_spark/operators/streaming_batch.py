@@ -83,6 +83,20 @@ def _drain(
         .start()
     )
     assert q.awaitTermination(timeout_s), "streaming drain did not finish"
+    # streaming plans live inside the engine, invisible to the returned
+    # (memory-sink) frame — when the plan audit is recording, capture the
+    # last executed micro-batch's physical plan so stream_* rows show
+    # their real shape instead of 0/0/0/0
+    from csv_parquet_s3_spark.plans.materialize import current_recorder
+
+    rec = current_recorder()
+    if rec is not None:
+        try:
+            from csv_parquet_s3_spark.plans.explain import analyze_simple
+
+            rec.append(analyze_simple(q._jsq.explainInternal(False)))
+        except Exception:  # audit-only telemetry; never fail the drain
+            pass
     if expect_input_batches is not None:
         got = sum(1 for pr in q.recentProgress if pr["numInputRows"] > 0)
         if got != expect_input_batches:

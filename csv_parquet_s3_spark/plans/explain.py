@@ -68,3 +68,26 @@ def analyze(df: DataFrame) -> PlanStats:
             re.findall(r"^Arguments: SinglePartition", plan, re.M)
         ),
     )
+
+
+def analyze_simple(plan: str) -> PlanStats:
+    """PlanStats from a SIMPLE-mode plan tree (one line per node, no
+    numbered detail section) — the format ``StreamingQuery.explainInternal``
+    exposes for the last executed micro-batch. Counts are whole-word node
+    occurrences; ``\\bExchange\\b`` does not match inside ReusedExchange, so
+    reuse is not double-counted (same convention as the formatted counter,
+    which also counts only materialized exchanges)."""
+    read_schemas = re.findall(r"ReadSchema: (.+)", plan)
+    pushed = [
+        m for m in re.findall(r"PushedFilters: \[(.*?)\]", plan) if m.strip()
+    ]
+    return PlanStats(
+        n_exchanges=len(re.findall(r"\bExchange\b", plan)),
+        n_broadcast_joins=len(re.findall(r"\bBroadcastHashJoin\b", plan)),
+        n_sortmerge_joins=len(re.findall(r"\bSortMergeJoin\b", plan)),
+        n_scans=len(re.findall(r"\bFileScan parquet\b", plan)),
+        scans_with_pushed_filters=len(pushed),
+        read_schemas=read_schemas,
+        plan=plan,
+        n_single_partition=len(re.findall(r"\bExchange SinglePartition\b", plan)),
+    )

@@ -62,6 +62,13 @@ def record_checkpoint_plans(into: list) -> Iterator[list]:
         _RECORDER = prev
 
 
+def current_recorder() -> list | None:
+    """The active recording sink, if a ``record_checkpoint_plans`` context
+    is open — used by executors of plans the RETURNED frame cannot show
+    (streaming drains append their last micro-batch's plan here)."""
+    return _RECORDER
+
+
 def materialize(df: DataFrame) -> DataFrame:
     """Materialize a frame that feeds ≥2 downstream branches (or an
     iteration boundary), per ``SPARK_GRAFT_MATERIALIZE``."""
