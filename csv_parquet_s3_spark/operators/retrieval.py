@@ -542,6 +542,10 @@ def update_bm25_index(
     frame, so the refresh is one aggregate over stored parquet; at a real
     deployment the df refresh itself is monoidal per shard and can be
     deferred to a compaction cadence (BM25 tolerates slightly-stale df).
+    Note: the merge rewrites doc_tf WITHOUT the build-time doc_id range
+    sort, so the query-doc probe loses row-group pruning until the next
+    full build / compaction restores the layout — correctness is
+    unaffected (the serving plan never assumes order).
     Returns (n_docs_updated, n_docs_inserted)."""
     from csv_parquet_s3_spark.maintenance import upsert
 

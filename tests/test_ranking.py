@@ -129,6 +129,34 @@ class TestMaterializeModes:
         with pytest.raises(ValueError, match="bogus"):
             materialize(spark.range(1))
 
+    def test_reliable_mode_checkpoints_durably(self, spark, monkeypatch, tmp_path):
+        from csv_parquet_s3_spark.plans.materialize import materialize
+
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+        monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "reliable")
+        df = materialize(spark.range(10).withColumn("x", F.col("id") * 2))
+        assert df.count() == 10
+        assert any((tmp_path / "ckpt").rglob("*")), "no checkpoint files written"
+
+    def test_modes_are_result_equivalent_on_an_iterative_operator(
+        self, spark, monkeypatch
+    ):
+        """The config switch must not change ANY answer: run a
+        checkpoint-heavy iterative operator (PageRank — 7 recorded
+        subplans per audit) under local and persist modes and require
+        identical rows. This is the claim DEPLOYMENT.md makes when it
+        says one env var flips the whole registry's checkpoint mode."""
+        from csv_parquet_s3_spark.operators.components import (
+            graph_pagerank_nation_trade,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "local")
+        base = sorted(map(tuple, graph_pagerank_nation_trade(spark, sf).collect()))
+        monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "persist")
+        alt = sorted(map(tuple, graph_pagerank_nation_trade(spark, sf).collect()))
+        assert base == alt
+
     def test_recorder_captures_pre_checkpoint_plan(self, spark):
         from csv_parquet_s3_spark.plans.materialize import (
             materialize,
