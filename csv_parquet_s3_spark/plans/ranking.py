@@ -58,9 +58,9 @@ def with_global_row_number(
     single-partition window.
 
     ``order_cols`` must define a total order (include a unique tie-break).
-    Internal columns ``__mid/__pid/__loc`` are dropped before return; the
-    partition-boundary metadata is exposed via :func:`partition_boundaries`
-    for callers that also need LAG across the boundary.
+    Internal columns ``__mid/__pid/__loc`` are dropped before return;
+    callers that also need LAG across partition boundaries use
+    :func:`with_global_lag`, which keeps the boundary metadata.
     """
     ranked, _ = _ranked_with_boundaries(df, order_cols, rn_col, num_partitions)
     return ranked.drop("__pid", "__loc")
