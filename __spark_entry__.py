@@ -45,7 +45,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # listed first. The r07 window resumes the standard rotation
 # (tools/rotate_window.py against CORRECTNESS_r06) with two insertion
 # groups per the window invariant and the changed-operator policy:
-# (a) the five r07 registrations take same-round slots (never checked);
+# (a) the six r07 registrations take same-round slots (never checked);
 # (b) the eight entries whose CODE changed this round re-pin immediately —
 #     the five leaderboard/segmentation queries rebuilt on the two-phase
 #     distributed rank (plans/ranking.py; values identical, plan changed),
@@ -61,6 +61,7 @@ VERIFY_PRIORITY: list[str] = [
     "retrieval_hybrid_rrf_topn",
     "dedup_minhash_batch_vs_index",
     "stream_click_purchase_left_outer",
+    "stream_bm25_index_maintenance",
     # tier 0b: r07-changed operators re-pin
     "q_window_supplier_rank",
     "q_customer_value_deciles",
@@ -108,7 +109,6 @@ VERIFY_PRIORITY: list[str] = [
     "dedup_keep_first_events",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_signatures",
-    "dedup_simhash_buckets",
 ]
 
 

@@ -218,6 +218,93 @@ def stream_click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @register(
+    "stream_bm25_index_maintenance",
+    # The streamed-in index must serve exactly the full-corpus ranking, so
+    # the oracle IS the end-to-end BM25 oracle (the same contract as the
+    # batch-incremental entry `retrieval_bm25_incremental`). It is aliased
+    # after the module body (see the _ORACLES assignment below) so this
+    # module never needs retrieval imported at decoration time.
+    oracle=None,
+)
+def stream_bm25_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from an index maintained BY A STREAM: build the stored
+    doc-term index on the even-doc_id half, then readStream the odd half
+    (two staged files → two micro-batches via maxFilesPerTrigger=1) through
+    ``foreachBatch`` → ``update_bm25_index`` — each batch tokenized at
+    batch cost and MERGE-d by doc_id, statistics refreshed index-sized —
+    and answer the top-k query from the stored index only. Hash-equality
+    with the full-corpus oracle pins streamed-maintenance ≡ full build
+    end to end: the continuous-ingest lifecycle a standing corpus actually
+    runs (the IVF index has the same twin, test-pinned in
+    tests/test_similarity_index.py; this one is driver-checked).
+
+    Idempotence: the per-batch merge is an upsert keyed by doc_id, so a
+    checkpoint replay of a micro-batch cannot duplicate tf rows."""
+    import os
+    import shutil
+    import tempfile
+
+    from csv_parquet_s3_spark.operators.retrieval import (
+        _bm25_serve_from,
+        build_bm25_index,
+    )
+    from csv_parquet_s3_spark.sources.tables import load_table as _lt
+    from csv_parquet_s3_spark.streaming.index_stream import stream_update_bm25_index
+
+    docs = _lt(spark, sf_dir, "documents")
+    idx = tempfile.mkdtemp(prefix="bm25_stream_idx_")
+    build_bm25_index(spark, docs.filter(F.col("doc_id") % 2 == 0), idx)
+
+    staging = tempfile.mkdtemp(prefix="bm25_stream_src_")
+    ckpt = tempfile.mkdtemp(prefix="bm25_stream_ckpt_")
+    try:
+        def _stage(df: DataFrame, name: str, mtime: int) -> None:
+            tmp = os.path.join(staging, f"_{name}")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp)
+                if f.endswith(".parquet") and not f.startswith("_")
+            )
+            dst = os.path.join(staging, name)
+            shutil.move(os.path.join(tmp, part), dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (mtime, mtime))
+
+        odd = docs.filter(F.col("doc_id") % 2 == 1)
+        _stage(odd.filter(F.col("doc_id") % 4 == 1), "00_batch.parquet", 1_000_000_000)
+        _stage(odd.filter(F.col("doc_id") % 4 == 3), "01_batch.parquet", 1_000_000_100)
+
+        schema = spark.read.parquet(os.path.join(staging, "00_batch.parquet")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(staging)
+        )
+        q = stream_update_bm25_index(stream, idx, ckpt)
+        assert q.awaitTermination(180), "index-maintenance stream did not finish"
+        n_batches = sum(1 for pr in q.recentProgress if pr["numInputRows"] > 0)
+        if n_batches != 2:
+            raise RuntimeError(
+                f"expected the odd half in 2 micro-batches, saw {n_batches}"
+            )
+        return _bm25_serve_from(spark, idx)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+# oracle registration for the entry above: force retrieval's registrations
+# first (no cycle — retrieval never imports this module), then alias its
+# end-to-end BM25 oracle. Done post-decoration so a direct import of this
+# module alone still wires the oracle correctly.
+from csv_parquet_s3_spark.operators import retrieval as _retrieval  # noqa: E402,F401
+from csv_parquet_s3_spark.operators.registry import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["stream_bm25_index_maintenance"] = _ORACLES["retrieval_bm25_topk"]
+
+
+@register(
     "stream_click_purchase_left_outer",
     oracle="""
     WITH b AS (SELECT max(ts) AS hi FROM events),

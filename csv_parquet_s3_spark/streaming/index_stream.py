@@ -36,3 +36,27 @@ def stream_update_ivf_index(vectors: DataFrame, index_path: str, checkpoint: str
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_update_bm25_index(docs: DataFrame, index_path: str, checkpoint: str):
+    """Streaming maintenance of the BM25 doc-term index: each micro-batch
+    of documents (doc_id, text, ...) is tokenized at batch cost and
+    MERGE-d into the stored index (`operators.retrieval.update_bm25_index`
+    — upsert keyed by doc_id, so checkpoint replays cannot duplicate a
+    document's tf rows; the idempotence discipline shared with the IVF
+    twin above). Collection statistics (df, avgdl) refresh per batch from
+    the merged index — index-sized work, deferrable to a compaction
+    cadence at a real deployment. Returns the StreamingQuery."""
+    from csv_parquet_s3_spark.operators.retrieval import update_bm25_index
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        update_bm25_index(batch_df.sparkSession, batch_df, index_path)
+
+    return (
+        docs.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
