@@ -58,6 +58,47 @@ def test_ntile_matches_sql_ntile(spark, frame, n):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
 
 
+def test_ntile_formula_exhaustive_grid(spark):
+    """Exhaustive check of the NTILE fill arithmetic: for every total in
+    1..60 and n in {1,2,3,4,5,7,10,59,60,61}, every rn in 1..total must
+    land in the bucket the SQL standard assigns (first total%n buckets get
+    total//n + 1 rows). Independently recomputed in Python, evaluated in
+    ONE Spark job — the 5-case parametrized test above can miss an
+    off-by-one in the ragged fill; this grid cannot."""
+    from csv_parquet_s3_spark.plans.ranking import ntile_from_rn
+
+    ns = [1, 2, 3, 4, 5, 7, 10, 59, 60, 61]
+    rows = [
+        (total, rn) for total in range(1, 61) for rn in range(1, total + 1)
+    ]
+    df = spark.createDataFrame(rows, "total bigint, rn bigint").coalesce(4)
+    got = df.select(
+        "total",
+        "rn",
+        *[
+            ntile_from_rn(F.col("rn"), n, F.col("total")).alias(f"b{n}")
+            for n in ns
+        ],
+    ).collect()
+
+    def buckets(n: int, total: int) -> list[int]:
+        # the SQL definition, literally: hand out total rows round-robin-
+        # by-block — first (total % n) buckets get one extra row
+        q, r = divmod(total, n)
+        sizes = [q + 1] * r + [q] * (n - r)
+        out = []
+        for b, size in enumerate(sizes, start=1):
+            out.extend([b] * size)
+        return out  # out[rn-1] = NTILE(n) for row rn
+
+    tables = {(n, total): buckets(n, total) for n in ns for total in range(1, 61)}
+    for row in got:
+        for n in ns:
+            assert row[f"b{n}"] == tables[(n, row.total)][row.rn - 1], (
+                f"total={row.total} rn={row.rn} n={n}"
+            )
+
+
 def test_lag_matches_global_window(spark, frame):
     from csv_parquet_s3_spark.plans.ranking import with_global_lag
 
