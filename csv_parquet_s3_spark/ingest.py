@@ -74,8 +74,11 @@ class IngestReport:
 
 
 def _nullify_empty(col: F.Column) -> F.Column:
-    # empty or whitespace-only → null (CsvToParquetConverter.java:160-163)
-    return F.when(F.trim(col) == "", F.lit(None)).otherwise(col)
+    # `value.trim().isEmpty()` → null (CsvToParquetConverter.java:160-163).
+    # Java's String.trim() strips every code point <= U+0020 (tab, FF, VT,
+    # NUL, CR, ...), not just the space character that Spark's `trim` strips,
+    # so the emptiness test must be "all chars <= U+0020", not `trim(col)=''`.
+    return F.when(col.rlike(r"^[\x00-\x20]*$"), F.lit(None)).otherwise(col)
 
 
 def parse_column(spec: FieldSpec) -> tuple[F.Column, F.Column | None]:

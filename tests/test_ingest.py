@@ -284,3 +284,25 @@ def test_full_28_column_reference_schema_round_trip(spark, tmp_path):
 
     s = rows[8]  # every optional empty cell → null, even REQUIRED-adjacent
     assert all(getattr(s, c) is None for c in cols if c != "id")
+
+
+def test_control_char_only_cells_null_like_java_trim(spark, tmp_path):
+    """Java String.trim() strips every code point <= U+0020, so a cell of
+    only control chars (FF, NUL, VT, tab...) is nulled by the reference's
+    `value.trim().isEmpty()` check (CsvToParquetConverter.java:160-163).
+    Deterministic pin of the r07-judge hypothesis find (O6): Spark's F.trim
+    strips only U+0020 and would keep these cells alive."""
+    import csv as _csv
+
+    specs = parse_schema(MINI_SCHEMA)
+    path = tmp_path / "ctl.csv"
+    cells = ["\x0c", "\x00", "\x0b\x1f", " \t ", "\x00 \x08", "kept\x0c"]
+    with open(path, "w", newline="") as fh:
+        w = _csv.writer(fh)
+        w.writerow(["id", "name", "age"])
+        for i, c in enumerate(cells):
+            w.writerow([str(i), c, ""])
+
+    df, _ = parse_csv(spark, str(path), specs)
+    got = {r.id: r.name for r in df.collect()}
+    assert got == {0: None, 1: None, 2: None, 3: None, 4: None, 5: "kept\x0c"}

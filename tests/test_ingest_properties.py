@@ -36,11 +36,21 @@ SPECS = [
 
 _DEC_CTX = decimal.Context(rounding=decimal.ROUND_HALF_UP)
 
+# Java String.trim() strips every code point <= U+0020 — a DIFFERENT set
+# from Python str.strip() (which keeps NUL/SOH/... but strips U+0085/U+00A0).
+# The reference nulls a cell iff value.trim().isEmpty()
+# (CsvToParquetConverter.java:160-163), so the model must use Java's set.
+_JAVA_WS = "".join(chr(i) for i in range(0x21))
+
+
+def _java_trim(cell: str) -> str:
+    return cell.strip(_JAVA_WS)
+
 
 def _model_decimal(cell: str):
     """The reference's decimal semantics: BigDecimal(cell).setScale(2, HALF_UP),
     unparseable → null (CsvToParquetConverter.java:188-195)."""
-    if cell.strip() == "":
+    if _java_trim(cell) == "":
         return None
     try:
         return decimal.Decimal(cell.strip()).quantize(
@@ -51,7 +61,7 @@ def _model_decimal(cell: str):
 
 
 def _model_int(cell: str, bits: int):
-    if cell.strip() == "":
+    if _java_trim(cell) == "":
         return None, False
     s = cell.strip()
     body = s[1:] if s[:1] in "+-" else s
@@ -115,7 +125,7 @@ def test_ingest_matches_reference_model(spark, tmp_path, rows):
                 id_v,
                 big_v,
                 _model_decimal(r[2]),
-                r[3] if r[3].strip() != "" else None,
+                r[3] if _java_trim(r[3]) != "" else None,
             )
         )
 
