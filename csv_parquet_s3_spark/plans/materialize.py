@@ -92,3 +92,23 @@ def materialize(df: DataFrame) -> DataFrame:
         df.count()  # eager, matching the checkpoint modes
         return df
     return df
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """Like :func:`materialize`, but NEVER a pass-through: mode ``none``
+    falls back to ``local``.
+
+    For frames whose VALUES are only well-defined if the physical result is
+    computed once — e.g. ``monotonically_increasing_id`` after a sampled
+    range shuffle (plans/ranking.py), where re-execution re-samples the
+    boundaries and a second action would read DIFFERENT ids than the first.
+    Under plain ``materialize`` the debug mode ``none`` replays lineage per
+    action and silently corrupts such values, not just plan shapes."""
+    mode = os.environ.get("SPARK_GRAFT_MATERIALIZE", "local")
+    if mode == "none":
+        os.environ["SPARK_GRAFT_MATERIALIZE"] = "local"
+        try:
+            return materialize(df)
+        finally:
+            os.environ["SPARK_GRAFT_MATERIALIZE"] = "none"
+    return materialize(df)

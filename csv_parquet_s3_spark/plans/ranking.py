@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from csv_parquet_s3_spark.plans.materialize import materialize
+from csv_parquet_s3_spark.plans.materialize import pin
 
 # monotonically_increasing_id(): partition id << 33 | record number
 _MID_RECORD_BITS = 33
@@ -84,9 +84,10 @@ def _ranked_with_boundaries(
         sorted_df.sortWithinPartitions(*order_cols)
         .withColumn("__mid", F.monotonically_increasing_id())
         # two consumers below (the per-partition counts and the ranked
-        # output) — materialize once so the range shuffle is not replayed
-        # and the mids are stable across both reads
-        .transform(materialize)
+        # output) — pin() (never pass-through, even under
+        # SPARK_GRAFT_MATERIALIZE=none) so the range shuffle is not
+        # re-sampled per action and the mids are stable across both reads
+        .transform(pin)
     )
     pid = F.shiftright("__mid", _MID_RECORD_BITS).cast("int")
     loc = (F.col("__mid").bitwiseAND(F.lit(_MID_RECORD_MASK))).cast("bigint")
@@ -120,12 +121,16 @@ def ntile_from_rn(rn: Column, n: int, total: Column) -> Column:
       rn <= r*big        →  (rn-1) // big + 1
       otherwise          →  r + (rn - r*big - 1) // q + 1
     """
-    q = (total / n).cast("bigint")  # floor: total, n nonneg
+    # integer `div`, not double `/` + cast: double division is exact only
+    # within 2^53, so the cast-back flooring is off-by-one at entity-scale
+    # totals (e.g. (2^60+7)/10 rounds to ...704, floor-div gives ...698)
+    idiv = lambda a, b: F.call_function("div", a, b)  # noqa: E731
+    q = idiv(total, F.lit(n))
     r = total - q * n
     big = q + 1
     in_big = rn <= r * big
-    bucket_big = ((rn - 1) / big).cast("bigint") + 1
-    bucket_small = r + ((rn - r * big - 1) / q).cast("bigint") + 1
+    bucket_big = idiv(rn - 1, big) + 1
+    bucket_small = r + idiv(rn - r * big - 1, q) + 1
     return F.when(in_big, bucket_big).otherwise(bucket_small).cast("int")
 
 

@@ -211,3 +211,50 @@ class TestMaterializeModes:
             )
         assert len(recorded) == 1
         assert recorded[0].n_exchanges >= 1, "pre-truncation shuffle not seen"
+
+
+def test_rank_correct_under_materialize_none(spark, frame, monkeypatch):
+    """r07-advisor item: with SPARK_GRAFT_MATERIALIZE=none the range sort
+    used to re-execute per action with fresh boundary sampling, so the
+    P-row counts and the returned mids could diverge — 'plan-shape
+    debugging' silently corrupted VALUES. ranking now pins via
+    materialize.pin(), which never passes through."""
+    from csv_parquet_s3_spark.plans.ranking import with_global_row_number
+
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "none")
+    got = with_global_row_number(frame, _order(), "rn", num_partitions=7)
+    ref = frame.select("*", F.row_number().over(W.orderBy(*_order())).alias("rn"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_ntile_exact_beyond_double_precision(spark):
+    """r07-advisor item: NTILE bucket arithmetic must use integer `div`,
+    not double `/` + bigint cast — doubles are exact only to 2^53, so a
+    2^60-row frame's bucket assignment came out off-by-one. Pin the
+    formula at totals far beyond 2^53 against Python's exact integers."""
+    from csv_parquet_s3_spark.plans.ranking import ntile_from_rn
+
+    total = (1 << 60) + 7
+    n = 10
+    q, r = divmod(total, n)
+    # probe rns around every bucket boundary on both sides of the big/small
+    # divide, plus the extremes
+    probes = []
+    for b in (1, 2, r - 1, r, r + 1, n - 1, n):
+        for edge in (0, 1):
+            if b <= r:
+                start = (b - 1) * (q + 1) + 1
+                end = b * (q + 1)
+            else:
+                start = r * (q + 1) + (b - r - 1) * q + 1
+                end = r * (q + 1) + (b - r) * q
+            probes += [(start + edge, b), (end - edge, b)]
+    probes = [(rn, b) for rn, b in probes if 1 <= rn <= total]
+
+    df = spark.createDataFrame(probes, "rn bigint, expect int")
+    got = df.select(
+        "expect", ntile_from_rn(F.col("rn"), n, F.lit(total)).alias("got")
+    ).collect()
+    assert all(row.got == row.expect for row in got), [
+        (row.expect, row.got) for row in got if row.got != row.expect
+    ]
