@@ -42,73 +42,71 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-robin verification window (see PARITY.md "Driver verification
 # rotation"): the driver's correctness check covers the FIRST 50 entries of
 # queries(), so each round the entries most in need of a fresh signal are
-# listed first. The r07 window resumes the standard rotation
-# (tools/rotate_window.py against CORRECTNESS_r06) with two insertion
-# groups per the window invariant and the changed-operator policy:
-# (a) the six r07 registrations take same-round slots (never checked);
-# (b) the eight entries whose CODE changed this round re-pin immediately —
-#     the five leaderboard/segmentation queries rebuilt on the two-phase
-#     distributed rank (plans/ranking.py; values identical, plan changed),
-#     the late-data-drop entry (batch-count assertion added), and the two
-#     refactored retrieval entries (shared scorer / shared ranker legs).
-# Then the rotation output verbatim: rows-only sketches, the stalest r02
-# greens (sim_cosine_topk_ivf_trained first — displaced twice), and the
-# r02-green backlog, trimmed to the 50-slot window.
+# listed first. The r08 window = tools/rotate_window.py output against
+# CORRECTNESS_r01..r07 with the standing insertion policies:
+# (a) the one r08 registration takes a same-round slot (never checked);
+# (b) the eleven entries whose CODE changed this round re-pin immediately —
+#     the three BM25 lifecycle entries (monoidal df/stats update, staged
+#     swaps, layout v3), the three bigram-LM entries (map-only bigram
+#     assembly replaced the positional self-join), and the five two-phase-
+#     rank queries (pin() materialization + integer-div NTILE);
+# then the rotation output verbatim — the rows-only sketches and the r03-
+# stale green tail the r07 verdict told this round to front — trimmed to
+# the 50-slot window.
 VERIFY_PRIORITY: list[str] = [
-    # tier 0a: r07 registrations (never driver-checked)
-    "retrieval_bm25_from_index",
+    # tier 0a: r08 registration (never driver-checked)
+    "retrieval_bm25_compacted",
+    # tier 0b: r08 changed operators (re-pin immediately)
     "retrieval_bm25_incremental",
-    "retrieval_hybrid_rrf_topn",
-    "dedup_minhash_batch_vs_index",
-    "stream_click_purchase_left_outer",
+    "retrieval_bm25_from_index",
     "stream_bm25_index_maintenance",
-    # tier 0b: r07-changed operators re-pin
+    "text_bigram_perplexity",
+    "text_bigram_kn_perplexity",
+    "text_heldout_perplexity",
     "q_window_supplier_rank",
     "q_customer_value_deciles",
     "q_customer_rfm_segments",
     "q_customer_gini_concentration",
-    "stream_events_late_data_drop",
     "q_model_gains_table",
-    "retrieval_bm25_topk",
-    "retrieval_hybrid_rrf",
-    # tier 1: rows-only by nature (re-pin the weaker check)
+    # rotation output: rows-only sketches, then stalest greens (r03 tail)
     "q_approx_sketches",
-    # tier 2: hash-greens, stalest first (rotate_window.py output)
-    "sim_cosine_topk_ivf_trained",
-    "text_token_counts",
-    "text_doc_stats",
-    "text_langid_heuristic",
-    "text_fingerprint",
-    "text_lang_distribution",
-    "text_langid_ngram",
-    "text_feature_hash_embedding",
-    "text_tfidf_top_terms",
-    "q02_cheapest_supplier_per_part",
-    "q07_nation_trade_volume",
-    "q08_market_share",
-    "q09_profit_by_nation_year",
-    "q11_brand_value_concentration",
-    "q12_priority_by_returnflag",
-    "q13_order_count_distribution",
-    "q14_promo_revenue_share",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q19_disjunctive_revenue",
-    "q22_idle_rich_customers",
-    "q15_top_supplier",
-    "q16_supplier_diversity",
-    "q20_bulk_small_part_suppliers",
-    "q21_last_shipper_counts",
-    "q_asof_error_to_purchase",
-    "q_range_join_price_bands",
-    "q_order_value_quantiles",
-    "q_grouping_sets_revenue",
-    "q_kmv_distinct_users",
-    "q_kmv_cohort_overlap",
-    "dedup_exact_documents",
-    "dedup_keep_first_events",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash_signatures",
+    "dedup_simhash_buckets",
+    "dedup_simhash_hamming_pairs",
+    "dedup_cluster_components",
+    "mm_payload_stats",
+    "mm_frame_samples",
+    "dedup_embedding_cosine_pairs",
+    "dedup_ngram_jaccard_blocked",
+    "dedup_embedding_ivf_blocked",
+    "q01_pricing_summary",
+    "q03_top_unshipped",
+    "q04_order_priority",
+    "q05_regional_revenue",
+    "q06_forecast_revenue",
+    "q10_top_customers",
+    "q_semi_customers_with_open_orders",
+    "q_anti_customers_without_open_orders",
+    "q_window_top3_parts_per_brand",
+    "q_window_running_revenue",
+    "q_rollup_revenue",
+    "q_cube_order_status",
+    "q_pivot_revenue_by_status",
+    "q_union_active_parties",
+    "q_except_only_open_customers",
+    "q_intersect_both_status_customers",
+    "q_distinct_agg",
+    "q_filter_predicates",
+    "q_topk_orders_by_value",
+    "q_scalar_string_funcs",
+    "q_scalar_date_math_funcs",
+    "q_events_hourly",
+    "q_event_type_affinity",
+    "sim_cosine_topk_pq",
+    "sim_cosine_topk_ivf_pq",
+    "text_repetition_ratio",
+    "text_benchmark_contamination",
+    "pii_redact_customers",
+    "text_bpe_token_stats",
 ]
 
 

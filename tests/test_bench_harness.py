@@ -55,3 +55,12 @@ def test_headline_and_bucketed_queries_are_registered():
     missing_b = [n for n in bench.BUCKETED_SUBSET if n not in QUERIES]
     assert not missing_b, f"bucketed entries not in registry: {missing_b}"
     assert set(bench.BUCKETED_SUBSET) <= set(bench.HEADLINE)
+
+
+def test_warm_median_excludes_cold_first_rep():
+    """VERDICT r07 #2: the committed statistic is the median of WARM reps
+    only — a 10x cold first rep (index build) must not move it."""
+    assert bench.warm_median([10.0, 1.0, 1.2, 1.1, 1.3]) == 1.15
+    assert bench.warm_median([0.978, 0.3, 0.3, 0.3, 0.3]) == 0.3
+    # degenerate single-rep runs fall back to the only rep
+    assert bench.warm_median([2.5]) == 2.5
