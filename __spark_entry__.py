@@ -44,7 +44,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries(), so each round the entries most in need of a fresh signal are
 # listed first. The r08 window = tools/rotate_window.py output against
 # CORRECTNESS_r01..r07 with the standing insertion policies:
-# (a) the one r08 registration takes a same-round slot (never checked);
+# (a) the two r08 registrations take same-round slots (never checked);
 # (b) the eleven entries whose CODE changed this round re-pin immediately —
 #     the three BM25 lifecycle entries (monoidal df/stats update, staged
 #     swaps, layout v3), the three bigram-LM entries (map-only bigram
@@ -54,8 +54,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # stale green tail the r07 verdict told this round to front — trimmed to
 # the 50-slot window.
 VERIFY_PRIORITY: list[str] = [
-    # tier 0a: r08 registration (never driver-checked)
+    # tier 0a: r08 registrations (never driver-checked)
     "retrieval_bm25_compacted",
+    "retrieval_bm25_after_delete",
     # tier 0b: r08 changed operators (re-pin immediately)
     "retrieval_bm25_incremental",
     "retrieval_bm25_from_index",
@@ -106,7 +107,6 @@ VERIFY_PRIORITY: list[str] = [
     "text_repetition_ratio",
     "text_benchmark_contamination",
     "pii_redact_customers",
-    "text_bpe_token_stats",
 ]
 
 

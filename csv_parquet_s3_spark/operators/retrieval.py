@@ -436,6 +436,19 @@ def _bm25_index_root(sf_dir: str) -> str:
     return os.path.join(repo, "spark-warehouse", "bm25_index", tag)
 
 
+def _bm25_stats(dl: DataFrame) -> DataFrame:
+    """The 1-row collection-statistics table. ``sum_dl`` (exact bigint) is
+    stored alongside the derived ``avgdl`` so incremental maintenance can
+    update the stats MONOIDALLY (sum_dl' = sum_dl − replaced + new) without
+    re-aggregating the index; avgdl is always CAST(sum_dl AS DOUBLE)/n_docs
+    in both the build and update paths, so the two are bit-identical."""
+    return dl.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        (F.expr("CAST(SUM(dl) AS DOUBLE)") / F.count("*")).alias("avgdl"),
+    )
+
+
 def build_bm25_index(spark: SparkSession, docs: DataFrame, index_path: str) -> None:
     """Full build: the four BM25 tables as parquet under ``index_path``.
 
@@ -457,30 +470,49 @@ def build_bm25_index(spark: SparkSession, docs: DataFrame, index_path: str) -> N
     doc_tf.groupBy("token").agg(F.count("*").alias("df")).write.mode(
         "overwrite"
     ).parquet(f"{index_path}/df")
-    dl.agg(
-        F.count("*").alias("n_docs"),
-        (F.expr("CAST(SUM(dl) AS DOUBLE)") / F.count("*")).alias("avgdl"),
-    ).write.mode("overwrite").parquet(f"{index_path}/stats")
+    _bm25_stats(dl).write.mode("overwrite").parquet(f"{index_path}/stats")
+
+
+_BM25_PENDING = "_UPDATE_PENDING"
+
+
+def bm25_index_consistent(index_path: str) -> bool:
+    """False iff an ``update_bm25_index`` run died between its first table
+    mutation and its last: updates drop a pending marker before touching
+    any table and remove it only after df/stats are refreshed, so a
+    surviving marker means merged tf with possibly-stale df/avgdl. Each
+    individual table swap is atomic; the marker makes the CROSS-table
+    window detectable. Heal with a full rebuild or
+    :func:`compact_bm25_index` (whose exact df/stats refresh subsumes the
+    lost delta)."""
+    import os
+
+    return not os.path.exists(os.path.join(index_path, _BM25_PENDING))
 
 
 def ensure_bm25_index(spark: SparkSession, sf_dir: str) -> str:
     """Idempotent doc-term-index materialization for the sf_dir's documents
-    table: skip if the fingerprint marker matches, else build into a temp
-    sibling and rename into place (concurrent readers never see a partial
-    index)."""
+    table: skip if the fingerprint marker matches (and no crashed update
+    left the index inconsistent), else build into a temp sibling and swap
+    into place. The swap is rename-aside (``maintenance._atomic_swap``):
+    the old root moves aside in one rename, the new one renames in, then
+    the backup is deleted — readers never observe a missing or partial
+    root, unlike rmtree-then-rename which leaves a visible hole for the
+    whole rmtree."""
     import json
     import os
-    import shutil
     import uuid
 
+    from csv_parquet_s3_spark.maintenance import _atomic_swap
     from csv_parquet_s3_spark.operators.minhash_index import _documents_fingerprint
 
     root = _bm25_index_root(sf_dir)
     marker = os.path.join(root, "_INDEX_META.json")
-    # layout version 2: doc_tf range-sorted by doc_id (probe pruning) — a
-    # bump forces indexes built with the unsorted layout to rebuild
-    fp = {**_documents_fingerprint(sf_dir), "bm25_layout": 2}
-    if os.path.exists(marker):
+    # layout version 3: doc_tf range-sorted by doc_id (probe pruning),
+    # stats carries exact sum_dl for monoidal incremental refresh — a bump
+    # forces indexes built with older layouts to rebuild
+    fp = {**_documents_fingerprint(sf_dir), "bm25_layout": 3}
+    if os.path.exists(marker) and bm25_index_consistent(root):
         try:
             with open(marker) as fh:
                 if json.load(fh) == fp:
@@ -493,8 +525,9 @@ def ensure_bm25_index(spark: SparkSession, sf_dir: str) -> str:
     with open(os.path.join(tmp, "_INDEX_META.json"), "w") as fh:
         json.dump(fp, fh)
     if os.path.exists(root):
-        shutil.rmtree(root)
-    os.rename(tmp, root)
+        _atomic_swap(tmp, root)
+    else:
+        os.rename(tmp, root)
     return root
 
 
@@ -529,40 +562,304 @@ def retrieval_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bm25_serve_from(spark, root)
 
 
+def _staged_overwrite(df: DataFrame, path: str) -> None:
+    """Write ``df`` to a staging sibling and rename-aside-swap it over
+    ``path`` — concurrent readers of a served index never observe a
+    missing/partial table (the r07-advisor hole of plain
+    ``mode('overwrite')``: Spark deletes the target before writing)."""
+    import uuid
+
+    from csv_parquet_s3_spark.maintenance import _atomic_swap
+
+    staging = path.rstrip("/") + "._refresh-" + uuid.uuid4().hex[:8]
+    df.write.mode("overwrite").parquet(staging)
+    _atomic_swap(staging, path)
+
+
 def update_bm25_index(
     spark: SparkSession, new_docs: DataFrame, index_path: str
 ) -> tuple[int, int]:
     """Incremental index maintenance: tokenize the NEW batch only, MERGE
     its doc_tf/dl rows by doc_id (`maintenance.upsert` — a re-ingested
     document's stale tf rows are replaced wholesale, since the anti-join
-    key is the doc), then refresh the collection statistics (df, stats)
-    from the MERGED tables. Per-batch cost: tokenization proportional to
-    the batch, plus an INDEX-sized df/avgdl refresh — the corpus text is
-    never re-read. df is rows-per-token of the (doc, token)-grain tf
-    frame, so the refresh is one aggregate over stored parquet; at a real
-    deployment the df refresh itself is monoidal per shard and can be
-    deferred to a compaction cadence (BM25 tolerates slightly-stale df).
-    Note: the merge rewrites doc_tf WITHOUT the build-time doc_id range
-    sort, so the query-doc probe loses row-group pruning until the next
-    full build / compaction restores the layout — correctness is
+    key is the doc), then refresh the collection statistics MONOIDALLY:
+
+    - ``df`` (docs-per-token) merges a batch-vocabulary-sized delta
+      (+count from the batch's tf rows, −count from the replaced docs' tf
+      rows, read batch-bounded BEFORE the merge) into the stored
+      vocabulary-sized table — the merged index is never re-aggregated;
+    - ``stats`` updates from exact integers: n_docs' = n_docs − replaced +
+      batch, sum_dl' likewise; avgdl is derived with the same
+      CAST(sum_dl AS DOUBLE)/n_docs expression the full build uses, so
+      incremental ≡ full stays bit-identical.
+
+    Per-batch cost is proportional to the batch plus one vocabulary-sized
+    merge; the corpus text and the merged index are never re-read. Every
+    table refresh is a staged write + atomic rename-aside swap, and the
+    whole update is bracketed by a pending marker
+    (:func:`bm25_index_consistent`) so a crash between table swaps is
+    detectable instead of silently serving merged tf against stale df.
+    Note: the doc_tf merge rewrite loses the build-time doc_id range sort,
+    so the query-doc probe loses row-group pruning until
+    :func:`compact_bm25_index` restores the layout — correctness is
     unaffected (the serving plan never assumes order).
     Returns (n_docs_updated, n_docs_inserted)."""
+    import os
+
     from csv_parquet_s3_spark.maintenance import upsert
 
+    stats_path = f"{index_path}/stats"
+    old_stats = spark.read.parquet(stats_path)
+    if "sum_dl" not in old_stats.columns:
+        raise ValueError(
+            f"{stats_path}: no sum_dl column — index predates bm25_layout 3; "
+            "run a full build (ensure_bm25_index rebuilds on the layout bump)"
+        )
+    st = old_stats.collect()[0]
+
     new_tf = _bm25_doc_tf(new_docs).transform(materialize)
-    new_dl = new_tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    new_dl = (
+        new_tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")).transform(materialize)
+    )
+    new_ids = new_dl.select("doc_id")
+
+    # Batch-bounded pre-reads of everything the merge will replace — pinned
+    # (materialize / collect) BEFORE the upserts rewrite the files they read.
+    df_sub = (
+        spark.read.parquet(f"{index_path}/doc_tf")
+        .join(F.broadcast(new_ids), "doc_id", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("sub"))
+        .transform(materialize)
+    )
+    repl = (
+        spark.read.parquet(f"{index_path}/dl")
+        .join(F.broadcast(new_ids), "doc_id", "left_semi")
+        .agg(F.count("*").alias("n"), F.sum("dl").alias("s"))
+        .collect()[0]
+    )
+    batch = new_dl.agg(F.count("*").alias("n"), F.sum("dl").alias("s")).collect()[0]
+    n_replaced, sum_replaced = repl["n"], repl["s"] or 0
+    n_batch, sum_batch = batch["n"], batch["s"] or 0
+
+    pending = os.path.join(index_path, _BM25_PENDING)
+    with open(pending, "w") as fh:
+        fh.write("update in flight — see bm25_index_consistent()\n")
+
     upsert(spark, f"{index_path}/doc_tf", new_tf, key="doc_id")
-    n_upd, n_ins = upsert(spark, f"{index_path}/dl", new_dl, key="doc_id")
+    upsert(spark, f"{index_path}/dl", new_dl, key="doc_id")
+
+    df_add = new_tf.groupBy("token").agg(F.count("*").alias("add"))
+    net = (
+        df_add.join(df_sub, "token", "full_outer")
+        .select(
+            "token",
+            (
+                F.coalesce("add", F.lit(0)) - F.coalesce("sub", F.lit(0))
+            ).alias("net"),
+        )
+        .filter(F.col("net") != 0)
+    )
+    df_new = (
+        spark.read.parquet(f"{index_path}/df")
+        .join(net, "token", "full_outer")
+        .select(
+            "token",
+            (F.coalesce("df", F.lit(0)) + F.coalesce("net", F.lit(0))).alias("df"),
+        )
+        .filter(F.col("df") > 0)
+    )
+    _staged_overwrite(df_new, f"{index_path}/df")
+
+    new_n = int(st["n_docs"]) - n_replaced + n_batch
+    new_sum = int(st["sum_dl"]) - sum_replaced + sum_batch
+    stats_new = spark.createDataFrame(
+        [(new_n, new_sum)], "n_docs bigint, sum_dl bigint"
+    ).select(
+        "n_docs",
+        "sum_dl",
+        (F.expr("CAST(sum_dl AS DOUBLE)") / F.col("n_docs")).alias("avgdl"),
+    )
+    _staged_overwrite(stats_new, stats_path)
+
+    os.remove(pending)
+    return n_replaced, n_batch - n_replaced
+
+
+def delete_from_bm25_index(
+    spark: SparkSession, doc_ids: DataFrame, index_path: str
+) -> int:
+    """DELETE documents from the stored index — the index-side analog of
+    the reference's predicate purge (`AutoPurge.sql:171-174`: keep the
+    anti-set, staged swap): doc_tf/dl drop the victims' rows via a
+    broadcast anti-join rewrite, and df/stats update MONOIDALLY from the
+    victims' rows (read batch-bounded BEFORE the rewrite) — the surviving
+    index is never re-aggregated. Same staged-swap atomicity and pending-
+    marker crash detectability as :func:`update_bm25_index`; same layout
+    caveat (the rewrite loses the range sort until
+    :func:`compact_bm25_index`). Returns the number of docs removed.
+
+    ``doc_ids`` must be a 1-column (doc_id) frame; ids absent from the
+    index are ignored (DELETE semantics, not an error)."""
+    import os
+
+    stats_path = f"{index_path}/stats"
+    old_stats = spark.read.parquet(stats_path)
+    if "sum_dl" not in old_stats.columns:
+        raise ValueError(
+            f"{stats_path}: no sum_dl column — index predates bm25_layout 3; "
+            "run a full build (ensure_bm25_index rebuilds on the layout bump)"
+        )
+    st = old_stats.collect()[0]
+    victims = doc_ids.select("doc_id").distinct().transform(materialize)
+
+    df_sub = (
+        spark.read.parquet(f"{index_path}/doc_tf")
+        .join(F.broadcast(victims), "doc_id", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("sub"))
+        .transform(materialize)
+    )
+    gone = (
+        spark.read.parquet(f"{index_path}/dl")
+        .join(F.broadcast(victims), "doc_id", "left_semi")
+        .agg(F.count("*").alias("n"), F.sum("dl").alias("s"))
+        .collect()[0]
+    )
+    n_gone, sum_gone = gone["n"], gone["s"] or 0
+
+    pending = os.path.join(index_path, _BM25_PENDING)
+    with open(pending, "w") as fh:
+        fh.write("delete in flight — see bm25_index_consistent()\n")
+
+    for table in ("doc_tf", "dl"):
+        kept = spark.read.parquet(f"{index_path}/{table}").join(
+            F.broadcast(victims), "doc_id", "left_anti"
+        )
+        _staged_overwrite(kept, f"{index_path}/{table}")
+
+    df_new = (
+        spark.read.parquet(f"{index_path}/df")
+        .join(df_sub, "token", "full_outer")
+        .select(
+            "token",
+            (F.coalesce("df", F.lit(0)) - F.coalesce("sub", F.lit(0))).alias("df"),
+        )
+        .filter(F.col("df") > 0)
+    )
+    _staged_overwrite(df_new, f"{index_path}/df")
+
+    new_n = int(st["n_docs"]) - n_gone
+    new_sum = int(st["sum_dl"]) - sum_gone
+    stats_new = spark.createDataFrame(
+        [(new_n, new_sum)], "n_docs bigint, sum_dl bigint"
+    ).select(
+        "n_docs",
+        "sum_dl",
+        (F.expr("CAST(sum_dl AS DOUBLE)") / F.col("n_docs")).alias("avgdl"),
+    )
+    _staged_overwrite(stats_new, stats_path)
+
+    os.remove(pending)
+    return n_gone
+
+
+@register(
+    "retrieval_bm25_after_delete",
+    # DELETE must leave exactly the index a fresh build over the surviving
+    # corpus produces, so the oracle replays the end-to-end BM25 recipe
+    # over the even-doc_id half only (queries = surviving probe docs).
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, t AS token
+        FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+        WHERE t <> '' AND doc_id % 2 = 0
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+        SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+    qterms AS (
+        SELECT DISTINCT doc_id AS query_id, token FROM toks
+        WHERE doc_id < {N_QUERIES}
+    ),
+    doc_tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+    scored AS (
+        SELECT q.query_id, t.doc_id,
+               SUM(CAST(ROUND(
+                   ROUND(LN(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5)), 6)
+                   * (t.tf * ({BM25_K1} + 1.0)
+                      / (t.tf + {BM25_K1}
+                         * (1.0 - {BM25_B} + {BM25_B} * d.dl / s.avgdl))),
+                   6) AS DECIMAL(20,6))) AS score_sum
+        FROM qterms q
+        JOIN doc_tf t ON t.token = q.token AND t.doc_id <> q.query_id
+        JOIN df f ON f.token = q.token
+        JOIN dl d ON d.doc_id = t.doc_id, stats s
+        GROUP BY q.query_id, t.doc_id
+    )
+    SELECT query_id, doc_id,
+           CAST(score_sum AS DOUBLE) AS bm25, CAST(rn AS INT) AS rn
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score_sum DESC, doc_id) AS rn
+        FROM scored
+    ) t WHERE rn <= {TOP_K}
+    """,
+)
+def retrieval_bm25_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served after DELETING the odd-doc_id half from a full-corpus
+    index (`delete_from_bm25_index` — broadcast anti-join rewrite +
+    monoidal df/stats decrement): hash-equality with a fresh build over the
+    surviving half pins delete ≡ rebuild, the same contract the purge
+    module meets for tables (`AutoPurge.sql:171-174`'s keep-the-anti-set
+    DELETE, applied to a served index). Completes the index CRUD story:
+    build (full), update (merge batch), delete (purge docs), compact
+    (restore layout), serve (probe stored parquet)."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = tempfile.mkdtemp(prefix="bm25_idx_")
+    build_bm25_index(spark, docs, idx)
+    delete_from_bm25_index(
+        spark, docs.filter(F.col("doc_id") % 2 == 1).select("doc_id"), idx
+    )
+    return _bm25_serve_from(spark, idx)
+
+
+def compact_bm25_index(spark: SparkSession, index_path: str) -> None:
+    """Post-merge compaction: restore the build-time physical layout and
+    the exactly-recomputed statistics that incremental merges chip away at.
+
+    - ``doc_tf`` / ``dl`` rewrite range-sorted by doc_id
+      (`maintenance.compact`), so every output file covers a disjoint
+      doc_id range and the serving probe (``doc_id < N_QUERIES``) is
+      file/row-group-pruned again;
+    - ``df`` / ``stats`` are refreshed by a FULL exact re-aggregate of the
+      compacted index — the compaction cadence is where the exact rebuild
+      belongs; per-batch updates stay monoidal deltas;
+    - any crashed-update pending marker is cleared (the exact refresh
+      subsumes whatever delta the crash lost).
+
+    All four refreshes use the same staged-write + atomic-swap as the
+    update path; readers of a served index never see a partial table."""
+    import os
+
+    from csv_parquet_s3_spark.maintenance import compact
+
+    compact(spark, f"{index_path}/doc_tf", sort_by=["doc_id", "token"])
+    compact(spark, f"{index_path}/dl", sort_by=["doc_id"])
     doc_tf = spark.read.parquet(f"{index_path}/doc_tf")
+    _staged_overwrite(
+        doc_tf.groupBy("token").agg(F.count("*").alias("df")), f"{index_path}/df"
+    )
     dl = spark.read.parquet(f"{index_path}/dl")
-    doc_tf.groupBy("token").agg(F.count("*").alias("df")).write.mode(
-        "overwrite"
-    ).parquet(f"{index_path}/df")
-    dl.agg(
-        F.count("*").alias("n_docs"),
-        (F.expr("CAST(SUM(dl) AS DOUBLE)") / F.count("*")).alias("avgdl"),
-    ).write.mode("overwrite").parquet(f"{index_path}/stats")
-    return n_upd, n_ins
+    _staged_overwrite(_bm25_stats(dl), f"{index_path}/stats")
+    pending = os.path.join(index_path, _BM25_PENDING)
+    if os.path.exists(pending):
+        os.remove(pending)
 
 
 @register(
@@ -586,4 +883,31 @@ def retrieval_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = tempfile.mkdtemp(prefix="bm25_idx_")
     build_bm25_index(spark, docs.filter(F.col("doc_id") % 2 == 0), idx)
     update_bm25_index(spark, docs.filter(F.col("doc_id") % 2 == 1), idx)
+    return _bm25_serve_from(spark, idx)
+
+
+@register(
+    "retrieval_bm25_compacted",
+    # Compaction must be a pure physical-layout operation: serving the
+    # compacted incrementally-built index must still produce exactly the
+    # full-corpus ranking, so the oracle IS the end-to-end BM25 oracle.
+    oracle=ORACLES["retrieval_bm25_topk"],
+)
+def retrieval_bm25_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full index MAINTENANCE lifecycle: build on the even-doc_id half,
+    merge the odd half in (`update_bm25_index` — monoidal df/stats deltas),
+    then `compact_bm25_index` (restores the doc_id range-sorted doc_tf
+    layout the merge rewrite loses, and exactly re-aggregates df/stats),
+    then serve from the compacted index only. Hash-equality with the
+    full-corpus oracle pins build+update+compact ≡ full build — compaction
+    changed the bytes' layout, never the answer. The layout property itself
+    (range-disjoint doc_id files → probe pruning) is test-pinned via
+    parquet footer min/max stats."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = tempfile.mkdtemp(prefix="bm25_idx_")
+    build_bm25_index(spark, docs.filter(F.col("doc_id") % 2 == 0), idx)
+    update_bm25_index(spark, docs.filter(F.col("doc_id") % 2 == 1), idx)
+    compact_bm25_index(spark, idx)
     return _bm25_serve_from(spark, idx)

@@ -1199,6 +1199,33 @@ _BG_TOKS_ORACLE = """
 """
 
 
+def _doc_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) for each adjacent non-empty-token pair — MAP-ONLY:
+    adjacent pairs are zipped inside each document's token array
+    (``transform`` over ``sequence`` + 0-based element access) and exploded,
+    no positional self-join. The (doc_id, ord) self-join this replaces
+    shuffled the full token stream once per bigram-LM plan — at corpus
+    scale that was one of the two corpus-sized shuffles; now only the
+    per-doc scoring fold shuffles corpus-sized data. The oracles keep the
+    self-join formulation (DuckDB runs at sf0.01, where it is free); the
+    bigram multiset is identical, so every downstream aggregate is too.
+
+    ``sequence(1, n-1)`` needs the n >= 2 guard: Spark's ``sequence``
+    DESCENDS when start > stop, so a 1-token document would yield [1, 0]
+    instead of an empty pair list."""
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    pairs = F.expr(
+        "transform(sequence(1, size(__toks) - 1),"
+        " i -> struct(__toks[i - 1] AS w1, __toks[i] AS w2))"
+    )
+    return (
+        docs.select("doc_id", toks.alias("__toks"))
+        .filter(F.size("__toks") >= 2)
+        .select("doc_id", F.explode(pairs).alias("__p"))
+        .select("doc_id", F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+    )
+
+
 @register(
     "text_bigram_perplexity",
     oracle=f"""
@@ -1247,29 +1274,22 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(20,6) weighted by exact integer term frequencies (house libm
     rule, see the unigram twin at :func:`text_unigram_perplexity`).
 
-    Scale shape: tokenize once, two keyed aggregations (bigram + context
-    counts — LM-sized, not corpus-sized), then a per-doc join against the LM
-    tables with no broadcast hint (a web-scale bigram table is not
-    broadcastable; AQE picks broadcast while it fits). The positional
-    self-join runs on (doc_id, ord) — co-partitioned, one shuffle. The
-    bigram stream and the bg count table are localCheckpointed for the same
-    reason as the KN sibling: bigrams feeds both the LM counts and the
-    per-doc tf table, bg feeds ctx and the scoring join — un-checkpointed,
-    every reference replays the tokenize self-join.
+    Scale shape: bigrams assemble MAP-SIDE (`_doc_bigrams` zips adjacent
+    pairs inside the token array — the r07-era (doc_id, ord) positional
+    self-join and its corpus-sized shuffle are gone), then two keyed
+    aggregations (bigram + context counts — LM-sized, not corpus-sized) and
+    a per-doc join against the LM tables with no broadcast hint (a
+    web-scale bigram table is not broadcastable; AQE picks broadcast while
+    it fits). The bigram stream itself is map-only lineage now, so its two
+    consumers (LM counts, per-doc tf) re-derive it from the scan instead of
+    checkpointing a corpus-sized frame; only the SHUFFLED bg table is
+    materialized (it feeds ctx and the scoring join).
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(F.filter(F.split("text", " "), lambda x: x != "")).alias(
-            "ord", "tok"
-        ),
-    )
-    a = toks.select("doc_id", F.col("ord").alias("orda"), F.col("tok").alias("w1"))
-    b = toks.select(
-        "doc_id", (F.col("ord") - 1).alias("orda"), F.col("tok").alias("w2")
-    )
-    bigrams = a.join(b, ["doc_id", "orda"]).select("doc_id", "w1", "w2").transform(materialize)
-    vocab = toks.agg(F.countDistinct("tok").alias("v"))
+    bigrams = _doc_bigrams(docs)
+    vocab = docs.select(
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("tok")
+    ).agg(F.countDistinct("tok").alias("v"))
     bg = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12")).transform(materialize)
     ctx = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
     doc_bg = bigrams.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("tf"))
@@ -1473,24 +1493,15 @@ def text_bigram_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables (bigram, context, fan-out, continuation) are vocabulary²-bounded
     aggregates with map-side combine, the scoring join is keyed on (w1,w2)
     with no broadcast hint (AQE decides while the LM fits), and the only
-    corpus-sized shuffles are the tokenize-position self-join and the
-    per-doc fold. The bigram stream is localCheckpointed (it feeds BOTH the
-    LM counts and the per-doc tf table — without the checkpoint each replays
-    the tokenize self-join) and so is the vocab²-sized bg table (referenced
-    by all four LM aggregates and the scoring join: the r06 plan audit
-    measured 12 scans / 14 exchanges from the compounded replays)."""
+    corpus-sized shuffle is the per-doc fold — bigrams assemble map-side
+    (`_doc_bigrams`; the r07-era tokenize-position self-join is gone), so
+    the bigram stream is map-only lineage its two consumers re-derive from
+    the scan instead of checkpointing corpus-sized bytes. The vocab²-sized
+    bg table stays materialized (referenced by all four LM aggregates and
+    the scoring join: the r06 plan audit measured 12 scans / 14 exchanges
+    from the compounded replays)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(F.filter(F.split("text", " "), lambda x: x != "")).alias(
-            "ord", "tok"
-        ),
-    )
-    a = toks.select("doc_id", F.col("ord").alias("orda"), F.col("tok").alias("w1"))
-    b = toks.select(
-        "doc_id", (F.col("ord") - 1).alias("orda"), F.col("tok").alias("w2")
-    )
-    bigrams = a.join(b, ["doc_id", "orda"]).select("doc_id", "w1", "w2").transform(materialize)
+    bigrams = _doc_bigrams(docs)
     bg = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12")).transform(materialize)
     ctx = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
     fanout = bg.groupBy("w1").agg(F.count("*").alias("nf"))
@@ -1604,44 +1615,32 @@ def text_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     of being silently dropped — dropping them would report memorization as
     quality, the exact leakage this operator exists to avoid.
 
-    Scale shape: same as `text_bigram_perplexity` (LM tables are
+    Scale shape: same as `text_bigram_perplexity` (bigrams assemble
+    map-side via `_doc_bigrams` — no positional self-join; LM tables are
     vocabulary-bounded aggregates; scoring is a keyed join, AQE picks the
-    strategy) plus one broadcast-sized split frame; the train/test split
-    adds a map-side hash predicate, not a shuffle. The token stream is
-    localCheckpointed (the train LM counts, the vocab size, and the test
-    scoring table each re-tokenize the corpus otherwise), as is the bg
-    count table (referenced by ctx and the scoring join)."""
+    strategy); the train/test split adds a map-side hash predicate, not a
+    shuffle. Tokenize + split is map-only lineage, so the three consumers
+    (train LM counts, vocab size, test scoring table) re-derive it from the
+    scan instead of checkpointing a corpus-sized token stream; only the
+    SHUFFLED bg count table is materialized (referenced by ctx and the
+    scoring join)."""
     from csv_parquet_s3_spark.operators.sampling import hash_split
 
     docs = hash_split(load_table(spark, sf_dir, "documents"), "doc_id")
-    toks = docs.select(
-        "doc_id",
-        "split",
-        F.posexplode(F.filter(F.split("text", " "), lambda x: x != "")).alias(
-            "ord", "tok"
-        ),
-    ).transform(materialize)
-    def bigrams_of(t):
-        a = t.select(
-            "doc_id", F.col("ord").alias("orda"), F.col("tok").alias("w1")
-        )
-        c = t.select(
-            "doc_id", (F.col("ord") - 1).alias("orda"), F.col("tok").alias("w2")
-        )
-        return a.join(c, ["doc_id", "orda"]).select("doc_id", "w1", "w2")
-
-    tr_toks = toks.filter(F.col("split") == "train").drop("split")
-    te_toks = toks.filter(F.col("split") == "test").drop("split")
+    tr_docs = docs.filter(F.col("split") == "train").drop("split")
+    te_docs = docs.filter(F.col("split") == "test").drop("split")
     bg = (
-        bigrams_of(tr_toks)
+        _doc_bigrams(tr_docs)
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("c12"))
         .transform(materialize)
     )
     ctx = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    vocab = tr_toks.agg(F.countDistinct("tok").alias("v"))
+    vocab = tr_docs.select(
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("tok")
+    ).agg(F.countDistinct("tok").alias("v"))
     doc_bg = (
-        bigrams_of(te_toks)
+        _doc_bigrams(te_docs)
         .groupBy("doc_id", "w1", "w2")
         .agg(F.count("*").alias("tf"))
     )
