@@ -57,7 +57,10 @@ VERIFY_PRIORITY: list[str] = [
     # tier 0a: r08 registrations (never driver-checked)
     "retrieval_bm25_compacted",
     "retrieval_bm25_after_delete",
+    "stream_click_purchase_right_outer",
+    "stream_click_purchase_full_outer",
     # tier 0b: r08 changed operators (re-pin immediately)
+    "stream_click_purchase_left_outer",
     "retrieval_bm25_incremental",
     "retrieval_bm25_from_index",
     "stream_bm25_index_maintenance",
@@ -104,9 +107,6 @@ VERIFY_PRIORITY: list[str] = [
     "q_event_type_affinity",
     "sim_cosine_topk_pq",
     "sim_cosine_topk_ivf_pq",
-    "text_repetition_ratio",
-    "text_benchmark_contamination",
-    "pii_redact_customers",
 ]
 
 

@@ -362,6 +362,22 @@ def stream_click_purchase_left_outer(spark: SparkSession, sf_dir: str) -> DataFr
     Scale shape: join state keyed by user_id, evicted at watermark +
     window per side — constant per active user, indefinitely runnable;
     the sentinel machinery is a test-harness artifact."""
+    from csv_parquet_s3_spark.streaming.stream_join import (
+        click_purchase_left_outer,
+    )
+
+    return _staged_outer_join_drain(spark, sf_dir, click_purchase_left_outer)
+
+
+def _staged_outer_join_drain(spark: SparkSession, sf_dir: str, join_fn) -> DataFrame:
+    """Shared harness for the three outer stream-stream join entries: stage
+    the events corpus as micro-batch 1, sentinel watermark carriers at
+    max(ts) on BOTH sides as batch 2 (the joint watermark is the MIN over
+    sides), and a kicker pair as batch 3 so eviction runs with the batch-2
+    watermark (SPARK-40925 one-batch lag). The carrier/kicker rows use
+    negative ids; their own eviction bounds sit above the final watermark
+    so they never emit NULL rows, and the ``user_id >= 0`` filter keeps the
+    contract explicit."""
     import os
     import shutil
     import tempfile
@@ -417,15 +433,11 @@ def stream_click_purchase_left_outer(spark: SparkSession, sf_dir: str) -> DataFr
                 .parquet(staging)
             )
 
-        from csv_parquet_s3_spark.streaming.stream_join import (
-            click_purchase_left_outer,
-        )
-
         clicks = _src().filter(F.col("event_type") == "click")
         purchases = _src().filter(F.col("event_type") == "purchase")
         drained = _drain(
             spark,
-            click_purchase_left_outer(clicks, purchases),
+            join_fn(clicks, purchases),
             mode="append",
             expect_input_batches=3,
         )
@@ -435,6 +447,128 @@ def stream_click_purchase_left_outer(spark: SparkSession, sf_dir: str) -> DataFr
         return drained.filter(F.col("user_id") >= 0)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+
+
+@register(
+    "stream_click_purchase_right_outer",
+    oracle="""
+    WITH b AS (SELECT max(ts) AS hi FROM events),
+    c AS (
+        SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT user_id, ts AS purchase_ts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    matched AS (
+        SELECT c.user_id, c.click_ts, p.purchase_ts,
+               p.value AS purchase_value
+        FROM c JOIN p
+          ON p.user_id = c.user_id
+         AND p.purchase_ts > c.click_ts
+         AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+    ),
+    unmatched AS (
+        SELECT p.user_id, CAST(NULL AS TIMESTAMP) AS click_ts,
+               p.purchase_ts, p.value AS purchase_value
+        FROM p, b
+        WHERE NOT EXISTS (
+            SELECT 1 FROM c
+            WHERE c.user_id = p.user_id
+              AND p.purchase_ts > c.click_ts
+              AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+        )
+        AND p.purchase_ts <= b.hi - INTERVAL 30 MINUTE
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+)
+def stream_click_purchase_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream RIGHT OUTER interval join, drained and hash-checked:
+    every purchase either matches its in-window preceding clicks (emitted
+    eagerly) or emits ONCE with NULL click columns — the organic-conversion
+    feed. The eviction bound is a full window TIGHTER than the left-outer's:
+    a purchase can only match clicks STRICTLY BEFORE it, so its NULL row
+    emits once the joint watermark REACHES purchase_ts itself (no
+    ``+ window`` term — the oracle cutoff is ``purchase_ts <= max(ts) − 30
+    min``, INCLUSIVE, pinned empirically in
+    tests/test_round8_wave.py::TestStreamOuterJoinCutoffs: a purchase
+    exactly at the final watermark emits, unlike the left side's strict
+    bound — the asymmetry comes from the strict ``purchase_ts > click_ts``
+    half of the condition). Sequencing
+    and sentinel machinery are shared with the left-outer entry
+    (_staged_outer_join_drain); the SPARK-40925 one-batch eviction lag is
+    why the kicker batch exists."""
+    from csv_parquet_s3_spark.streaming.stream_join import (
+        click_purchase_right_outer,
+    )
+
+    return _staged_outer_join_drain(spark, sf_dir, click_purchase_right_outer)
+
+
+@register(
+    "stream_click_purchase_full_outer",
+    oracle="""
+    WITH b AS (SELECT max(ts) AS hi FROM events),
+    c AS (
+        SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT user_id, ts AS purchase_ts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    matched AS (
+        SELECT c.user_id, c.click_ts, p.purchase_ts,
+               p.value AS purchase_value
+        FROM c JOIN p
+          ON p.user_id = c.user_id
+         AND p.purchase_ts > c.click_ts
+         AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+    ),
+    unmatched_c AS (
+        SELECT c.user_id, c.click_ts,
+               CAST(NULL AS TIMESTAMP) AS purchase_ts,
+               CAST(NULL AS DOUBLE) AS purchase_value
+        FROM c, b
+        WHERE NOT EXISTS (
+            SELECT 1 FROM p
+            WHERE p.user_id = c.user_id
+              AND p.purchase_ts > c.click_ts
+              AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+        )
+        AND c.click_ts + INTERVAL 1 HOUR < b.hi - INTERVAL 30 MINUTE
+    ),
+    unmatched_p AS (
+        SELECT p.user_id, CAST(NULL AS TIMESTAMP) AS click_ts,
+               p.purchase_ts, p.value AS purchase_value
+        FROM p, b
+        WHERE NOT EXISTS (
+            SELECT 1 FROM c
+            WHERE c.user_id = p.user_id
+              AND p.purchase_ts > c.click_ts
+              AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+        )
+        AND p.purchase_ts <= b.hi - INTERVAL 30 MINUTE
+    )
+    SELECT * FROM matched
+    UNION ALL SELECT * FROM unmatched_c
+    UNION ALL SELECT * FROM unmatched_p
+    """,
+)
+def stream_click_purchase_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — the union of the three
+    feeds: attributed pairs (eager), unconverted clicks (NULL purchase
+    columns once the watermark STRICTLY passes click_ts + window), and
+    unattributed purchases (NULL click columns once it REACHES purchase_ts
+    — inclusive, see the right-outer entry). The two NULL populations
+    surface at different watermark depths AND with different boundary
+    semantics because the interval is one-sided — the oracle replays each
+    side's own cutoff. Harness shared with the left/right entries."""
+    from csv_parquet_s3_spark.streaming.stream_join import (
+        click_purchase_full_outer,
+    )
+
+    return _staged_outer_join_drain(spark, sf_dir, click_purchase_full_outer)
 
 
 @register(

@@ -57,6 +57,39 @@ def click_purchase_attribution(
     )
 
 
+def _outer_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    how: str,
+    window: str,
+    watermark: str,
+) -> DataFrame:
+    """Shared body of the three outer variants: watermark both sides, apply
+    the interval condition, join with ``how``, and coalesce the key (an
+    unmatched right row carries NULL in the left side's user_id)."""
+    c = clicks.select(F.col("user_id"), F.col("ts").alias("click_ts"))
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    if purchases.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {window}"))
+    )
+    return c.join(p, cond, how).select(
+        F.coalesce("user_id", "p_user_id").alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def click_purchase_left_outer(
     clicks: DataFrame,
     purchases: DataFrame,
@@ -76,21 +109,44 @@ def click_purchase_left_outer(
 
     Scale shape: identical to the inner join — state keyed by user_id,
     bounded by watermark + window per side."""
-    c = clicks.select(F.col("user_id"), F.col("ts").alias("click_ts"))
-    p = purchases.select(
-        F.col("user_id").alias("p_user_id"),
-        F.col("ts").alias("purchase_ts"),
-        F.col("value").alias("purchase_value"),
-    )
-    if clicks.isStreaming:
-        c = c.withWatermark("click_ts", watermark)
-    if purchases.isStreaming:
-        p = p.withWatermark("purchase_ts", watermark)
-    cond = (
-        (F.col("user_id") == F.col("p_user_id"))
-        & (F.col("purchase_ts") > F.col("click_ts"))
-        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {window}"))
-    )
-    return c.join(p, cond, "leftOuter").select(
-        "user_id", "click_ts", "purchase_ts", "purchase_value"
-    )
+    return _outer_join(clicks, purchases, "leftOuter", window, watermark)
+
+
+def click_purchase_right_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window: str = ATTRIBUTION_WINDOW,
+    watermark: str = WATERMARK,
+) -> DataFrame:
+    """RIGHT OUTER variant: every purchase, matched to its in-window
+    preceding clicks OR emitted once with NULL click columns — the
+    "unattributed purchase" feed (organic conversions). The eviction bound
+    differs from the left side because the interval is one-sided: a
+    purchase can only match clicks STRICTLY BEFORE it, so its NULL row may
+    emit as soon as the joint watermark REACHES purchase_ts itself — no
+    ``+ window`` term (the left side waits for click_ts + window because
+    purchases up to that far ahead can still match), and INCLUSIVE at the
+    boundary (a purchase exactly at the watermark emits; the left side's
+    bound is strict — pinned in test_round8_wave.py). Matched rows still
+    emit eagerly; the one-micro-batch eviction lag (SPARK-40925) applies
+    the same way.
+
+    Scale shape: identical — state keyed by user_id, the purchase side's
+    state is evictable a full window EARLIER than the click side's."""
+    return _outer_join(clicks, purchases, "rightOuter", window, watermark)
+
+
+def click_purchase_full_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window: str = ATTRIBUTION_WINDOW,
+    watermark: str = WATERMARK,
+) -> DataFrame:
+    """FULL OUTER variant: the union of the three feeds — attributed pairs
+    (eager), unconverted clicks (NULL purchase columns once the watermark
+    strictly passes click_ts + window), and unattributed purchases (NULL
+    click columns once it reaches purchase_ts, inclusive). Each side's
+    NULL emission obeys ITS OWN eviction bound, so the two NULL
+    populations appear at different watermark depths and with different
+    boundary strictness — the oracle replays both cutoffs."""
+    return _outer_join(clicks, purchases, "fullOuter", window, watermark)

@@ -254,3 +254,89 @@ class TestIndexDelete:
         assert _rows(_bm25_serve_from(spark, full)) == _rows(
             _bm25_serve_from(spark, survivors)
         )
+
+
+class TestStreamOuterJoinCutoffs:
+    """Deterministic pin of the two outer-eviction cutoffs (r07 verdict
+    item 6). The registered entries hash-check against real events data,
+    where boundary-EXACT timestamps are vanishingly unlikely — this
+    fixture plants them, and the two sides came back ASYMMETRIC on this
+    build: a click whose no-more-matches bound (click_ts + window) EQUALS
+    the final watermark stays in state (strict), but a purchase sitting
+    exactly AT the watermark emits (inclusive) — the strict
+    ``purchase_ts > click_ts`` half of the condition shifts the right
+    side's eviction bound by one unit. The oracles replay exactly these
+    inequalities; this test is what keeps them honest."""
+
+    T0 = "2024-03-01 00:00:00"
+
+    @pytest.fixture()
+    def synth_sf_dir(self, spark, tmp_path):
+        import datetime
+
+        base = datetime.datetime.fromisoformat(self.T0)
+
+        def at(**kw):
+            return base + datetime.timedelta(**kw)
+
+        hi = at(hours=10)
+        wm = at(hours=9, minutes=30)  # hi − 30 min
+        rows = [
+            # matched pair: purchase 30 min after the click, same user
+            (1, at(hours=1), 100, "click", 0.0),
+            (2, at(hours=1, minutes=30), 100, "purchase", 42.5),
+            # unmatched purchase exactly AT the watermark → emits
+            # (inclusive bound, the asymmetry under test)
+            (3, wm, 200, "purchase", 7.0),
+            # unmatched purchase 1 s inside → must emit NULL-click
+            (4, wm - datetime.timedelta(seconds=1), 201, "purchase", 8.0),
+            # unmatched click whose bound (ts + 1 h) == wm → must NOT emit
+            (5, wm - datetime.timedelta(hours=1), 300, "click", 0.0),
+            # unmatched click 1 s inside the bound → must emit NULL-purchase
+            (6, wm - datetime.timedelta(hours=1, seconds=1), 301, "click", 0.0),
+            # watermark anchor: a non-click/purchase event at max ts
+            (7, hi, 999, "view", 0.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+            "event_type STRING, value DOUBLE"
+        )
+        df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+        return str(tmp_path)
+
+    def test_right_outer_cutoff_is_strict_at_purchase_ts(
+        self, spark, synth_sf_dir
+    ):
+        from csv_parquet_s3_spark.operators.streaming_batch import (
+            stream_click_purchase_right_outer,
+        )
+
+        rows = stream_click_purchase_right_outer(spark, synth_sf_dir).collect()
+        matched = {(r.user_id, r.purchase_value) for r in rows if r.click_ts}
+        nulls = {r.user_id for r in rows if r.click_ts is None}
+        assert matched == {(100, 42.5)}
+        assert 201 in nulls, "in-cutoff unattributed purchase must emit"
+        assert 200 in nulls, (
+            "purchase exactly at the watermark did NOT emit — the eviction "
+            "cutoff turned strict on this build; flip the oracle back to <"
+        )
+
+    def test_full_outer_emits_both_null_populations(self, spark, synth_sf_dir):
+        from csv_parquet_s3_spark.operators.streaming_batch import (
+            stream_click_purchase_full_outer,
+        )
+
+        rows = stream_click_purchase_full_outer(spark, synth_sf_dir).collect()
+        matched = {(r.user_id, r.purchase_value) for r in rows
+                   if r.click_ts is not None and r.purchase_ts is not None}
+        null_purchase = {r.user_id for r in rows if r.purchase_ts is None}
+        null_click = {r.user_id for r in rows if r.click_ts is None}
+        assert matched == {(100, 42.5)}
+        assert null_purchase == {301}, (
+            "unconverted-click feed: only the strictly-inside click emits "
+            "(the bound==watermark click stays in state)"
+        )
+        assert null_click == {200, 201}, (
+            "unattributed-purchase feed: the at-watermark purchase emits "
+            "too (inclusive bound)"
+        )
