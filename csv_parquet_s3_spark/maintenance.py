@@ -58,6 +58,34 @@ def _atomic_swap(staging: str, final: str) -> None:
     shutil.rmtree(backup)
 
 
+def delete_rows(
+    spark: SparkSession,
+    path: str,
+    victims: DataFrame,
+    key: str | list[str],
+) -> int:
+    """DELETE-by-key from a parquet dataset: the keep-the-anti-set rewrite
+    the purge module applies to tables (`AutoPurge.sql:171-174`), as a
+    reusable primitive for per-entity index tables (BM25 doc_tf/dl, IVF
+    inverted lists). One broadcast anti-join keyed on ``key``, staged-swap
+    atomic like :func:`compact`/:func:`upsert`; keys absent from the
+    target are ignored (DELETE semantics). Returns rows removed."""
+    keys = [key] if isinstance(key, str) else list(key)
+    vic = victims.select(*keys).distinct()
+    target = spark.read.parquet(path)
+    n_gone = target.join(F.broadcast(vic), keys, "left_semi").count()
+    kept = target.join(F.broadcast(vic), keys, "left_anti")
+    staging = path.rstrip("/") + "._delete-" + uuid.uuid4().hex[:8]
+    (
+        kept.write.mode("overwrite")
+        .option("compression", "snappy")
+        .option("parquet.block.size", str(PARQUET_BLOCK_SIZE))
+        .parquet(staging)
+    )
+    _atomic_swap(staging, path)
+    return n_gone
+
+
 def compact(
     spark: SparkSession,
     path: str,

@@ -617,3 +617,103 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_adjacent",
         )
     )
+
+
+LPA_ROUNDS = 3
+
+
+def _label_propagation_oracle(rounds: int = LPA_ROUNDS) -> str:
+    """Unrolled synchronous LPA replay: labels are exact integers and the
+    per-round argmax is (count DESC, label ASC) — no FP anywhere, so the
+    replay is bit-exact."""
+    parts = [
+        f"""
+    WITH RECURSIVE {_ORACLE_SHINGLES},
+    {_ORACLE_BANDS},
+    {_ORACLE_PAIR_CTES},
+    edges AS MATERIALIZED (
+        SELECT doc_id_a AS src, doc_id_b AS dst FROM lsh_pairs
+        UNION ALL
+        SELECT doc_id_b AS src, doc_id_a AS dst FROM lsh_pairs
+    ),
+    lab0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    lab{r} AS (
+        SELECT node, lbl FROM (
+            SELECT e.src AS node, l.lbl,
+                   ROW_NUMBER() OVER (PARTITION BY e.src
+                                      ORDER BY COUNT(*) DESC, l.lbl ASC) AS rn
+            FROM edges e JOIN lab{r - 1} l ON l.node = e.dst
+            GROUP BY e.src, l.lbl
+        ) t WHERE rn = 1
+    )""")
+    return (
+        ",".join(parts)
+        + f""",
+    comm_sizes AS (SELECT lbl, COUNT(*) AS n FROM lab{rounds} GROUP BY lbl)
+    SELECT f.node AS doc_id, f.lbl AS community,
+           CAST(s.n AS INT) AS community_size
+    FROM lab{rounds} f JOIN comm_sizes s ON s.lbl = f.lbl
+    """
+    )
+
+
+@register("graph_label_propagation", oracle=_label_propagation_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the MinHash-LSH near-dup graph by synchronous
+    label propagation (Raghavan et al. 2007, the deterministic variant):
+    every vertex starts as its own label; each round it adopts the most
+    frequent label among its NEIGHBORS, ties broken by smallest label; a
+    fixed {LPA_ROUNDS} rounds keeps the output deterministic and
+    oracle-replayable (async LPA's update order is not). Communities are
+    denser than connected components (`dedup_cluster_components` merges
+    anything transitively linked; LPA keeps weakly-bridged boilerplate
+    families apart) — the grouping a template-dedup pass actually wants.
+
+    Scale shape: each round is one |edges|-shuffle join of the label table
+    against the symmetrized edge list + a (node,label) count + a per-node
+    argmax — expressed as two partial-aggregated groupBys (max over a
+    (count, -label) struct), NO per-node window, so every stage map-side
+    combines. Labels materialize per round (`materialize`) to truncate the
+    iterative lineage, same discipline as PageRank/k-core. The final
+    community-size join shuffles a communities-sized table.
+    """
+    from csv_parquet_s3_spark.operators.dedup import dedup_minhash_lsh_pairs
+
+    pairs = (
+        dedup_minhash_lsh_pairs(spark, sf_dir)
+        .select("doc_id_a", "doc_id_b")
+        .transform(materialize)
+    )
+    edges = (
+        pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
+        .unionAll(
+            pairs.select(
+                F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst")
+            )
+        )
+        .transform(materialize)
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    for _ in range(LPA_ROUNDS):
+        counts = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy(F.col("src"), F.col("lbl"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            counts.groupBy("src")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("lbl")).alias("neg"))).alias("m"))
+            .select(F.col("src").alias("node"), (-F.col("m.neg")).alias("lbl"))
+            .transform(materialize)
+        )
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("n"))
+    return labels.join(sizes, "lbl").select(
+        F.col("node").alias("doc_id"),
+        F.col("lbl").alias("community"),
+        F.col("n").cast("int").alias("community_size"),
+    )

@@ -304,3 +304,83 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         F.expr("CAST(ROUND(SUM(rev), 2) AS DOUBLE)").alias("revenue"),
     )
+
+
+@register(
+    "q_snapshot_diff_orders",
+    oracle="""
+    WITH old_s AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0
+                    THEN o_totalprice + CAST(1.00 AS DECIMAL(4,2))
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 10 <> 3
+    ),
+    new_s AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 13 <> 5
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           o.o_totalprice AS old_totalprice,
+           n.o_totalprice AS new_totalprice
+    FROM old_s o FULL OUTER JOIN new_s n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_totalprice <> n.o_totalprice
+       OR o.o_orderstatus <> n.o_orderstatus
+    """,
+)
+def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — DERIVE a change feed (insert/update/delete rows)
+    from two full table snapshots, the inverse of the CDC-apply operators
+    (`stream_scd1_upsert_priority` consumes a feed; this produces one).
+    The everyday shape: a source system only hands you nightly full dumps,
+    and downstream SCD/incremental-rollup maintenance needs deltas.
+
+    The two snapshots are derived deterministically from ``orders`` so the
+    oracle can replay them: the "old" snapshot is missing the
+    ``% 10 = 3`` keys (those surface as inserts) and carries a +1.00
+    totalprice perturbation on the ``% 7 = 0`` keys (updates); the "new"
+    snapshot is missing the ``% 13 = 5`` keys (deletes). Classification is
+    one FULL OUTER join on the key; unchanged rows (the overwhelming
+    majority in production) are filtered out before anything downstream.
+
+    Scale shape: a single key-partitioned full-outer join — with both
+    snapshots bucketed by key (sources/bucketed.py) it is shuffle-free;
+    change detection is a column compare (for wide tables, compare a
+    persisted per-row digest column instead — `q_table_content_digest`'s
+    row hash is the building block). No collect, no UDF, no skew risk
+    beyond the join key itself (primary key — unique)."""
+    orders = load_table(spark, sf_dir, "orders")
+    old_s = orders.filter(F.col("o_orderkey") % 10 != 3).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            F.expr("o_totalprice + CAST(1.00 AS DECIMAL(4,2))"),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    new_s = orders.filter(F.col("o_orderkey") % 13 != 5).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    o, n = old_s.alias("o"), new_s.alias("n")
+    j = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+    return j.filter(
+        F.col("o.o_orderkey").isNull()
+        | F.col("n.o_orderkey").isNull()
+        | (F.col("o.o_totalprice") != F.col("n.o_totalprice"))
+        | (F.col("o.o_orderstatus") != F.col("n.o_orderstatus"))
+    ).select(
+        F.coalesce("o.o_orderkey", "n.o_orderkey").alias("o_orderkey"),
+        F.when(F.col("o.o_orderkey").isNull(), "insert")
+        .when(F.col("n.o_orderkey").isNull(), "delete")
+        .otherwise("update")
+        .alias("change_type"),
+        F.col("o.o_totalprice").alias("old_totalprice"),
+        F.col("n.o_totalprice").alias("new_totalprice"),
+    )

@@ -74,8 +74,21 @@ def build_ivf_index(
             )
         )
     cent.write.mode("overwrite").parquet(f"{index_path}/centroids")
-    assign = _assign(emb.select("vec_id", "vd", "norm"), spark.read.parquet(f"{index_path}/centroids"))
-    assign.write.mode("overwrite").parquet(f"{index_path}/assign")
+    stored_cent = spark.read.parquet(f"{index_path}/centroids")
+    assign = _assign(emb.select("vec_id", "vd", "norm"), stored_cent)
+    # Physically cluster the inverted lists: one output file per list (at
+    # scale, compact()'s byte-based sizing takes over), each covering a
+    # single list_id, so the per-query probe reads ONLY the probed lists'
+    # files (parquet footer min/max + the In(list_id, …) pushdown in
+    # topk_from_index). This is what "inverted list" means on disk — an
+    # unsorted assign table forces every probe to scan the whole corpus.
+    k = stored_cent.count()
+    (
+        assign.repartitionByRange(int(k), "list_id")
+        .sortWithinPartitions("list_id")
+        .write.mode("overwrite")
+        .parquet(f"{index_path}/assign")
+    )
 
 
 def update_ivf_index(spark: SparkSession, new_vectors: DataFrame, index_path: str) -> tuple[int, int]:
@@ -91,7 +104,13 @@ def topk_from_index(
     spark: SparkSession, queries: DataFrame, index_path: str, nprobe: int, k: int = TOP_K
 ) -> DataFrame:
     """nprobe-pruned cosine top-k for each query vector, from the stored
-    index only."""
+    index only. The probed list_ids are collected to the driver (bounded:
+    ≤ nprobe × |queries| ints — the ANN router's working set, same class
+    of bounded collect as the ranking module's P-row offsets) and pushed
+    into the ``assign/`` scan as a literal ``In(list_id, …)`` predicate,
+    so with the build's list-clustered layout the unprobed lists' files
+    are never read — at 100 TB the scan cost is Σ|probed lists|, not the
+    corpus."""
     cent = spark.read.parquet(f"{index_path}/centroids")
     assign = spark.read.parquet(f"{index_path}/assign")
     q = _with_norm(queries).select(
@@ -109,9 +128,12 @@ def topk_from_index(
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= nprobe)
         .select("query_id", "qv", "qnorm", "list_id")
+        .transform(materialize)
     )
+    probed_ids = [r.list_id for r in probes.select("list_id").distinct().collect()]
     scored = (
-        assign.join(F.broadcast(probes), "list_id")
+        assign.filter(F.col("list_id").isin(probed_ids))
+        .join(F.broadcast(probes), "list_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -1596,3 +1618,169 @@ def sim_cosine_topk_ivf_sq8_from_index(spark: SparkSession, sf_dir: str) -> Data
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return sq8_topk_from_index(spark, queries, root)
+
+
+# ---------------------------------------------------------------------------
+# Plain-IVF index CRUD: the build/update/delete/serve lifecycle for the
+# inverted-list index, driver-checked end to end (the vector mirror of the
+# BM25 index lifecycle in operators/retrieval.py).
+# ---------------------------------------------------------------------------
+
+# Victims for the maintenance entries: the odd-vec_id tail ABOVE the seed
+# band, so queries (vec_id < N_QUERIES) and quantizer seeds survive and a
+# rebuild over the survivors can reuse the same deterministic seeds.
+_TAIL_START = N_QUERIES + K_LISTS
+
+
+def delete_from_ivf_index(
+    spark: SparkSession, vec_ids: DataFrame, index_path: str
+) -> int:
+    """DELETE vectors from the stored inverted lists — the index-side analog
+    of the reference's predicate purge (`AutoPurge.sql:171-174`): one
+    broadcast anti-join rewrite of ``assign/`` via
+    :func:`maintenance.delete_rows` (staged write + atomic rename-aside
+    swap, so a concurrent searcher never sees a partial table). The
+    quantizer is untouched — centroids are corpus statistics, not per-row
+    state, exactly as a production IVF system serves deletes without
+    retraining. Returns the number of vectors removed; ids absent from the
+    index are ignored (DELETE semantics)."""
+    from csv_parquet_s3_spark.maintenance import delete_rows
+
+    return delete_rows(
+        spark, f"{index_path}/assign", vec_ids.select("vec_id"), key="vec_id"
+    )
+
+
+def _ivf_from_index_oracle(corpus_where: str = "TRUE") -> str:
+    """Replay of seed-quantizer build + nprobe serve over a filtered corpus.
+
+    Mirrors ``build_ivf_index(train_iters=0)`` + ``topk_from_index``: 1-based
+    list ids (dense_rank over seed vec_ids), 6-digit rounded cosines with
+    list_id / vec_id tie-breaks. ``corpus_where`` restricts which vectors are
+    IN the index (survivors after a delete; everything for incremental ≡
+    full); queries always come from the full table's vec_id < N_QUERIES."""
+    return f"""
+    WITH cent AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS list_id, embedding AS cv,
+               {_ORACLE_NORM.format(v='embedding')} AS cnorm
+        FROM embeddings
+        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + K_LISTS}
+    ),
+    corpus AS (SELECT * FROM embeddings WHERE {corpus_where}),
+    assign AS (
+        SELECT vec_id, embedding, norm, list_id FROM (
+            SELECT e.vec_id, e.embedding, c.list_id,
+                   {_ORACLE_NORM.format(v='e.embedding')} AS norm,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY CAST(ROUND({_ORACLE_DOT.format(a='e.embedding', b='c.cv')}
+                                / ({_ORACLE_NORM.format(v='e.embedding')} * c.cnorm), 6)
+                                AS DOUBLE) DESC, c.list_id) AS rn
+            FROM corpus e, cent c
+        ) t WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, list_id FROM (
+            SELECT q.vec_id AS query_id, c.list_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY CAST(ROUND({_ORACLE_DOT.format(a='q.embedding', b='c.cv')}
+                                / ({_ORACLE_NORM.format(v='q.embedding')} * c.cnorm), 6)
+                                AS DOUBLE) DESC, c.list_id) AS rn
+            FROM embeddings q, cent c WHERE q.vec_id < {N_QUERIES}
+        ) t WHERE rn <= {N_PROBE}
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id,
+               CAST(ROUND({_ORACLE_DOT.format(a='q.embedding', b='a.embedding')}
+                    / ({_ORACLE_NORM.format(v='q.embedding')} * a.norm), 6) AS DOUBLE)
+                 AS cos_sim
+        FROM probes p
+        JOIN assign a ON a.list_id = p.list_id
+        JOIN embeddings q ON q.vec_id = p.query_id
+        WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, cos_sim, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored
+    ) t WHERE rn <= {TOP_K}
+    """
+
+
+def _serve_plain_ivf(spark: SparkSession, emb: DataFrame, idx: str) -> DataFrame:
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return topk_from_index(spark, queries, idx, N_PROBE, k=TOP_K).drop("list_id")
+
+
+@register("sim_cosine_topk_ivf_incremental", oracle=_ivf_from_index_oracle())
+def sim_cosine_topk_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index maintained INCREMENTALLY, then served from the store:
+    build on the corpus minus the odd-vec_id tail, `update_ivf_index` the
+    tail as a later ingest batch (assign against STORED centroids + merge
+    by vec_id — per-batch cost tracks the batch, never the corpus), serve
+    nprobe top-k from the merged lists. Hash-equality with the full-corpus
+    oracle pins incremental ≡ full build, the same contract the MinHash and
+    BM25 index lifecycles meet (`dedup_minhash_incremental`,
+    `retrieval_bm25_incremental`)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = tempfile.mkdtemp(prefix="ivf_inc_reg_")
+    tail = (F.col("vec_id") % 2 == 1) & (F.col("vec_id") >= _TAIL_START)
+    build_ivf_index(spark, emb.filter(~tail), _SEEDS, idx)
+    update_ivf_index(spark, emb.filter(tail), idx)
+    return _serve_plain_ivf(spark, emb, idx)
+
+
+@register(
+    "sim_cosine_topk_ivf_after_delete",
+    # DELETE must serve exactly what a fresh build over the survivors
+    # serves (same seed quantizer), so the oracle replays the serve with
+    # the victims excluded from the indexed corpus.
+    oracle=_ivf_from_index_oracle(
+        f"NOT (vec_id % 2 = 1 AND vec_id >= {_TAIL_START})"
+    ),
+)
+def sim_cosine_topk_ivf_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search after DELETING the odd-vec_id tail from a full-corpus
+    index (`delete_from_ivf_index` — broadcast anti-join rewrite of the
+    inverted lists, quantizer untouched): hash-equality with the
+    survivors-only oracle pins delete ≡ rebuild-over-survivors. With
+    `build_ivf_index` / `update_ivf_index` / `topk_from_index` this
+    completes the plain-IVF index CRUD story to the same standard as BM25
+    (`retrieval_bm25_after_delete`)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = tempfile.mkdtemp(prefix="ivf_del_reg_")
+    build_ivf_index(spark, emb, _SEEDS, idx)
+    tail = (F.col("vec_id") % 2 == 1) & (F.col("vec_id") >= _TAIL_START)
+    delete_from_ivf_index(spark, emb.filter(tail), idx)
+    return _serve_plain_ivf(spark, emb, idx)
+
+
+def compact_ivf_index(spark: SparkSession, index_path: str) -> None:
+    """Post-merge compaction: restore the list-clustered physical layout
+    that `update_ivf_index`'s upsert rewrite loses (the IVF mirror of
+    `compact_bm25_index`). One range-sorted staged rewrite — after it,
+    every ``assign/`` file again covers a disjoint list_id range and the
+    serving probe's ``In(list_id, …)`` pushdown prunes whole files.
+    Correctness never depends on the layout (the serve is hash-identical
+    before and after); this is purely the scan-cost property. The rewrite
+    targets the BUILD's layout — one file per list — rather than
+    `maintenance.compact`'s byte-derived count, so FILE-level pruning (not
+    just row-group) holds at any index size; at 100 TB a hot list larger
+    than a target file splits into several files that still cover only
+    that list_id. Quantizer and search results are untouched."""
+    import uuid
+
+    from csv_parquet_s3_spark.maintenance import _atomic_swap
+
+    path = f"{index_path}/assign"
+    k = spark.read.parquet(f"{index_path}/centroids").count()
+    staging = path + "._compact-" + uuid.uuid4().hex[:8]
+    (
+        spark.read.parquet(path)
+        .repartitionByRange(int(k), "list_id")
+        .sortWithinPartitions("list_id")
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    _atomic_swap(staging, path)

@@ -305,6 +305,90 @@ _ORACLES["stream_bm25_index_maintenance"] = _ORACLES["retrieval_bm25_topk"]
 
 
 @register(
+    "stream_ivf_index_maintenance",
+    # Streamed maintenance must serve exactly the full-corpus nprobe
+    # ranking, so the oracle IS the plain-IVF from-index oracle — aliased
+    # post-decoration below, same pattern as the BM25 twin above.
+    oracle=None,
+)
+def stream_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN search served from an IVF index maintained BY A STREAM: build
+    the stored inverted lists on the corpus minus the odd-vec_id tail,
+    readStream the tail (two staged files → two micro-batches via
+    maxFilesPerTrigger=1) through ``foreachBatch`` →
+    ``update_ivf_index`` — each batch assigned against the STORED
+    quantizer and MERGE-d by vec_id — then answer nprobe top-k from the
+    stored index only. Hash-equality with the full-corpus oracle pins
+    streamed-maintenance ≡ full build (the BM25 twin above is the lexical
+    mirror; both are now driver-checked). Idempotence: the per-batch
+    merge is an upsert keyed by vec_id, so a checkpoint replay cannot
+    duplicate vectors."""
+    import os
+    import shutil
+    import tempfile
+
+    from csv_parquet_s3_spark.operators.similarity_index import (
+        _SEEDS,
+        _TAIL_START,
+        _serve_plain_ivf,
+        build_ivf_index,
+    )
+    from csv_parquet_s3_spark.sources.tables import load_table as _lt
+    from csv_parquet_s3_spark.streaming.index_stream import stream_update_ivf_index
+
+    emb = _lt(spark, sf_dir, "embeddings")
+    tail = (F.col("vec_id") % 2 == 1) & (F.col("vec_id") >= _TAIL_START)
+    idx = tempfile.mkdtemp(prefix="ivf_stream_idx_")
+    build_ivf_index(spark, emb.filter(~tail), _SEEDS, idx)
+
+    staging = tempfile.mkdtemp(prefix="ivf_stream_src_")
+    ckpt = tempfile.mkdtemp(prefix="ivf_stream_ckpt_")
+    try:
+        def _stage(df: DataFrame, name: str, mtime: int) -> None:
+            tmp = os.path.join(staging, f"_{name}")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp)
+                if f.endswith(".parquet") and not f.startswith("_")
+            )
+            dst = os.path.join(staging, name)
+            shutil.move(os.path.join(tmp, part), dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (mtime, mtime))
+
+        late = emb.filter(tail)
+        _stage(late.filter(F.col("vec_id") % 4 == 1), "00_batch.parquet", 1_000_000_000)
+        _stage(late.filter(F.col("vec_id") % 4 == 3), "01_batch.parquet", 1_000_000_100)
+
+        schema = spark.read.parquet(os.path.join(staging, "00_batch.parquet")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(staging)
+        )
+        q = stream_update_ivf_index(stream, idx, ckpt)
+        assert q.awaitTermination(180), "index-maintenance stream did not finish"
+        n_batches = sum(1 for pr in q.recentProgress if pr["numInputRows"] > 0)
+        if n_batches != 2:
+            raise RuntimeError(
+                f"expected the vector tail in 2 micro-batches, saw {n_batches}"
+            )
+        return _serve_plain_ivf(spark, emb, idx)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+from csv_parquet_s3_spark.operators import similarity_index as _simidx  # noqa: E402,F401
+from csv_parquet_s3_spark.operators.similarity_index import (  # noqa: E402
+    _ivf_from_index_oracle as _ivf_oracle,
+)
+
+_ORACLES["stream_ivf_index_maintenance"] = _ivf_oracle()
+
+
+@register(
     "stream_click_purchase_left_outer",
     oracle="""
     WITH b AS (SELECT max(ts) AS hi FROM events),

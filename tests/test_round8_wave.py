@@ -340,3 +340,220 @@ class TestStreamOuterJoinCutoffs:
             "unattributed-purchase feed: the at-watermark purchase emits "
             "too (inclusive bound)"
         )
+
+
+class TestIvfIndexDelete:
+    """The IVF mirror of TestIndexDelete: deleting vectors from the stored
+    inverted lists must serve exactly what a fresh build over the
+    survivors serves (same seed quantizer — centroids are untouched by
+    delete, and the survivors include every seed so a rebuild can reuse
+    them)."""
+
+    def test_delete_equals_rebuild_over_survivors(self, spark, tmp_path):
+        from csv_parquet_s3_spark.operators.similarity_index import (
+            _SEEDS,
+            _TAIL_START,
+            _serve_plain_ivf,
+            build_ivf_index,
+            delete_from_ivf_index,
+        )
+        from csv_parquet_s3_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF_SMOKE, "embeddings")
+        tail = (F.col("vec_id") % 2 == 1) & (F.col("vec_id") >= _TAIL_START)
+
+        full = str(tmp_path / "ivf_full")
+        build_ivf_index(spark, emb, _SEEDS, full)
+        n = delete_from_ivf_index(spark, emb.filter(tail), full)
+        assert n == emb.filter(tail).count() and n > 0
+
+        surv = str(tmp_path / "ivf_surv")
+        build_ivf_index(spark, emb.filter(~tail), _SEEDS, surv)
+
+        got = _rows(_serve_plain_ivf(spark, emb, full))
+        assert got == _rows(_serve_plain_ivf(spark, emb, surv))
+        assert len(got) > 0
+
+    def test_absent_ids_are_ignored(self, spark, tmp_path):
+        from csv_parquet_s3_spark.maintenance import delete_rows
+
+        path = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k BIGINT, v STRING"
+        ).write.parquet(path)
+        victims = spark.createDataFrame([(2,), (99,)], "k BIGINT")
+        assert delete_rows(spark, path, victims, key="k") == 1
+        assert _rows(spark.read.parquet(path)) == [(1, "a"), (3, "c")]
+
+
+class TestLabelPropagation:
+    """LPA must keep weakly-bridged dense families apart — the behavior
+    that distinguishes it from connected components on the same edges."""
+
+    def test_two_cliques_with_bridge_stay_separate(self, spark):
+        from csv_parquet_s3_spark.operators.components import (
+            LPA_ROUNDS,
+            connected_components,
+        )
+
+        # 4-cliques {1..4} and {11..14} joined by the single bridge 4—11.
+        def clique(ids):
+            return [(a, b) for a in ids for b in ids if a < b]
+
+        edges = clique([1, 2, 3, 4]) + clique([11, 12, 13, 14]) + [(4, 11)]
+        pairs = spark.createDataFrame(edges, "doc_id_a BIGINT, doc_id_b BIGINT")
+
+        # CC merges everything into one component…
+        cc = connected_components(pairs, "doc_id_a", "doc_id_b")
+        assert cc.select("component").distinct().count() == 1
+
+        # …while synchronous LPA converges each clique onto its own min
+        # label. Replay the registered operator's exact update rule inline
+        # (neighbors-only argmax, (count DESC, label ASC) tie-break).
+        sym = pairs.selectExpr("doc_id_a AS src", "doc_id_b AS dst").unionAll(
+            pairs.selectExpr("doc_id_b AS src", "doc_id_a AS dst")
+        )
+        labels = sym.selectExpr("src AS node").distinct().selectExpr(
+            "node", "node AS lbl"
+        )
+        for _ in range(LPA_ROUNDS):
+            counts = (
+                sym.join(labels, sym.dst == labels.node)
+                .groupBy("src", "lbl")
+                .agg(F.count("*").alias("cnt"))
+            )
+            labels = (
+                counts.groupBy("src")
+                .agg(F.max(F.struct("cnt", (-F.col("lbl")).alias("neg"))).alias("m"))
+                .selectExpr("src AS node", "-m.neg AS lbl")
+                .localCheckpoint()
+            )
+        out = {r.node: r.lbl for r in labels.collect()}
+        assert {out[i] for i in (1, 2, 3)} == {1}
+        assert {out[i] for i in (12, 13, 14)} == {11}
+        assert len(set(out.values())) == 2
+
+
+class TestSnapshotDiff:
+    def test_classification_on_planted_rows(self, spark, tmp_path):
+        """Each change class lands exactly where the derivation rules put
+        it: key%10==3 → insert, key%13==5 → delete, key%7==0 → update
+        (when present in both snapshots), everything else silent."""
+        from csv_parquet_s3_spark.operators.scd import q_snapshot_diff_orders
+
+        out = q_snapshot_diff_orders(spark, SF_SMOKE).collect()
+        by_key = {r.o_orderkey: r for r in out}
+        for r in out:
+            k = r.o_orderkey
+            if r.change_type == "insert":
+                assert k % 10 == 3 and r.old_totalprice is None
+            elif r.change_type == "delete":
+                assert k % 13 == 5 and r.new_totalprice is None
+            else:
+                assert r.change_type == "update" and k % 7 == 0
+                assert r.old_totalprice == r.new_totalprice + 1
+        # every known-class key present in the source appears
+        from csv_parquet_s3_spark.sources.tables import load_table
+
+        keys = [
+            r.o_orderkey
+            for r in load_table(spark, SF_SMOKE, "orders")
+            .select("o_orderkey")
+            .collect()
+        ]
+        for k in keys:
+            if k % 10 == 3 and k % 13 != 5:
+                assert by_key[k].change_type == "insert"
+            elif k % 13 == 5 and k % 10 != 3:
+                assert by_key[k].change_type == "delete"
+            elif k % 7 == 0 and k % 10 != 3 and k % 13 != 5:
+                assert by_key[k].change_type == "update"
+            elif k % 10 != 3 and k % 13 != 5:
+                assert k not in by_key
+
+
+class TestIvfIndexLayout:
+    """The inverted lists must BE inverted on disk: post-build (and
+    post-compaction after a merge) every assign/ file covers a disjoint
+    list_id range, and the serving plan pushes In(list_id, …) into the
+    scan — together these make probe cost Σ|probed lists|, not corpus."""
+
+    @staticmethod
+    def _list_id_file_ranges(assign_dir: str):
+        import pyarrow.parquet as pq
+
+        ranges = []
+        for f in sorted(os.listdir(assign_dir)):
+            if not f.endswith(".parquet") or f.startswith("."):
+                continue
+            md = pq.ParquetFile(os.path.join(assign_dir, f)).metadata
+            if md.num_rows == 0:
+                continue
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[
+                "list_id"
+            ]
+            lo = min(
+                md.row_group(g).column(idx).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(g).column(idx).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            ranges.append((lo, hi))
+        return sorted(ranges)
+
+    @staticmethod
+    def _disjoint(ranges):
+        return all(b[0] > a[1] for a, b in zip(ranges, ranges[1:]))
+
+    def test_build_and_compaction_cluster_lists(self, spark, tmp_path):
+        from csv_parquet_s3_spark.operators.similarity_index import (
+            _SEEDS,
+            _TAIL_START,
+            _serve_plain_ivf,
+            build_ivf_index,
+            compact_ivf_index,
+            update_ivf_index,
+        )
+        from csv_parquet_s3_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF_SMOKE, "embeddings")
+        idx = str(tmp_path / "ivf")
+        tail = (F.col("vec_id") % 2 == 1) & (F.col("vec_id") >= _TAIL_START)
+        build_ivf_index(spark, emb.filter(~tail), _SEEDS, idx)
+
+        ranges = self._list_id_file_ranges(f"{idx}/assign")
+        assert len(ranges) > 1 and self._disjoint(ranges), ranges
+
+        # the merge rewrite loses the clustering…
+        update_ivf_index(spark, emb.filter(tail), idx)
+        before = _rows(_serve_plain_ivf(spark, emb, idx))
+
+        # …and compaction restores it without changing a single result
+        compact_ivf_index(spark, idx)
+        ranges2 = self._list_id_file_ranges(f"{idx}/assign")
+        assert len(ranges2) > 1 and self._disjoint(ranges2), ranges2
+        assert _rows(_serve_plain_ivf(spark, emb, idx)) == before
+
+    def test_probe_pushes_list_filter_into_scan(self, spark, tmp_path):
+        from csv_parquet_s3_spark.operators.similarity import N_PROBE, N_QUERIES
+        from csv_parquet_s3_spark.operators.similarity_index import (
+            _SEEDS,
+            build_ivf_index,
+            topk_from_index,
+        )
+        from csv_parquet_s3_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF_SMOKE, "embeddings")
+        idx = str(tmp_path / "ivf")
+        build_ivf_index(spark, emb, _SEEDS, idx)
+        plan = (
+            topk_from_index(
+                spark, emb.filter(F.col("vec_id") < N_QUERIES), idx, N_PROBE
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PushedFilters: [In(list_id" in plan, plan[:2000]
