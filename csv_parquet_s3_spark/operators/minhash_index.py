@@ -170,12 +170,15 @@ def _documents_fingerprint(sf_dir: str) -> dict:
 def ensure_minhash_index(spark: SparkSession, sf_dir: str) -> str:
     """Idempotent signature-index materialization for the sf_dir's documents
     table: skip if the fingerprint marker matches, else build into a temp
-    sibling and rename into place (concurrent readers never see a partial
-    index)."""
+    sibling and swap in rename-aside (``maintenance._atomic_swap``) —
+    concurrent readers never observe a missing or partial root, unlike
+    rmtree-then-rename (the r07-advisor hole, fixed for BM25/IVF×PQ in
+    r08 — same fix here)."""
     import json
     import os
-    import shutil
     import uuid
+
+    from csv_parquet_s3_spark.maintenance import _atomic_swap
 
     root = _minhash_index_root(sf_dir)
     marker = os.path.join(root, "_INDEX_META.json")
@@ -193,8 +196,9 @@ def ensure_minhash_index(spark: SparkSession, sf_dir: str) -> str:
     with open(os.path.join(tmp, "_INDEX_META.json"), "w") as fh:
         json.dump(fp, fh)
     if os.path.exists(root):
-        shutil.rmtree(root)
-    os.rename(tmp, root)
+        _atomic_swap(tmp, root)
+    else:
+        os.rename(tmp, root)
     return root
 
 

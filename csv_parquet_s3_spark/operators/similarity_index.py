@@ -1349,19 +1349,34 @@ def _embeddings_fingerprint(sf_dir: str) -> dict:
     # "format" versions the artifact SET: bump it whenever the build writes
     # new datasets (e.g. the sq8_* additions), so an index from an older
     # build rebuilds instead of failing on a missing artifact.
-    return {"path": p, "size": st.st_size, "mtime_ns": st.st_mtime_ns, "format": 2}
+    return {"path": p, "size": st.st_size, "mtime_ns": st.st_mtime_ns, "format": 3}
+
+
+def _write_list_clustered(df: DataFrame, k: int, path: str) -> None:
+    """Write one file per list, range-sorted on list_id — every parquet
+    file's footer min/max covers a single list, so a probed-list In()
+    predicate prunes at FILE granularity (the plain-IVF build's layout,
+    shared by every per-list artifact here)."""
+    (
+        df.repartitionByRange(int(k), "list_id")
+        .sortWithinPartitions("list_id")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
 
 
 def build_ivf_pq_index(spark: SparkSession, emb: DataFrame, index_path: str) -> None:
-    """Offline index build: PQ codebooks (deterministic Lloyd), corpus
-    codes (M small ints per vector), and the coarse quantizer (seed
-    centroids + full inverted-list assignment) — four parquet datasets
-    under one root. Each stage reads the previous stage back from parquet,
-    so the stored artifacts are exactly what search will consume."""
-    books = train_pq_codebooks(spark, emb)
-    books.write.mode("overwrite").parquet(f"{index_path}/codebooks")
-    books_s = spark.read.parquet(f"{index_path}/codebooks")
-    pq_encode(emb, books_s).write.mode("overwrite").parquet(f"{index_path}/codes")
+    """Offline index build: PQ codebooks (deterministic Lloyd), the coarse
+    quantizer (seed centroids + full inverted-list assignment), corpus
+    codes (M small ints per vector), and the SQ8 artifacts — one root.
+    Each stage reads the previous stage back from parquet, so the stored
+    artifacts are exactly what search will consume.
+
+    Layout (format 3): the code tables CARRY list_id and are written
+    list-clustered — the codes live INSIDE the inverted lists, as in any
+    deployed IVF-PQ system — so serving reads only the probed lists'
+    files (see `_stored_coarse_candidates`); at 100 TB the per-query scan
+    cost is Σ|probed lists|' codes, never the corpus code table."""
     vec = _with_norm(emb).select("vec_id", "vd", "norm")
     cent = _centroid_frame(
         vec.filter(
@@ -1374,8 +1389,19 @@ def build_ivf_pq_index(spark: SparkSession, emb: DataFrame, index_path: str) -> 
     )
     cent.write.mode("overwrite").parquet(f"{index_path}/centroids")
     cent_s = spark.read.parquet(f"{index_path}/centroids")
-    _assign(vec, cent_s).select("vec_id", "list_id").write.mode("overwrite").parquet(
-        f"{index_path}/coarse_assign"
+    k = cent_s.count()
+    _write_list_clustered(
+        _assign(vec, cent_s).select("vec_id", "list_id"),
+        k,
+        f"{index_path}/coarse_assign",
+    )
+    assign_s = spark.read.parquet(f"{index_path}/coarse_assign")
+
+    books = train_pq_codebooks(spark, emb)
+    books.write.mode("overwrite").parquet(f"{index_path}/codebooks")
+    books_s = spark.read.parquet(f"{index_path}/codebooks")
+    _write_list_clustered(
+        pq_encode(emb, books_s).join(assign_s, "vec_id"), k, f"{index_path}/codes"
     )
     # SQ8 artifacts share the root (and the coarse quantizer): per-dimension
     # corpus range + 1-byte-per-dim codes — the other compressed serving path.
@@ -1383,7 +1409,11 @@ def build_ivf_pq_index(spark: SparkSession, emb: DataFrame, index_path: str) -> 
     stats = sq8_stats(x)
     stats.write.mode("overwrite").parquet(f"{index_path}/sq8_stats")
     stats_s = spark.read.parquet(f"{index_path}/sq8_stats")
-    _sq8_encode(x, stats_s).write.mode("overwrite").parquet(f"{index_path}/sq8_codes")
+    _write_list_clustered(
+        _sq8_encode(x, stats_s).join(assign_s, "vec_id"),
+        k,
+        f"{index_path}/sq8_codes",
+    )
 
 
 def ivf_pq_topk_from_index(
@@ -1400,18 +1430,26 @@ def ivf_pq_topk_from_index(
     (nprobe/K)·corpus code lookups; the raw embedding column is never read
     at query time."""
     books = spark.read.parquet(f"{index_path}/codebooks")
-    codes = spark.read.parquet(f"{index_path}/codes")
-    candidates = _stored_coarse_candidates(spark, queries, index_path, nprobe)
+    candidates, probed = _stored_coarse_candidates(spark, queries, index_path, nprobe)
+    codes = (
+        spark.read.parquet(f"{index_path}/codes")
+        .filter(F.col("list_id").isin(probed))
+        .drop("list_id")
+    )
     return pq_topk(queries, codes, books, k=k, candidates=candidates)
 
 
 def _stored_coarse_candidates(
     spark: SparkSession, queries: DataFrame, index_path: str, nprobe: int = N_PROBE
-) -> DataFrame:
-    """(query_id, vec_id): candidate pairs from the STORED coarse quantizer
+) -> tuple[DataFrame, list[int]]:
+    """(candidate pairs, probed list ids) from the STORED coarse quantizer
     — probe each query's nprobe nearest stored centroids and pull those
     lists' members from the stored assignment. Shared by every
-    quantizer-from-index search (PQ, SQ8)."""
+    quantizer-from-index search (PQ, SQ8). The probed ids (bounded:
+    ≤ nprobe × |queries| ints — the ANN router's working set) are
+    collected so the caller can push In(list_id, …) into each
+    list-clustered artifact scan: with the format-3 layout, unprobed
+    lists' files are never read."""
     cent = spark.read.parquet(f"{index_path}/centroids")
     assign = spark.read.parquet(f"{index_path}/coarse_assign")
     q = _with_norm(queries).select("vec_id", "vd", "norm")
@@ -1427,19 +1465,30 @@ def _stored_coarse_candidates(
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= nprobe)
         .select(F.col("vec_id").alias("query_id"), "list_id")
+        .transform(materialize)
     )
-    return probes.join(assign, "list_id").select("query_id", "vec_id")
+    probed = [r.list_id for r in probes.select("list_id").distinct().collect()]
+    cand = (
+        probes.join(assign.filter(F.col("list_id").isin(probed)), "list_id")
+        .select("query_id", "vec_id")
+    )
+    return cand, probed
 
 
 def ensure_ivf_pq_index(spark: SparkSession, sf_dir: str) -> str:
     """Idempotent index materialization: build only if absent or if the
     source embeddings file changed (fingerprint marker). Builds land in a
-    temp sibling then rename into place, so a concurrent reader never sees
-    a half-written index."""
+    temp sibling and swap in rename-aside (``maintenance._atomic_swap`` —
+    old root renames aside, new renames in, backup deleted), so a
+    concurrent reader never observes a missing or partial root; the
+    rmtree-then-rename this replaces left a visible hole for the whole
+    rmtree (the r07-advisor hole, fixed for BM25 in r08 — same fix
+    here)."""
     import json
     import os
-    import shutil
     import uuid
+
+    from csv_parquet_s3_spark.maintenance import _atomic_swap
 
     root = _pq_index_root(sf_dir)
     marker = os.path.join(root, "_INDEX_META.json")
@@ -1457,8 +1506,9 @@ def ensure_ivf_pq_index(spark: SparkSession, sf_dir: str) -> str:
     with open(os.path.join(tmp, "_INDEX_META.json"), "w") as fh:
         json.dump(fp, fh)
     if os.path.exists(root):
-        shutil.rmtree(root)
-    os.rename(tmp, root)
+        _atomic_swap(tmp, root)
+    else:
+        os.rename(tmp, root)
     return root
 
 
@@ -1486,8 +1536,12 @@ def sq8_topk_from_index(
     byte codes against the stored per-dimension range and rank with the
     shared ADC tail — no range re-computation, no corpus re-encoding."""
     stats = spark.read.parquet(f"{index_path}/sq8_stats")
-    codes = spark.read.parquet(f"{index_path}/sq8_codes")
-    candidates = _stored_coarse_candidates(spark, queries, index_path, nprobe)
+    candidates, probed = _stored_coarse_candidates(spark, queries, index_path, nprobe)
+    codes = (
+        spark.read.parquet(f"{index_path}/sq8_codes")
+        .filter(F.col("list_id").isin(probed))
+        .drop("list_id")
+    )
     decoded = _sq8_decode(codes, stats).join(
         candidates.withColumnRenamed("vec_id", "cand_id"), "cand_id"
     )

@@ -557,3 +557,40 @@ class TestIvfIndexLayout:
             .toString()
         )
         assert "PushedFilters: [In(list_id" in plan, plan[:2000]
+
+
+class TestIvfPqIndexLayout:
+    """Format-3 stored IVF×PQ index: code tables carry list_id and are
+    written list-clustered, and serving pushes the probed-list set into
+    every per-list artifact scan — codes live INSIDE the inverted lists."""
+
+    def test_codes_clustered_and_probe_pushdown(self, spark, tmp_path):
+        from csv_parquet_s3_spark.operators.similarity import N_QUERIES
+        from csv_parquet_s3_spark.operators.similarity_index import (
+            build_ivf_pq_index,
+            ivf_pq_topk_from_index,
+            sq8_topk_from_index,
+        )
+        from csv_parquet_s3_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF_SMOKE, "embeddings")
+        idx = str(tmp_path / "pq")
+        build_ivf_pq_index(spark, emb, idx)
+
+        for table in ("coarse_assign", "codes", "sq8_codes"):
+            ranges = TestIvfIndexLayout._list_id_file_ranges(f"{idx}/{table}")
+            assert len(ranges) > 1 and TestIvfIndexLayout._disjoint(ranges), (
+                table,
+                ranges,
+            )
+
+        queries = emb.filter(F.col("vec_id") < N_QUERIES)
+        for fn in (ivf_pq_topk_from_index, sq8_topk_from_index):
+            plan = (
+                fn(spark, queries, idx)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            n_pushed = plan.count("PushedFilters: [In(list_id")
+            assert n_pushed >= 2, (fn.__name__, plan[:1500])
