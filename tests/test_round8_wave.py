@@ -594,3 +594,43 @@ class TestIvfPqIndexLayout:
             )
             n_pushed = plan.count("PushedFilters: [In(list_id")
             assert n_pushed >= 2, (fn.__name__, plan[:1500])
+
+
+class TestDeleteRowsEdges:
+    """Edge semantics of maintenance.delete_rows beyond the happy path:
+    composite keys, deleting everything, deleting nothing — each leaves
+    the dataset readable and exactly the anti-set."""
+
+    def _seed(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(1, "a", 10), (1, "b", 11), (2, "a", 12), (2, "b", 13)],
+            "k1 BIGINT, k2 STRING, v BIGINT",
+        ).write.parquet(path)
+        return path
+
+    def test_composite_key(self, spark, tmp_path):
+        from csv_parquet_s3_spark.maintenance import delete_rows
+
+        path = self._seed(spark, tmp_path)
+        victims = spark.createDataFrame([(1, "b"), (2, "a")], "k1 BIGINT, k2 STRING")
+        assert delete_rows(spark, path, victims, key=["k1", "k2"]) == 2
+        assert _rows(spark.read.parquet(path)) == [(1, "a", 10), (2, "b", 13)]
+
+    def test_delete_everything_leaves_empty_readable_dataset(self, spark, tmp_path):
+        from csv_parquet_s3_spark.maintenance import delete_rows
+
+        path = self._seed(spark, tmp_path)
+        victims = spark.createDataFrame([(1,), (2,)], "k1 BIGINT")
+        assert delete_rows(spark, path, victims, key="k1") == 4
+        out = spark.read.parquet(path)
+        assert out.count() == 0
+        assert set(out.columns) == {"k1", "k2", "v"}
+
+    def test_empty_victims_is_a_noop(self, spark, tmp_path):
+        from csv_parquet_s3_spark.maintenance import delete_rows
+
+        path = self._seed(spark, tmp_path)
+        victims = spark.createDataFrame([], "k1 BIGINT")
+        assert delete_rows(spark, path, victims, key="k1") == 0
+        assert len(_rows(spark.read.parquet(path))) == 4
