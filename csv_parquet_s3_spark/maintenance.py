@@ -51,11 +51,40 @@ def parquet_file_count(path: str) -> int:
     )
 
 
+def _rm_any(path: str) -> None:
+    """Remove a table artifact whether it is a single file or a directory
+    (the per-file ingest mode produces single-file tables)."""
+    if os.path.isfile(path):
+        os.remove(path)
+    else:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def _atomic_swap(staging: str, final: str) -> None:
+    """Rename-aside swap: the old root moves aside in one rename, the new
+    one renames in, then the backup is removed. NOT fully atomic — between
+    the two renames the final path is briefly absent (true atomicity needs
+    a symlink/manifest indirection); the missing-root window is two renames
+    instead of a whole rmtree, and a crash leaves a recoverable ``._old-*``
+    sibling (see :func:`vacuum`)."""
     backup = final + "._old-" + uuid.uuid4().hex[:8]
     os.rename(final, backup)
     os.rename(staging, final)
-    shutil.rmtree(backup)
+    _rm_any(backup)
+
+
+def _staged_overwrite(df: DataFrame, path: str, marker: str) -> None:
+    """Write ``df`` to a ``<path>.<marker>-<uuid>`` staging sibling and
+    rename-aside-swap it over ``path`` (snappy, one 128 MiB row group per
+    file) — the shared commit step of every rewrite in this module."""
+    staging = path.rstrip("/") + marker + uuid.uuid4().hex[:8]
+    (
+        df.write.mode("overwrite")
+        .option("compression", "snappy")
+        .option("parquet.block.size", str(PARQUET_BLOCK_SIZE))
+        .parquet(staging)
+    )
+    _atomic_swap(staging, path)
 
 
 def delete_rows(
@@ -69,21 +98,56 @@ def delete_rows(
     reusable primitive for per-entity index tables (BM25 doc_tf/dl, IVF
     inverted lists). One broadcast anti-join keyed on ``key``, staged-swap
     atomic like :func:`compact`/:func:`upsert`; keys absent from the
-    target are ignored (DELETE semantics). Returns rows removed."""
+    target are ignored (DELETE semantics). A no-op delete (no key matches —
+    e.g. a caller probing with possibly-absent ids) skips the staging write
+    and swap entirely, so it costs one semi-join count, not a whole-dataset
+    rewrite. Returns rows removed."""
     keys = [key] if isinstance(key, str) else list(key)
     vic = victims.select(*keys).distinct()
     target = spark.read.parquet(path)
     n_gone = target.join(F.broadcast(vic), keys, "left_semi").count()
+    if n_gone == 0:
+        return 0
     kept = target.join(F.broadcast(vic), keys, "left_anti")
-    staging = path.rstrip("/") + "._delete-" + uuid.uuid4().hex[:8]
-    (
-        kept.write.mode("overwrite")
-        .option("compression", "snappy")
-        .option("parquet.block.size", str(PARQUET_BLOCK_SIZE))
-        .parquet(staging)
-    )
-    _atomic_swap(staging, path)
+    _staged_overwrite(kept, path, "._delete-")
     return n_gone
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    where: str,
+    guard_max: int | None = None,
+    dry_run: bool = False,
+) -> tuple[str, int, int]:
+    """Predicate DELETE over a parquet dataset — the reference's purge
+    rewrite (`AutoPurge.sql:139-174`) as ONE shared primitive, so the O13
+    semantics (NULL-correct anti-filter, guard count, staged swap) live in
+    exactly one place; :class:`purge.Purger` routes its CRITERIA/DELETE
+    actions here and :func:`delete_rows` is the keyed sibling.
+
+    SQL DELETE removes rows where the predicate is TRUE; rows where it
+    evaluates NULL SURVIVE — the keep-filter is ``NOT coalesce(pred,
+    FALSE)``, never a bare ``~pred``. With ``guard_max``, aborts without
+    writing when more rows match (`AutoPurge.sql:139-149`); ``dry_run``
+    counts and never writes (`:77-79`); a 0-match delete skips the rewrite.
+
+    Returns ``(status, rows_matched, rows_kept)`` with status in
+    ``{'purged', 'aborted', 'dry_run'}``; rows_kept is ``-1`` unless a
+    delete ran to completion (the 0-match case reports status 'purged'
+    with the dataset's full row count kept, without rewriting it).
+    """
+    df = spark.read.parquet(path)
+    pred = F.coalesce(F.expr(where), F.lit(False))
+    matched = df.filter(pred).count()
+    if guard_max is not None and matched > guard_max:
+        return "aborted", matched, -1
+    if dry_run:
+        return "dry_run", matched, -1
+    if matched == 0:
+        return "purged", 0, df.count()
+    _staged_overwrite(df.filter(~pred), path, "._delete-")
+    return "purged", matched, spark.read.parquet(path).count()
 
 
 def compact(
@@ -105,14 +169,7 @@ def compact(
         df = df.sortWithinPartitions(*sort_by)
     else:
         df = df.coalesce(n_files) if n_files < df.rdd.getNumPartitions() else df.repartition(n_files)
-    staging = path.rstrip("/") + "._compact-" + uuid.uuid4().hex[:8]
-    (
-        df.write.mode("overwrite")
-        .option("compression", "snappy")
-        .option("parquet.block.size", str(PARQUET_BLOCK_SIZE))
-        .parquet(staging)
-    )
-    _atomic_swap(staging, path)
+    _staged_overwrite(df, path, "._compact-")
     return parquet_file_count(path)
 
 
@@ -140,14 +197,7 @@ def upsert(
         target.select(*keys).distinct(), keys, "left_semi"
     ).count()
     merged = updates.unionByName(target.join(updates, keys, "left_anti"))
-    staging = path.rstrip("/") + "._upsert-" + uuid.uuid4().hex[:8]
-    (
-        merged.write.mode("overwrite")
-        .option("compression", "snappy")
-        .option("parquet.block.size", str(PARQUET_BLOCK_SIZE))
-        .parquet(staging)
-    )
-    _atomic_swap(staging, path)
+    _staged_overwrite(merged, path, "._upsert-")
     return n_updated, n_inserted
 
 
@@ -189,14 +239,7 @@ def compact_zorder(
     n_files = max(1, -(-dataset_bytes(path) // target_file_bytes))
     df = spark.read.parquet(path).withColumn("_z", _zorder_col(zorder_by))
     df = df.repartitionByRange(n_files, F.col("_z")).sortWithinPartitions("_z").drop("_z")
-    staging = path.rstrip("/") + "._zorder-" + uuid.uuid4().hex[:8]
-    (
-        df.write.mode("overwrite")
-        .option("compression", "snappy")
-        .option("parquet.block.size", str(PARQUET_BLOCK_SIZE))
-        .parquet(staging)
-    )
-    _atomic_swap(staging, path)
+    _staged_overwrite(df, path, "._zorder-")
     return parquet_file_count(path)
 
 
@@ -211,7 +254,8 @@ def vacuum(path: str) -> list[str]:
     removed = []
     for name in os.listdir(parent):
         if name.startswith(base + "._") and any(
-            marker in name for marker in ("._compact-", "._upsert-", "._zorder-", "._hilbert-", "._old-")
+            marker in name
+            for marker in ("._compact-", "._upsert-", "._zorder-", "._hilbert-", "._delete-", "._old-")
         ):
             full = os.path.join(parent, name)
             shutil.rmtree(full, ignore_errors=True)
@@ -312,12 +356,5 @@ def compact_hilbert(
         buckets.append(f"_hb{j}")
     df = with_hilbert_index(df, buckets, bits).drop(*buckets)
     df = df.repartitionByRange(n_files, F.col("_h")).sortWithinPartitions("_h").drop("_h")
-    staging = path.rstrip("/") + "._hilbert-" + uuid.uuid4().hex[:8]
-    (
-        df.write.mode("overwrite")
-        .option("compression", "snappy")
-        .option("parquet.block.size", str(PARQUET_BLOCK_SIZE))
-        .parquet(staging)
-    )
-    _atomic_swap(staging, path)
+    _staged_overwrite(df, path, "._hilbert-")
     return parquet_file_count(path)

@@ -171,9 +171,10 @@ def ensure_minhash_index(spark: SparkSession, sf_dir: str) -> str:
     """Idempotent signature-index materialization for the sf_dir's documents
     table: skip if the fingerprint marker matches, else build into a temp
     sibling and swap in rename-aside (``maintenance._atomic_swap``) —
-    concurrent readers never observe a missing or partial root, unlike
-    rmtree-then-rename (the r07-advisor hole, fixed for BM25/IVF×PQ in
-    r08 — same fix here)."""
+    concurrent readers never observe a PARTIAL root, and the missing-root
+    window shrinks from the whole rmtree (the r07-advisor hole, fixed for
+    BM25/IVF×PQ in r08 — same fix here) to the instant between two
+    renames; true atomicity needs a symlink/manifest indirection."""
     import json
     import os
     import uuid

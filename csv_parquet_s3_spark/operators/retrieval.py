@@ -496,9 +496,10 @@ def ensure_bm25_index(spark: SparkSession, sf_dir: str) -> str:
     left the index inconsistent), else build into a temp sibling and swap
     into place. The swap is rename-aside (``maintenance._atomic_swap``):
     the old root moves aside in one rename, the new one renames in, then
-    the backup is deleted — readers never observe a missing or partial
-    root, unlike rmtree-then-rename which leaves a visible hole for the
-    whole rmtree."""
+    the backup is deleted — readers never observe a PARTIAL root, and the
+    missing-root window shrinks from the whole rmtree to the instant
+    between two renames (true atomicity needs a symlink/manifest
+    indirection)."""
     import json
     import os
     import uuid

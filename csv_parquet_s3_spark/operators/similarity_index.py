@@ -76,12 +76,15 @@ def build_ivf_index(
     cent.write.mode("overwrite").parquet(f"{index_path}/centroids")
     stored_cent = spark.read.parquet(f"{index_path}/centroids")
     assign = _assign(emb.select("vec_id", "vd", "norm"), stored_cent)
-    # Physically cluster the inverted lists: one output file per list (at
-    # scale, compact()'s byte-based sizing takes over), each covering a
-    # single list_id, so the per-query probe reads ONLY the probed lists'
-    # files (parquet footer min/max + the In(list_id, …) pushdown in
-    # topk_from_index). This is what "inverted list" means on disk — an
-    # unsorted assign table forces every probe to scan the whole corpus.
+    # Physically cluster the inverted lists: range-partition + sort by
+    # list_id so every output file covers a DISJOINT list_id range (the
+    # pruning property the tests assert; repartitionByRange samples its
+    # boundaries, so two small lists can share a file — at scale,
+    # compact()'s byte-based sizing takes over). The per-query probe then
+    # reads ONLY files whose range intersects the probed lists (parquet
+    # footer min/max + the In(list_id, …) pushdown in topk_from_index).
+    # This is what "inverted list" means on disk — an unsorted assign
+    # table forces every probe to scan the whole corpus.
     k = stored_cent.count()
     (
         assign.repartitionByRange(int(k), "list_id")
@@ -1479,11 +1482,11 @@ def ensure_ivf_pq_index(spark: SparkSession, sf_dir: str) -> str:
     """Idempotent index materialization: build only if absent or if the
     source embeddings file changed (fingerprint marker). Builds land in a
     temp sibling and swap in rename-aside (``maintenance._atomic_swap`` —
-    old root renames aside, new renames in, backup deleted), so a
-    concurrent reader never observes a missing or partial root; the
-    rmtree-then-rename this replaces left a visible hole for the whole
-    rmtree (the r07-advisor hole, fixed for BM25 in r08 — same fix
-    here)."""
+    old root renames aside, new renames in, backup deleted). A concurrent
+    reader never observes a PARTIAL root, and the missing-root window
+    shrinks from the whole rmtree (the r07-advisor hole, fixed for BM25 in
+    r08 — same fix here) to the instant between two renames; true
+    atomicity would need a symlink/manifest indirection."""
     import json
     import os
     import uuid

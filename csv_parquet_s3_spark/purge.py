@@ -26,7 +26,9 @@ Parity map (SURVEY.md §2.1 O13-O22):
 
 NULL semantics: SQL DELETE removes rows where the predicate is TRUE; rows
 where it evaluates NULL survive. The anti-filter is therefore
-``NOT coalesce(pred, FALSE)``, not a bare ``~pred``.
+``NOT coalesce(pred, FALSE)``, not a bare ``~pred`` — implemented once in
+:func:`csv_parquet_s3_spark.maintenance.delete_where`, which this module
+shares with the BM25/IVF index delete paths.
 
 Scale: guard count and rewrite are single distributed passes; the swap is
 O(1) directory metadata. On object stores the same staged-prefix swap
@@ -43,7 +45,6 @@ import shutil
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 logger = logging.getLogger(__name__)
@@ -155,12 +156,25 @@ class Purger:
         return PurgeOutcome(cfg.table_name, "dry_run" if self.dry_run else "truncated")
 
     def _criteria(self, cfg: PurgeConfig) -> PurgeOutcome:
+        """Predicate DELETE with guard count (AutoPurge.sql:139-174).
+
+        The O13 semantics — NULL-correct anti-filter, COUNT(*) guard,
+        staged-swap rewrite — live in ONE shared primitive,
+        :func:`csv_parquet_s3_spark.maintenance.delete_where` (also the
+        engine behind the BM25/IVF index deletes); this method only maps
+        its outcome onto the purge audit log.
+        """
+        from csv_parquet_s3_spark.maintenance import delete_where
+
         where = re.sub(r"^\s*WHERE\s+", "", cfg.sqlstatement or "", flags=re.IGNORECASE)
-        df = self._load(cfg.table_name)
-        pred = F.coalesce(F.expr(where), F.lit(False))
-        matched = df.filter(pred).count()
-        # guard: abort if more rows match than allowed (AutoPurge.sql:144-149)
-        if matched > cfg.max_record_count:
+        status, matched, kept = delete_where(
+            self.spark,
+            self._table_path(cfg.table_name),
+            where,
+            guard_max=cfg.max_record_count,
+            dry_run=self.dry_run,
+        )
+        if status == "aborted":  # guard trip (AutoPurge.sql:144-149)
             self._log(
                 f"Purge aborted for {cfg.table_name}: {matched} rows match, "
                 f"exceeds max_record_count {cfg.max_record_count}",
@@ -168,16 +182,13 @@ class Purger:
                 cfg.table_name,
             )
             return PurgeOutcome(cfg.table_name, "aborted", rows_matched=matched)
-        if self.dry_run:  # debug mode: log, don't execute (AutoPurge.sql:77-79)
+        if status == "dry_run":  # debug mode: log, don't execute (AutoPurge.sql:77-79)
             self._log(
                 f"[dry-run] Would delete {matched} rows from {cfg.table_name} WHERE {where}",
                 cfg.user_name,
                 cfg.table_name,
             )
             return PurgeOutcome(cfg.table_name, "dry_run", rows_matched=matched)
-        kept_df = df.filter(~pred)
-        self._overwrite(cfg.table_name, kept_df)
-        kept = self._load(cfg.table_name).count()
         self._log(
             f"Deleted {matched} rows from {cfg.table_name} WHERE {where} ({kept} kept)",
             cfg.user_name,

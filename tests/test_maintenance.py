@@ -216,3 +216,84 @@ def test_compact_hilbert_preserves_data_and_tightens_files(spark, tmp_path):
     )
     mean_span = sum((r.sa + r.sb) / 2 for r in spans) / len(spans)
     assert mean_span < 700, mean_span  # full range would be ~999
+
+
+# ---------------------------------------------------------------------------
+# delete_where — the shared O13 primitive (purge.Purger routes through it)
+# ---------------------------------------------------------------------------
+def _delete_where_seed(spark, path):
+    spark.createDataFrame(
+        [(1, 10), (2, 20), (3, None), (4, 40), (5, 50)],
+        "id BIGINT, v BIGINT",
+    ).write.parquet(path)
+
+
+def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
+    from csv_parquet_s3_spark.maintenance import delete_where
+
+    path = str(tmp_path / "dw")
+    _delete_where_seed(spark, path)
+    status, matched, kept = delete_where(spark, path, "v >= 40")
+    assert (status, matched, kept) == ("purged", 2, 3)
+    left = {r.id for r in spark.read.parquet(path).collect()}
+    assert left == {1, 2, 3}  # NULL-predicate row (id=3) survives
+
+
+def test_delete_where_guard_aborts_without_writing(spark, tmp_path):
+    import os
+
+    from csv_parquet_s3_spark.maintenance import delete_where
+
+    path = str(tmp_path / "dw")
+    _delete_where_seed(spark, path)
+    files_before = sorted(os.listdir(path))
+    status, matched, kept = delete_where(spark, path, "v >= 20", guard_max=1)
+    assert (status, matched, kept) == ("aborted", 3, -1)
+    assert sorted(os.listdir(path)) == files_before  # untouched
+
+
+def test_delete_where_dry_run_counts_but_never_writes(spark, tmp_path):
+    import os
+
+    from csv_parquet_s3_spark.maintenance import delete_where
+
+    path = str(tmp_path / "dw")
+    _delete_where_seed(spark, path)
+    files_before = sorted(os.listdir(path))
+    status, matched, kept = delete_where(spark, path, "v >= 40", dry_run=True)
+    assert (status, matched, kept) == ("dry_run", 2, -1)
+    assert sorted(os.listdir(path)) == files_before
+
+
+def test_delete_where_zero_match_short_circuits(spark, tmp_path):
+    import os
+
+    from csv_parquet_s3_spark.maintenance import delete_where
+
+    path = str(tmp_path / "dw")
+    _delete_where_seed(spark, path)
+    files_before = sorted(os.listdir(path))
+    status, matched, kept = delete_where(spark, path, "v > 1000")
+    assert (status, matched, kept) == ("purged", 0, 5)
+    # no staging write, no swap — the exact same files remain
+    assert sorted(os.listdir(path)) == files_before
+
+
+def test_delete_where_single_file_table(spark, tmp_path):
+    """The per-file ingest mode produces single-FILE tables; the swap's
+    backup removal must handle a file target, not just a directory."""
+    import shutil
+
+    from csv_parquet_s3_spark.maintenance import delete_where
+
+    staging = str(tmp_path / "stage")
+    _delete_where_seed(spark, staging)
+    part = next(
+        p for p in __import__("os").listdir(staging) if p.endswith(".parquet")
+    )
+    single = str(tmp_path / "single.parquet")
+    shutil.copyfile(f"{staging}/{part}", single)
+    n_before = spark.read.parquet(single).count()
+    status, matched, kept = delete_where(spark, single, "v >= 40")
+    assert status == "purged" and matched >= 0 and kept == n_before - matched
+    assert spark.read.parquet(single).count() == kept

@@ -628,9 +628,27 @@ class TestDeleteRowsEdges:
         assert set(out.columns) == {"k1", "k2", "v"}
 
     def test_empty_victims_is_a_noop(self, spark, tmp_path):
+        import os
+
         from csv_parquet_s3_spark.maintenance import delete_rows
 
         path = self._seed(spark, tmp_path)
+        files_before = sorted(os.listdir(path))
         victims = spark.createDataFrame([], "k1 BIGINT")
         assert delete_rows(spark, path, victims, key="k1") == 0
+        # short-circuit: a 0-match delete must not rewrite the dataset —
+        # the exact same files remain (no staging write, no swap)
+        assert sorted(os.listdir(path)) == files_before
+        assert len(_rows(spark.read.parquet(path))) == 4
+
+    def test_absent_keys_is_a_noop(self, spark, tmp_path):
+        import os
+
+        from csv_parquet_s3_spark.maintenance import delete_rows
+
+        path = self._seed(spark, tmp_path)
+        files_before = sorted(os.listdir(path))
+        victims = spark.createDataFrame([(99,), (100,)], "k1 BIGINT")
+        assert delete_rows(spark, path, victims, key="k1") == 0
+        assert sorted(os.listdir(path)) == files_before
         assert len(_rows(spark.read.parquet(path))) == 4
