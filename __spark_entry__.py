@@ -42,71 +42,74 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-robin verification window (see PARITY.md "Driver verification
 # rotation"): the driver's correctness check covers the FIRST 50 entries of
 # queries(), so each round the entries most in need of a fresh signal are
-# listed first. The r08 window = tools/rotate_window.py output against
-# CORRECTNESS_r01..r07 with the standing insertion policies:
-# (a) the two r08 registrations take same-round slots (never checked);
-# (b) the eleven entries whose CODE changed this round re-pin immediately —
-#     the three BM25 lifecycle entries (monoidal df/stats update, staged
-#     swaps, layout v3), the three bigram-LM entries (map-only bigram
-#     assembly replaced the positional self-join), and the five two-phase-
-#     rank queries (pin() materialization + integer-div NTILE);
-# then the rotation output verbatim — the rows-only sketches and the r03-
-# stale green tail the r07 verdict told this round to front — trimmed to
-# the 50-slot window.
+# listed first. The r09 window = tools/rotate_window.py output against
+# CORRECTNESS_r01..r08 with the r08-verdict-ordered insertions:
+# (0a) the FIVE r08 closing-wave registrations that landed after the r08
+#      window filled (never driver-checked; locally 3-SF hash-green);
+# (0b) the THREE r03-stale greens the r08 verdict-demanded registrations
+#      displaced (rotation fronts them too);
+# (0c) FOUR re-pins for the stored-index serving entries whose PLANS
+#      changed in the r08 closing wave after that window was locked
+#      (format-3 list-clustered layout + probed-list In(list_id,…)
+#      pushdown);
+# then the rows-only sketches and the stalest greens from the rotation
+# output verbatim, trimmed to the 50-slot window (the four entries the
+# 0c re-pins displace move to the r10 queue).
 VERIFY_PRIORITY: list[str] = [
-    # tier 0a: r08 registrations (never driver-checked)
-    "retrieval_bm25_compacted",
-    "retrieval_bm25_after_delete",
-    "stream_click_purchase_right_outer",
-    "stream_click_purchase_full_outer",
-    # tier 0b: r08 changed operators (re-pin immediately)
-    "stream_click_purchase_left_outer",
-    "retrieval_bm25_incremental",
-    "retrieval_bm25_from_index",
-    "stream_bm25_index_maintenance",
-    "text_bigram_perplexity",
-    "text_bigram_kn_perplexity",
-    "text_heldout_perplexity",
-    "q_window_supplier_rank",
-    "q_customer_value_deciles",
-    "q_customer_rfm_segments",
-    "q_customer_gini_concentration",
-    "q_model_gains_table",
-    # rotation output: rows-only sketches, then stalest greens (r03 tail)
+    # tier 0a: r08 closing-wave registrations (never driver-checked)
+    "sim_cosine_topk_ivf_incremental",
+    "sim_cosine_topk_ivf_after_delete",
+    "stream_ivf_index_maintenance",
+    "q_snapshot_diff_orders",
+    "graph_label_propagation",
+    # tier 0b: the three stale greens displaced by r08's registrations
+    "text_repetition_ratio",
+    "text_benchmark_contamination",
+    "pii_redact_customers",
+    # tier 0c: layout-v3 serving re-pins (plans changed post-window in r08)
+    "sim_cosine_topk_ivf_pq_from_index",
+    "sim_cosine_topk_ivf_sq8_from_index",
+    "sim_cosine_topk_ivf_pq_refine",
+    "sim_cosine_topk_ivf_trained",
+    # rotation output: rows-only sketches, then stalest greens (r04 tail)
     "q_approx_sketches",
-    "dedup_simhash_buckets",
-    "dedup_simhash_hamming_pairs",
-    "dedup_cluster_components",
-    "mm_payload_stats",
-    "mm_frame_samples",
-    "dedup_embedding_cosine_pairs",
-    "dedup_ngram_jaccard_blocked",
-    "dedup_embedding_ivf_blocked",
-    "q01_pricing_summary",
-    "q03_top_unshipped",
-    "q04_order_priority",
-    "q05_regional_revenue",
-    "q06_forecast_revenue",
-    "q10_top_customers",
-    "q_semi_customers_with_open_orders",
-    "q_anti_customers_without_open_orders",
-    "q_window_top3_parts_per_brand",
-    "q_window_running_revenue",
-    "q_rollup_revenue",
-    "q_cube_order_status",
-    "q_pivot_revenue_by_status",
-    "q_union_active_parties",
-    "q_except_only_open_customers",
-    "q_intersect_both_status_customers",
-    "q_distinct_agg",
-    "q_filter_predicates",
-    "q_topk_orders_by_value",
-    "q_scalar_string_funcs",
-    "q_scalar_date_math_funcs",
-    "q_events_hourly",
-    "q_event_type_affinity",
-    "sim_cosine_topk_pq",
-    "sim_cosine_topk_ivf_pq",
+    "text_bpe_token_stats",
+    "dedup_canonical_docs",
+    "q_events_user_ewma",
+    "dedup_minhash_incremental",
+    "mm_byte_histogram_features",
+    "q_events_sessionize",
+    "q_events_user_daily_activity",
+    "q_events_funnel",
+    "q_left_join_customer_order_counts",
+    "q_full_outer_nation_presence",
+    "q_window_lead_ntile",
+    "q_events_json_extract",
+    "pack_documents_greedy",
+    "pack_documents_efficiency",
+    "pack_documents_consolidated",
+    "split_documents_train_test",
+    "sample_documents_stratified",
+    "sample_documents_quality_weighted",
+    "rebalance_documents_by_lang",
+    "emb_random_projection",
+    "q_events_trailing_hour",
+    "q_unpivot_lineitem_metrics",
+    "q_null_safe_join",
+    "q_window_value_functions",
+    "q_string_agg_statuses",
+    "q_events_hourly_gapfill",
+    "q_events_weekly_retention",
+    "q_order_value_histogram",
+    "q_revenue_month_over_month",
+    "q_supplier_balance_zscore",
+    "q_priority_share_of_total",
+    "q_part_size_price_correlation",
+    "q_events_dau_wau_stickiness",
+    "q_customer_reorder_gaps",
+    "q_user_journey_paths",
+    "q_supplier_balance_mad",
+    "q_events_error_spikes",
 ]
 
 
