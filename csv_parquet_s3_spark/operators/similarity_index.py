@@ -16,6 +16,7 @@ tracks the batch, never the corpus.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
@@ -48,6 +49,77 @@ def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     return _best_sim(vectors, centroids).select("vec_id", "vd", "norm", "list_id")
 
 
+def _write_list_clustered(df: DataFrame, k: int, path: str) -> None:
+    """Write an inverted-list artifact hive-partitioned by list_id (layout
+    format 4): one ``list_id=N/`` subdirectory per list — the inverted list
+    made literal in the filesystem. The hash repartition on list_id puts
+    each list in exactly one task, so each directory holds one file; a
+    probe then prunes unprobed lists at FILE-LISTING time (directory-level
+    partition pruning — the unprobed directories are never even listed,
+    strictly stronger than the format-3 footer min/max skip, which still
+    opened every footer). At 100 TB a hot list larger than one target file
+    would repartition on (list_id, salt) to split within its directory;
+    list membership is never spread across directories either way."""
+    (
+        df.repartition(int(k), "list_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(path)
+    )
+
+
+def _read_lists(spark: SparkSession, path: str) -> DataFrame:
+    """Read a list-clustered artifact with a stable schema: the hive
+    partition column comes back as INT (directory-name inference), and a
+    post-delete/post-upsert rewrite is a flat table whose list_id is
+    BIGINT data — normalize both to BIGINT. Catalyst unwraps the cast
+    before pruning (UnwrapCastInBinaryComparison), so partition filters
+    still reach the directory listing (plan-pinned in
+    tests/test_round8_wave.py)."""
+    return spark.read.parquet(path).withColumn(
+        "list_id", F.col("list_id").cast("bigint")
+    )
+
+
+def _probe_mode() -> str:
+    """How serving restricts artifact scans to the probed lists.
+
+    - ``dpp`` (default): collect-free — broadcast-join the probes frame and
+      let dynamic partition pruning skip unprobed list directories inside
+      the SAME job (no driver round-trip; the r08 probe-collect cost is
+      gone).
+    - ``collect``: the bounded driver round-trip (≤ nprobe × |queries|
+      ints) → a literal ``In(list_id, …)`` static partition filter. Kept
+      A/B-able because DPP is an optimizer heuristic: on an engine build
+      where it regressed, flipping SPARK_GRAFT_IVF_PROBE restores the
+      explicit plan without a code change.
+    Read per call so a bench can interleave both modes in one session.
+    """
+    return os.environ.get("SPARK_GRAFT_IVF_PROBE", "dpp")
+
+
+def _mark_selective(df: DataFrame) -> DataFrame:
+    """Re-attach an (always-true) selective predicate after materialize():
+    Spark's DynamicPartitionPruning rule only inserts the pruning subquery
+    when the build side has a filter beyond IsNotNull, and the
+    localCheckpoint that makes the probes frame reusable truncates the
+    real ``rn <= nprobe`` filter out of the lineage. ``list_id >= 0`` is
+    vacuous over dense_rank-assigned ids but restores DPP eligibility."""
+    return df.filter(F.col("list_id") >= 0)
+
+
+def _restrict_to_probed(tbl: DataFrame, probes: DataFrame) -> DataFrame:
+    """Restrict a list-clustered artifact scan to the probed lists, mode-
+    switched (:func:`_probe_mode`). ``probes`` must carry a ``list_id``
+    column; the returned frame has exactly ``tbl``'s columns (the DPP join
+    uses the DISTINCT probed-list set, so row multiplicity is unchanged)."""
+    if _probe_mode() == "collect":
+        ids = [r.list_id for r in probes.select("list_id").distinct().collect()]
+        return tbl.filter(F.col("list_id").isin(ids))
+    lists = _mark_selective(probes.select("list_id").distinct())
+    return tbl.join(F.broadcast(lists), "list_id")
+
+
 def build_ivf_index(
     spark: SparkSession,
     vectors: DataFrame,
@@ -76,22 +148,12 @@ def build_ivf_index(
     cent.write.mode("overwrite").parquet(f"{index_path}/centroids")
     stored_cent = spark.read.parquet(f"{index_path}/centroids")
     assign = _assign(emb.select("vec_id", "vd", "norm"), stored_cent)
-    # Physically cluster the inverted lists: range-partition + sort by
-    # list_id so every output file covers a DISJOINT list_id range (the
-    # pruning property the tests assert; repartitionByRange samples its
-    # boundaries, so two small lists can share a file — at scale,
-    # compact()'s byte-based sizing takes over). The per-query probe then
-    # reads ONLY files whose range intersects the probed lists (parquet
-    # footer min/max + the In(list_id, …) pushdown in topk_from_index).
-    # This is what "inverted list" means on disk — an unsorted assign
-    # table forces every probe to scan the whole corpus.
-    k = stored_cent.count()
-    (
-        assign.repartitionByRange(int(k), "list_id")
-        .sortWithinPartitions("list_id")
-        .write.mode("overwrite")
-        .parquet(f"{index_path}/assign")
-    )
+    # Physically cluster the inverted lists: hive-partition by list_id so
+    # each list IS a directory (see _write_list_clustered). The per-query
+    # probe then never lists — let alone reads — the unprobed lists'
+    # directories. This is what "inverted list" means on disk — an
+    # unclustered assign table forces every probe to scan the whole corpus.
+    _write_list_clustered(assign, stored_cent.count(), f"{index_path}/assign")
 
 
 def update_ivf_index(spark: SparkSession, new_vectors: DataFrame, index_path: str) -> tuple[int, int]:
@@ -107,15 +169,16 @@ def topk_from_index(
     spark: SparkSession, queries: DataFrame, index_path: str, nprobe: int, k: int = TOP_K
 ) -> DataFrame:
     """nprobe-pruned cosine top-k for each query vector, from the stored
-    index only. The probed list_ids are collected to the driver (bounded:
-    ≤ nprobe × |queries| ints — the ANN router's working set, same class
-    of bounded collect as the ranking module's P-row offsets) and pushed
-    into the ``assign/`` scan as a literal ``In(list_id, …)`` predicate,
-    so with the build's list-clustered layout the unprobed lists' files
-    are never read — at 100 TB the scan cost is Σ|probed lists|, not the
-    corpus."""
+    index only. With the build's directory-per-list layout the unprobed
+    lists' directories are never listed or read — at 100 TB the scan cost
+    is Σ|probed lists|, not the corpus. How the probed-list set reaches
+    the scan is mode-switched (:func:`_probe_mode`): the default joins the
+    broadcast probes frame and lets dynamic partition pruning skip
+    directories inside the same job (collect-free — no driver round-trip);
+    ``collect`` mode pays the bounded ≤ nprobe × |queries|-int round-trip
+    for an explicit static ``In(list_id, …)`` partition filter."""
     cent = spark.read.parquet(f"{index_path}/centroids")
-    assign = spark.read.parquet(f"{index_path}/assign")
+    assign = _read_lists(spark, f"{index_path}/assign")
     q = _with_norm(queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("vd").alias("qv"),
@@ -133,11 +196,16 @@ def topk_from_index(
         .select("query_id", "qv", "qnorm", "list_id")
         .transform(materialize)
     )
-    probed_ids = [r.list_id for r in probes.select("list_id").distinct().collect()]
+    if _probe_mode() == "collect":
+        ids = [r.list_id for r in probes.select("list_id").distinct().collect()]
+        pairs = assign.filter(F.col("list_id").isin(ids)).join(
+            F.broadcast(probes), "list_id"
+        )
+    else:
+        # the scoring join IS the DPP trigger — no separate restriction pass
+        pairs = assign.join(F.broadcast(_mark_selective(probes)), "list_id")
     scored = (
-        assign.filter(F.col("list_id").isin(probed_ids))
-        .join(F.broadcast(probes), "list_id")
-        .filter(F.col("vec_id") != F.col("query_id"))
+        pairs.filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
@@ -1352,20 +1420,8 @@ def _embeddings_fingerprint(sf_dir: str) -> dict:
     # "format" versions the artifact SET: bump it whenever the build writes
     # new datasets (e.g. the sq8_* additions), so an index from an older
     # build rebuilds instead of failing on a missing artifact.
-    return {"path": p, "size": st.st_size, "mtime_ns": st.st_mtime_ns, "format": 3}
-
-
-def _write_list_clustered(df: DataFrame, k: int, path: str) -> None:
-    """Write one file per list, range-sorted on list_id — every parquet
-    file's footer min/max covers a single list, so a probed-list In()
-    predicate prunes at FILE granularity (the plain-IVF build's layout,
-    shared by every per-list artifact here)."""
-    (
-        df.repartitionByRange(int(k), "list_id")
-        .sortWithinPartitions("list_id")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    # format 4: hive-partitioned (directory-per-list) inverted-list layout
+    return {"path": p, "size": st.st_size, "mtime_ns": st.st_mtime_ns, "format": 4}
 
 
 def build_ivf_pq_index(spark: SparkSession, emb: DataFrame, index_path: str) -> None:
@@ -1375,11 +1431,13 @@ def build_ivf_pq_index(spark: SparkSession, emb: DataFrame, index_path: str) -> 
     Each stage reads the previous stage back from parquet, so the stored
     artifacts are exactly what search will consume.
 
-    Layout (format 3): the code tables CARRY list_id and are written
-    list-clustered — the codes live INSIDE the inverted lists, as in any
-    deployed IVF-PQ system — so serving reads only the probed lists'
-    files (see `_stored_coarse_candidates`); at 100 TB the per-query scan
-    cost is Σ|probed lists|' codes, never the corpus code table."""
+    Layout (format 4): the code tables CARRY list_id and are written
+    directory-per-list (`_write_list_clustered`) — the codes live INSIDE
+    the inverted lists, as in any deployed IVF-PQ system — so serving
+    lists and reads only the probed lists' directories
+    (see `_stored_coarse_candidates` / `_restrict_to_probed`); at 100 TB
+    the per-query scan cost is Σ|probed lists|' codes, never the corpus
+    code table."""
     vec = _with_norm(emb).select("vec_id", "vd", "norm")
     cent = _centroid_frame(
         vec.filter(
@@ -1398,7 +1456,7 @@ def build_ivf_pq_index(spark: SparkSession, emb: DataFrame, index_path: str) -> 
         k,
         f"{index_path}/coarse_assign",
     )
-    assign_s = spark.read.parquet(f"{index_path}/coarse_assign")
+    assign_s = _read_lists(spark, f"{index_path}/coarse_assign")
 
     books = train_pq_codebooks(spark, emb)
     books.write.mode("overwrite").parquet(f"{index_path}/codebooks")
@@ -1433,28 +1491,27 @@ def ivf_pq_topk_from_index(
     (nprobe/K)·corpus code lookups; the raw embedding column is never read
     at query time."""
     books = spark.read.parquet(f"{index_path}/codebooks")
-    candidates, probed = _stored_coarse_candidates(spark, queries, index_path, nprobe)
-    codes = (
-        spark.read.parquet(f"{index_path}/codes")
-        .filter(F.col("list_id").isin(probed))
-        .drop("list_id")
-    )
+    candidates, probes = _stored_coarse_candidates(spark, queries, index_path, nprobe)
+    codes = _restrict_to_probed(
+        _read_lists(spark, f"{index_path}/codes"), probes
+    ).drop("list_id")
     return pq_topk(queries, codes, books, k=k, candidates=candidates)
 
 
 def _stored_coarse_candidates(
     spark: SparkSession, queries: DataFrame, index_path: str, nprobe: int = N_PROBE
-) -> tuple[DataFrame, list[int]]:
-    """(candidate pairs, probed list ids) from the STORED coarse quantizer
-    — probe each query's nprobe nearest stored centroids and pull those
+) -> tuple[DataFrame, DataFrame]:
+    """(candidate pairs, probes frame) from the STORED coarse quantizer —
+    probe each query's nprobe nearest stored centroids and pull those
     lists' members from the stored assignment. Shared by every
-    quantizer-from-index search (PQ, SQ8). The probed ids (bounded:
-    ≤ nprobe × |queries| ints — the ANN router's working set) are
-    collected so the caller can push In(list_id, …) into each
-    list-clustered artifact scan: with the format-3 layout, unprobed
-    lists' files are never read."""
+    quantizer-from-index search (PQ, SQ8). The returned probes frame
+    (query_id, list_id — materialized, bounded nprobe × |queries| rows) is
+    what the caller hands :func:`_restrict_to_probed` so every per-list
+    artifact scan skips the unprobed lists' directories: join-triggered
+    dynamic partition pruning by default, or a collected static
+    ``In(list_id, …)`` in ``collect`` mode (:func:`_probe_mode`)."""
     cent = spark.read.parquet(f"{index_path}/centroids")
-    assign = spark.read.parquet(f"{index_path}/coarse_assign")
+    assign = _read_lists(spark, f"{index_path}/coarse_assign")
     q = _with_norm(queries).select("vec_id", "vd", "norm")
     wq = W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("list_id"))
     probes = (
@@ -1470,12 +1527,17 @@ def _stored_coarse_candidates(
         .select(F.col("vec_id").alias("query_id"), "list_id")
         .transform(materialize)
     )
-    probed = [r.list_id for r in probes.select("list_id").distinct().collect()]
-    cand = (
-        probes.join(assign.filter(F.col("list_id").isin(probed)), "list_id")
-        .select("query_id", "vec_id")
-    )
-    return cand, probed
+    if _probe_mode() == "collect":
+        probed = [r.list_id for r in probes.select("list_id").distinct().collect()]
+        cand = probes.join(
+            assign.filter(F.col("list_id").isin(probed)), "list_id"
+        ).select("query_id", "vec_id")
+    else:
+        # the candidate join itself triggers DPP on the assignment scan
+        cand = assign.join(F.broadcast(_mark_selective(probes)), "list_id").select(
+            "query_id", "vec_id"
+        )
+    return cand, probes
 
 
 def ensure_ivf_pq_index(spark: SparkSession, sf_dir: str) -> str:
@@ -1539,12 +1601,10 @@ def sq8_topk_from_index(
     byte codes against the stored per-dimension range and rank with the
     shared ADC tail — no range re-computation, no corpus re-encoding."""
     stats = spark.read.parquet(f"{index_path}/sq8_stats")
-    candidates, probed = _stored_coarse_candidates(spark, queries, index_path, nprobe)
-    codes = (
-        spark.read.parquet(f"{index_path}/sq8_codes")
-        .filter(F.col("list_id").isin(probed))
-        .drop("list_id")
-    )
+    candidates, probes = _stored_coarse_candidates(spark, queries, index_path, nprobe)
+    codes = _restrict_to_probed(
+        _read_lists(spark, f"{index_path}/sq8_codes"), probes
+    ).drop("list_id")
     decoded = _sq8_decode(codes, stats).join(
         candidates.withColumnRenamed("vec_id", "cand_id"), "cand_id"
     )
@@ -1814,18 +1874,14 @@ def sim_cosine_topk_ivf_after_delete(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 def compact_ivf_index(spark: SparkSession, index_path: str) -> None:
-    """Post-merge compaction: restore the list-clustered physical layout
-    that `update_ivf_index`'s upsert rewrite loses (the IVF mirror of
-    `compact_bm25_index`). One range-sorted staged rewrite — after it,
-    every ``assign/`` file again covers a disjoint list_id range and the
-    serving probe's ``In(list_id, …)`` pushdown prunes whole files.
-    Correctness never depends on the layout (the serve is hash-identical
-    before and after); this is purely the scan-cost property. The rewrite
-    targets the BUILD's layout — one file per list — rather than
-    `maintenance.compact`'s byte-derived count, so FILE-level pruning (not
-    just row-group) holds at any index size; at 100 TB a hot list larger
-    than a target file splits into several files that still cover only
-    that list_id. Quantizer and search results are untouched."""
+    """Post-merge compaction: restore the directory-per-list physical
+    layout that `update_ivf_index`'s upsert rewrite loses (the IVF mirror
+    of `compact_bm25_index`). One staged rewrite — after it, every list
+    again owns its own ``list_id=N/`` directory and the serving probe's
+    partition pruning (dynamic or static — :func:`_probe_mode`) skips
+    unprobed lists at file-listing time. Correctness never depends on the
+    layout (the serve is hash-identical before and after); this is purely
+    the scan-cost property. Quantizer and search results are untouched."""
     import uuid
 
     from csv_parquet_s3_spark.maintenance import _atomic_swap
@@ -1833,11 +1889,5 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> None:
     path = f"{index_path}/assign"
     k = spark.read.parquet(f"{index_path}/centroids").count()
     staging = path + "._compact-" + uuid.uuid4().hex[:8]
-    (
-        spark.read.parquet(path)
-        .repartitionByRange(int(k), "list_id")
-        .sortWithinPartitions("list_id")
-        .write.mode("overwrite")
-        .parquet(staging)
-    )
+    _write_list_clustered(_read_lists(spark, path), int(k), staging)
     _atomic_swap(staging, path)

@@ -474,38 +474,27 @@ class TestSnapshotDiff:
 
 class TestIvfIndexLayout:
     """The inverted lists must BE inverted on disk: post-build (and
-    post-compaction after a merge) every assign/ file covers a disjoint
-    list_id range, and the serving plan pushes In(list_id, …) into the
-    scan — together these make probe cost Σ|probed lists|, not corpus."""
+    post-compaction after a merge) each list owns its own ``list_id=N/``
+    directory (format 4), and the serving plan prunes unprobed lists'
+    directories at FILE-LISTING time — join-triggered dynamic partition
+    pruning by default, a static ``In(list_id, …)`` partition filter in
+    collect mode — together these make probe cost Σ|probed lists|, not
+    corpus."""
 
     @staticmethod
-    def _list_id_file_ranges(assign_dir: str):
-        import pyarrow.parquet as pq
-
-        ranges = []
-        for f in sorted(os.listdir(assign_dir)):
-            if not f.endswith(".parquet") or f.startswith("."):
-                continue
-            md = pq.ParquetFile(os.path.join(assign_dir, f)).metadata
-            if md.num_rows == 0:
-                continue
-            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[
-                "list_id"
-            ]
-            lo = min(
-                md.row_group(g).column(idx).statistics.min
-                for g in range(md.num_row_groups)
-            )
-            hi = max(
-                md.row_group(g).column(idx).statistics.max
-                for g in range(md.num_row_groups)
-            )
-            ranges.append((lo, hi))
-        return sorted(ranges)
-
-    @staticmethod
-    def _disjoint(ranges):
-        return all(b[0] > a[1] for a, b in zip(ranges, ranges[1:]))
+    def _list_dirs(root: str) -> dict[str, int]:
+        """{hive partition dir: parquet file count} — empty for a flat
+        (post-upsert/post-delete, pre-compaction) table."""
+        out = {}
+        for d in sorted(os.listdir(root)):
+            p = os.path.join(root, d)
+            if d.startswith("list_id=") and os.path.isdir(p):
+                out[d] = sum(
+                    1
+                    for f in os.listdir(p)
+                    if f.endswith(".parquet") and not f.startswith(".")
+                )
+        return out
 
     def test_build_and_compaction_cluster_lists(self, spark, tmp_path):
         from csv_parquet_s3_spark.operators.similarity_index import (
@@ -523,20 +512,21 @@ class TestIvfIndexLayout:
         tail = (F.col("vec_id") % 2 == 1) & (F.col("vec_id") >= _TAIL_START)
         build_ivf_index(spark, emb.filter(~tail), _SEEDS, idx)
 
-        ranges = self._list_id_file_ranges(f"{idx}/assign")
-        assert len(ranges) > 1 and self._disjoint(ranges), ranges
+        dirs = self._list_dirs(f"{idx}/assign")
+        assert len(dirs) > 1 and all(n == 1 for n in dirs.values()), dirs
 
-        # the merge rewrite loses the clustering…
+        # the merge rewrite loses the clustering (flat, no partition dirs)…
         update_ivf_index(spark, emb.filter(tail), idx)
+        assert self._list_dirs(f"{idx}/assign") == {}
         before = _rows(_serve_plain_ivf(spark, emb, idx))
 
         # …and compaction restores it without changing a single result
         compact_ivf_index(spark, idx)
-        ranges2 = self._list_id_file_ranges(f"{idx}/assign")
-        assert len(ranges2) > 1 and self._disjoint(ranges2), ranges2
+        dirs2 = self._list_dirs(f"{idx}/assign")
+        assert len(dirs2) > 1 and all(n == 1 for n in dirs2.values()), dirs2
         assert _rows(_serve_plain_ivf(spark, emb, idx)) == before
 
-    def test_probe_pushes_list_filter_into_scan(self, spark, tmp_path):
+    def test_probe_prunes_unprobed_list_dirs(self, spark, tmp_path, monkeypatch):
         from csv_parquet_s3_spark.operators.similarity import N_PROBE, N_QUERIES
         from csv_parquet_s3_spark.operators.similarity_index import (
             _SEEDS,
@@ -548,23 +538,34 @@ class TestIvfIndexLayout:
         emb = load_table(spark, SF_SMOKE, "embeddings")
         idx = str(tmp_path / "ivf")
         build_ivf_index(spark, emb, _SEEDS, idx)
-        plan = (
-            topk_from_index(
-                spark, emb.filter(F.col("vec_id") < N_QUERIES), idx, N_PROBE
+        queries = emb.filter(F.col("vec_id") < N_QUERIES)
+
+        def plan() -> str:
+            return (
+                topk_from_index(spark, queries, idx, N_PROBE)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
             )
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-        )
-        assert "PushedFilters: [In(list_id" in plan, plan[:2000]
+
+        monkeypatch.setenv("SPARK_GRAFT_IVF_PROBE", "dpp")
+        p = plan()
+        assert "dynamicpruningexpression" in p, p[:2000]
+        rows_dpp = _rows(topk_from_index(spark, queries, idx, N_PROBE))
+
+        monkeypatch.setenv("SPARK_GRAFT_IVF_PROBE", "collect")
+        p = plan()
+        assert "PartitionFilters: [list_id" in p and " IN (" in p, p[:2000]
+        # the modes differ only in HOW the probed-list set reaches the scan
+        assert _rows(topk_from_index(spark, queries, idx, N_PROBE)) == rows_dpp
 
 
 class TestIvfPqIndexLayout:
-    """Format-3 stored IVF×PQ index: code tables carry list_id and are
-    written list-clustered, and serving pushes the probed-list set into
-    every per-list artifact scan — codes live INSIDE the inverted lists."""
+    """Format-4 stored IVF×PQ index: code tables carry list_id and are
+    written directory-per-list, and serving prunes EVERY per-list artifact
+    scan to the probed lists — codes live INSIDE the inverted lists."""
 
-    def test_codes_clustered_and_probe_pushdown(self, spark, tmp_path):
+    def test_codes_clustered_and_probe_pruning(self, spark, tmp_path, monkeypatch):
         from csv_parquet_s3_spark.operators.similarity import N_QUERIES
         from csv_parquet_s3_spark.operators.similarity_index import (
             build_ivf_pq_index,
@@ -578,22 +579,30 @@ class TestIvfPqIndexLayout:
         build_ivf_pq_index(spark, emb, idx)
 
         for table in ("coarse_assign", "codes", "sq8_codes"):
-            ranges = TestIvfIndexLayout._list_id_file_ranges(f"{idx}/{table}")
-            assert len(ranges) > 1 and TestIvfIndexLayout._disjoint(ranges), (
+            dirs = TestIvfIndexLayout._list_dirs(f"{idx}/{table}")
+            assert len(dirs) > 1 and all(n == 1 for n in dirs.values()), (
                 table,
-                ranges,
+                dirs,
             )
 
         queries = emb.filter(F.col("vec_id") < N_QUERIES)
         for fn in (ivf_pq_topk_from_index, sq8_topk_from_index):
-            plan = (
+            monkeypatch.setenv("SPARK_GRAFT_IVF_PROBE", "dpp")
+            p = (
                 fn(spark, queries, idx)
                 ._jdf.queryExecution()
                 .executedPlan()
                 .toString()
             )
-            n_pushed = plan.count("PushedFilters: [In(list_id")
-            assert n_pushed >= 2, (fn.__name__, plan[:1500])
+            assert p.count("dynamicpruningexpression") >= 2, (fn.__name__, p[:1500])
+            monkeypatch.setenv("SPARK_GRAFT_IVF_PROBE", "collect")
+            p = (
+                fn(spark, queries, idx)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert p.count("PartitionFilters: [list_id") >= 2, (fn.__name__, p[:1500])
 
 
 class TestDeleteRowsEdges:
