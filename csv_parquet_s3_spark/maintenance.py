@@ -87,6 +87,87 @@ def _staged_overwrite(df: DataFrame, path: str, marker: str) -> None:
     _atomic_swap(staging, path)
 
 
+CURRENT_MARKER = "_CURRENT"
+
+
+def resolve_published(root: str) -> str | None:
+    """Return the active version directory of a versioned artifact root
+    (``<root>/<_CURRENT's content>``), or None if nothing is published
+    (missing root, missing pointer, or a pointer naming a vanished dir)."""
+    try:
+        with open(os.path.join(root, CURRENT_MARKER)) as fh:
+            name = fh.read().strip()
+    except OSError:
+        return None
+    path = os.path.join(root, name)
+    return path if name and os.path.isdir(path) else None
+
+
+def publish_version(root: str, staged: str) -> str:
+    """Atomically publish a COMPLETE staged version directory
+    (``<root>/<name>``) as the root's active version and return its path.
+
+    Versioned-root layout — the manifest indirection that closes the
+    rename-aside gap (its two-rename swap left an instant with no root at
+    all; the r08 advisory called it out twice):
+
+        <root>/_CURRENT     one line: the active version's directory name
+        <root>/v-<uuid>/    a complete, immutable-once-published artifact set
+
+    The flip is ONE ``os.replace`` of the pointer file — POSIX rename(2)
+    atomicity — so a concurrent reader always resolves either the previous
+    complete version or the new one; the root is never missing and never
+    partial. Everything else under the root (superseded versions, crashed
+    builds, pre-versioning flat-layout artifacts) is vacuumed AFTER the
+    flip; a reader that resolved the old version just before the flip may
+    still be scanning it — local-FS open handles survive the unlink, and
+    an object-store deployment (no atomic rename) would instead
+    conditional-put a manifest object and delay the vacuum by a
+    read-timeout grace period. Single publisher assumed, as with every
+    ensure_* build."""
+    name = os.path.basename(staged.rstrip("/"))
+    tmp = os.path.join(root, f".{CURRENT_MARKER}-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        fh.write(name + "\n")
+    os.replace(tmp, os.path.join(root, CURRENT_MARKER))
+    for entry in os.listdir(root):
+        if entry not in (CURRENT_MARKER, name):
+            _rm_any(os.path.join(root, entry))
+    return os.path.join(root, name)
+
+
+def ensure_published(
+    root: str,
+    fingerprint: dict,
+    build,
+    consistent=None,
+    meta_name: str = "_INDEX_META.json",
+) -> str:
+    """Idempotent build-and-publish for a versioned artifact root: return
+    the active version if its ``meta_name`` equals ``fingerprint`` (and
+    ``consistent(version_dir)`` holds, when given); otherwise call
+    ``build(staging_dir)`` on a fresh ``<root>/v-<uuid>`` and
+    :func:`publish_version` it. The shared skeleton of every index
+    ensure_* (BM25 / MinHash / IVF×PQ): fingerprint guard, crash-marker
+    validity hook, staged build, one-atomic-rename publication."""
+    import json
+
+    cur = resolve_published(root)
+    if cur is not None and (consistent is None or consistent(cur)):
+        try:
+            with open(os.path.join(cur, meta_name)) as fh:
+                if json.load(fh) == fingerprint:
+                    return cur
+        except (ValueError, OSError):
+            pass
+    os.makedirs(root, exist_ok=True)
+    staged = os.path.join(root, f"v-{uuid.uuid4().hex}")
+    build(staged)
+    with open(os.path.join(staged, meta_name), "w") as fh:
+        json.dump(fingerprint, fh)
+    return publish_version(root, staged)
+
+
 def delete_rows(
     spark: SparkSession,
     path: str,

@@ -169,38 +169,20 @@ def _documents_fingerprint(sf_dir: str) -> dict:
 
 def ensure_minhash_index(spark: SparkSession, sf_dir: str) -> str:
     """Idempotent signature-index materialization for the sf_dir's documents
-    table: skip if the fingerprint marker matches, else build into a temp
-    sibling and swap in rename-aside (``maintenance._atomic_swap``) —
-    concurrent readers never observe a PARTIAL root, and the missing-root
-    window shrinks from the whole rmtree (the r07-advisor hole, fixed for
-    BM25/IVF×PQ in r08 — same fix here) to the instant between two
-    renames; true atomicity needs a symlink/manifest indirection."""
-    import json
-    import os
-    import uuid
+    table, returning the ACTIVE VERSION directory of a versioned root
+    (``maintenance.ensure_published``): skip if the published version's
+    fingerprint matches, else build a fresh ``v-<uuid>`` version and
+    publish it with one atomic pointer rename — a concurrent reader always
+    resolves a complete index; the root is never missing or partial."""
+    from csv_parquet_s3_spark.maintenance import ensure_published
 
-    from csv_parquet_s3_spark.maintenance import _atomic_swap
-
-    root = _minhash_index_root(sf_dir)
-    marker = os.path.join(root, "_INDEX_META.json")
-    fp = _documents_fingerprint(sf_dir)
-    if os.path.exists(marker):
-        try:
-            with open(marker) as fh:
-                if json.load(fh) == fp:
-                    return root
-        except (ValueError, OSError):
-            pass
-    docs = load_table(spark, sf_dir, "documents")
-    tmp = f"{root}.build-{uuid.uuid4().hex}"
-    build_index(spark, docs, f"{tmp}/signatures")
-    with open(os.path.join(tmp, "_INDEX_META.json"), "w") as fh:
-        json.dump(fp, fh)
-    if os.path.exists(root):
-        _atomic_swap(tmp, root)
-    else:
-        os.rename(tmp, root)
-    return root
+    return ensure_published(
+        _minhash_index_root(sf_dir),
+        _documents_fingerprint(sf_dir),
+        lambda staged: build_index(
+            spark, load_table(spark, sf_dir, "documents"), f"{staged}/signatures"
+        ),
+    )
 
 
 def _batch_vs_index_oracle() -> str:

@@ -492,44 +492,28 @@ def bm25_index_consistent(index_path: str) -> bool:
 
 def ensure_bm25_index(spark: SparkSession, sf_dir: str) -> str:
     """Idempotent doc-term-index materialization for the sf_dir's documents
-    table: skip if the fingerprint marker matches (and no crashed update
-    left the index inconsistent), else build into a temp sibling and swap
-    into place. The swap is rename-aside (``maintenance._atomic_swap``):
-    the old root moves aside in one rename, the new one renames in, then
-    the backup is deleted — readers never observe a PARTIAL root, and the
-    missing-root window shrinks from the whole rmtree to the instant
-    between two renames (true atomicity needs a symlink/manifest
-    indirection)."""
-    import json
-    import os
-    import uuid
-
-    from csv_parquet_s3_spark.maintenance import _atomic_swap
+    table, returning the ACTIVE VERSION directory of a versioned root
+    (``maintenance.ensure_published``): skip if the published version's
+    fingerprint matches (and no crashed update left it inconsistent), else
+    build a fresh ``v-<uuid>`` version and publish it with one atomic
+    pointer rename — a concurrent reader always resolves a complete index,
+    old or new; the root is never missing (the rename-aside two-rename gap
+    the r08 advisory flagged is gone)."""
+    from csv_parquet_s3_spark.maintenance import ensure_published
     from csv_parquet_s3_spark.operators.minhash_index import _documents_fingerprint
 
-    root = _bm25_index_root(sf_dir)
-    marker = os.path.join(root, "_INDEX_META.json")
     # layout version 3: doc_tf range-sorted by doc_id (probe pruning),
     # stats carries exact sum_dl for monoidal incremental refresh — a bump
     # forces indexes built with older layouts to rebuild
     fp = {**_documents_fingerprint(sf_dir), "bm25_layout": 3}
-    if os.path.exists(marker) and bm25_index_consistent(root):
-        try:
-            with open(marker) as fh:
-                if json.load(fh) == fp:
-                    return root
-        except (ValueError, OSError):
-            pass
-    docs = load_table(spark, sf_dir, "documents")
-    tmp = f"{root}.build-{uuid.uuid4().hex}"
-    build_bm25_index(spark, docs, tmp)
-    with open(os.path.join(tmp, "_INDEX_META.json"), "w") as fh:
-        json.dump(fp, fh)
-    if os.path.exists(root):
-        _atomic_swap(tmp, root)
-    else:
-        os.rename(tmp, root)
-    return root
+    return ensure_published(
+        _bm25_index_root(sf_dir),
+        fp,
+        lambda staged: build_bm25_index(
+            spark, load_table(spark, sf_dir, "documents"), staged
+        ),
+        consistent=bm25_index_consistent,
+    )
 
 
 def _bm25_serve_from(spark: SparkSession, index_path: str) -> DataFrame:

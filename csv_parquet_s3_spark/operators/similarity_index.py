@@ -1542,39 +1542,21 @@ def _stored_coarse_candidates(
 
 def ensure_ivf_pq_index(spark: SparkSession, sf_dir: str) -> str:
     """Idempotent index materialization: build only if absent or if the
-    source embeddings file changed (fingerprint marker). Builds land in a
-    temp sibling and swap in rename-aside (``maintenance._atomic_swap`` —
-    old root renames aside, new renames in, backup deleted). A concurrent
-    reader never observes a PARTIAL root, and the missing-root window
-    shrinks from the whole rmtree (the r07-advisor hole, fixed for BM25 in
-    r08 — same fix here) to the instant between two renames; true
-    atomicity would need a symlink/manifest indirection."""
-    import json
-    import os
-    import uuid
+    source embeddings file changed. Returns the ACTIVE VERSION directory
+    of a versioned root (``maintenance.ensure_published``): the build
+    lands in a fresh ``v-<uuid>`` version, published with one atomic
+    pointer rename — a concurrent reader always resolves a complete
+    index, old or new; the root is never missing or partial (the
+    rename-aside two-rename gap the r08 advisory flagged is gone)."""
+    from csv_parquet_s3_spark.maintenance import ensure_published
 
-    from csv_parquet_s3_spark.maintenance import _atomic_swap
-
-    root = _pq_index_root(sf_dir)
-    marker = os.path.join(root, "_INDEX_META.json")
-    fp = _embeddings_fingerprint(sf_dir)
-    if os.path.exists(marker):
-        try:
-            with open(marker) as fh:
-                if json.load(fh) == fp:
-                    return root
-        except (ValueError, OSError):
-            pass
-    emb = load_table(spark, sf_dir, "embeddings")
-    tmp = f"{root}.build-{uuid.uuid4().hex}"
-    build_ivf_pq_index(spark, emb, tmp)
-    with open(os.path.join(tmp, "_INDEX_META.json"), "w") as fh:
-        json.dump(fp, fh)
-    if os.path.exists(root):
-        _atomic_swap(tmp, root)
-    else:
-        os.rename(tmp, root)
-    return root
+    return ensure_published(
+        _pq_index_root(sf_dir),
+        _embeddings_fingerprint(sf_dir),
+        lambda staged: build_ivf_pq_index(
+            spark, load_table(spark, sf_dir, "embeddings"), staged
+        ),
+    )
 
 
 @register("sim_cosine_topk_ivf_pq_from_index", oracle=_ivf_pq_oracle())

@@ -297,3 +297,82 @@ def test_delete_where_single_file_table(spark, tmp_path):
     status, matched, kept = delete_where(spark, single, "v >= 40")
     assert status == "purged" and matched >= 0 and kept == n_before - matched
     assert spark.read.parquet(single).count() == kept
+
+
+# ---------------------------------------------------------------------------
+# Versioned publication (manifest indirection): the root is never missing —
+# publication is ONE atomic pointer rename, not a rename-aside swap.
+# ---------------------------------------------------------------------------
+def _stage_version(root, payload: str):
+    import os
+    import uuid
+
+    staged = os.path.join(root, f"v-{uuid.uuid4().hex}")
+    os.makedirs(staged)
+    with open(os.path.join(staged, "data.txt"), "w") as fh:
+        fh.write(payload)
+    return staged
+
+
+def test_publish_resolve_roundtrip_and_vacuum(tmp_path):
+    import os
+
+    from csv_parquet_s3_spark.maintenance import (
+        publish_version,
+        resolve_published,
+    )
+
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    assert resolve_published(root) is None
+    assert resolve_published(str(tmp_path / "absent")) is None
+
+    # legacy flat-layout artifacts + a crashed build both vacuum on publish
+    os.makedirs(os.path.join(root, "doc_tf"))
+    crashed = _stage_version(root, "crashed")
+
+    v1 = publish_version(root, _stage_version(root, "one"))
+    assert resolve_published(root) == v1
+    assert not os.path.exists(os.path.join(root, "doc_tf"))
+    assert not os.path.exists(crashed)
+
+    v2 = publish_version(root, _stage_version(root, "two"))
+    assert resolve_published(root) == v2
+    assert not os.path.exists(v1), "superseded version not vacuumed"
+    with open(os.path.join(v2, "data.txt")) as fh:
+        assert fh.read() == "two"
+
+
+def test_ensure_published_guard_rebuild_and_consistency(tmp_path):
+    import os
+
+    from csv_parquet_s3_spark.maintenance import (
+        ensure_published,
+        resolve_published,
+    )
+
+    root = str(tmp_path / "idx")
+    builds = []
+
+    def build(staged):
+        os.makedirs(staged)
+        builds.append(staged)
+
+    fp = {"mtime_ns": 1, "format": 1}
+    v1 = ensure_published(root, fp, build)
+    assert len(builds) == 1 and resolve_published(root) == v1
+
+    # matching fingerprint: no rebuild, same version returned
+    assert ensure_published(root, fp, build) == v1
+    assert len(builds) == 1
+
+    # changed fingerprint: rebuild into a NEW published version
+    v2 = ensure_published(root, {"mtime_ns": 2, "format": 1}, build)
+    assert len(builds) == 2 and v2 != v1 and resolve_published(root) == v2
+    assert not os.path.exists(v1)
+
+    # a failing consistency hook forces a rebuild even on a matching print
+    v3 = ensure_published(
+        root, {"mtime_ns": 2, "format": 1}, build, consistent=lambda d: False
+    )
+    assert len(builds) == 3 and v3 != v2

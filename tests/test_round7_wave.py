@@ -38,7 +38,9 @@ class TestBM25FromIndex:
         )
 
         root = ensure_bm25_index(spark, SF_SMOKE)
-        assert root == _bm25_index_root(SF_SMOKE)
+        # versioned layout: ensure returns the ACTIVE VERSION dir under
+        # the warehouse root (maintenance.ensure_published)
+        assert os.path.dirname(root) == _bm25_index_root(SF_SMOKE)
         marker = os.path.join(root, "_INDEX_META.json")
         before = os.stat(marker).st_mtime_ns
         assert ensure_bm25_index(spark, SF_SMOKE) == root
@@ -54,8 +56,11 @@ class TestBM25FromIndex:
         meta["mtime_ns"] = 0
         with open(marker, "w") as fh:
             json.dump(meta, fh)
-        assert ensure_bm25_index(spark, SF_SMOKE) == root
-        with open(marker) as fh:
+        root2 = ensure_bm25_index(spark, SF_SMOKE)
+        # a rebuild publishes a NEW version dir and vacuums the stale one
+        assert root2 != root and os.path.dirname(root2) == os.path.dirname(root)
+        assert not os.path.exists(root), "superseded version not vacuumed"
+        with open(os.path.join(root2, "_INDEX_META.json")) as fh:
             assert json.load(fh)["mtime_ns"] != 0, "stale fingerprint not rebuilt"
 
     def test_incremental_equals_full_build(self, spark):

@@ -126,14 +126,14 @@ class TestCrashDetectability:
         )
 
         root = ensure_bm25_index(spark, SF_SMOKE)
-        marker = os.path.join(root, "_INDEX_META.json")
-        meta_mtime = os.path.getmtime(marker)
         pending = os.path.join(root, _BM25_PENDING)
         with open(pending, "w") as fh:
             fh.write("crash\n")
-        assert ensure_bm25_index(spark, SF_SMOKE) == root
-        assert not os.path.exists(pending), "rebuild must clear the marker"
-        assert os.path.getmtime(os.path.join(root, "_INDEX_META.json")) > meta_mtime
+        root2 = ensure_bm25_index(spark, SF_SMOKE)
+        # the inconsistent version is replaced by a freshly published one
+        assert root2 != root and os.path.dirname(root2) == os.path.dirname(root)
+        assert not os.path.exists(root), "inconsistent version not vacuumed"
+        assert not os.path.exists(os.path.join(root2, _BM25_PENDING))
 
     def test_update_requires_layout3_stats(self, spark):
         from csv_parquet_s3_spark.operators.retrieval import update_bm25_index
