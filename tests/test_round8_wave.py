@@ -559,6 +559,70 @@ class TestIvfIndexLayout:
         # the modes differ only in HOW the probed-list set reaches the scan
         assert _rows(topk_from_index(spark, queries, idx, N_PROBE)) == rows_dpp
 
+    def test_unprobed_list_files_are_never_read(self, spark, tmp_path, monkeypatch):
+        """RUNTIME proof of list pruning, stronger than any plan string:
+        overwrite every parquet file of the lists the probe does NOT touch
+        with garbage bytes — serving must still return the exact same
+        rows in BOTH modes, because those directories' contents are never
+        opened. The control corrupts a probed list too and expects the
+        scan to blow up (so the test cannot pass vacuously)."""
+        import glob
+        import math
+
+        from csv_parquet_s3_spark.operators.similarity import N_PROBE, N_QUERIES
+        from csv_parquet_s3_spark.operators.similarity_index import (
+            _SEEDS,
+            build_ivf_index,
+            topk_from_index,
+        )
+        from csv_parquet_s3_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF_SMOKE, "embeddings")
+        idx = str(tmp_path / "ivf")
+        build_ivf_index(spark, emb, _SEEDS, idx)
+        queries = emb.filter(F.col("vec_id") < N_QUERIES)
+        before = _rows(topk_from_index(spark, queries, idx, N_PROBE))
+
+        # replicate the probe routing (nprobe nearest stored centroids per
+        # query: 6-digit rounded cosine desc, list_id asc tie-break)
+        cent = spark.read.parquet(f"{idx}/centroids").collect()
+        probed: set[int] = set()
+        for q in queries.collect():
+            qn = math.sqrt(sum(x * x for x in q.embedding))
+            sims = sorted(
+                (
+                    (
+                        -round(
+                            sum(a * b for a, b in zip(q.embedding, c.cv))
+                            / (qn * c.cnorm),
+                            6,
+                        ),
+                        c.list_id,
+                    )
+                    for c in cent
+                ),
+            )[:N_PROBE]
+            probed.update(lid for _s, lid in sims)
+        unprobed = {c.list_id for c in cent} - probed
+        assert unprobed, "every list probed — fixture can't prove pruning"
+
+        def corrupt(list_id: int) -> None:
+            files = glob.glob(f"{idx}/assign/list_id={list_id}/*.parquet")
+            assert files, list_id
+            for f in files:
+                with open(f, "wb") as fh:
+                    fh.write(b"not parquet at all")
+
+        for lid in unprobed:
+            corrupt(lid)
+        for mode in ("dpp", "collect"):
+            monkeypatch.setenv("SPARK_GRAFT_IVF_PROBE", mode)
+            assert _rows(topk_from_index(spark, queries, idx, N_PROBE)) == before
+
+        corrupt(next(iter(probed)))  # control: a PROBED list must be read
+        with pytest.raises(Exception):
+            topk_from_index(spark, queries, idx, N_PROBE).collect()
+
 
 class TestIvfPqIndexLayout:
     """Format-4 stored IVF×PQ index: code tables carry list_id and are
