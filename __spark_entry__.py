@@ -49,9 +49,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # (0b) the THREE r03-stale greens the r08 verdict-demanded registrations
 #      displaced (rotation fronts them too);
 # (0c) FOUR re-pins for the stored-index serving entries whose PLANS
-#      changed in the r08 closing wave after that window was locked
-#      (format-3 list-clustered layout + probed-list In(list_id,…)
-#      pushdown);
+#      changed in the r08 closing wave after that window was locked —
+#      and changed again in r09 (format-4 directory-per-list layout +
+#      collect-free DPP serving), so these slots earn their keep twice;
 # then the rows-only sketches and the stalest greens from the rotation
 # output verbatim, trimmed to the 50-slot window (the four entries the
 # 0c re-pins displace move to the r10 queue).
