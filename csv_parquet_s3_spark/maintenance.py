@@ -90,17 +90,37 @@ def _staged_overwrite(df: DataFrame, path: str, marker: str) -> None:
 CURRENT_MARKER = "_CURRENT"
 
 
+def _read_pointer(root: str) -> tuple[str | None, str | None]:
+    """``(current, previous)`` version names from the ``_CURRENT`` pointer
+    file (line 1 = active version, optional line 2 = the generation it
+    superseded — see :func:`publish_version`), or ``(None, None)`` if the
+    pointer is missing/empty."""
+    try:
+        with open(os.path.join(root, CURRENT_MARKER)) as fh:
+            lines = [ln.strip() for ln in fh.read().splitlines()]
+    except OSError:
+        return None, None
+    cur = lines[0] if lines and lines[0] else None
+    prev = lines[1] if len(lines) > 1 and lines[1] else None
+    return cur, prev
+
+
 def resolve_published(root: str) -> str | None:
     """Return the active version directory of a versioned artifact root
     (``<root>/<_CURRENT's content>``), or None if nothing is published
     (missing root, missing pointer, or a pointer naming a vanished dir)."""
-    try:
-        with open(os.path.join(root, CURRENT_MARKER)) as fh:
-            name = fh.read().strip()
-    except OSError:
+    name, _prev = _read_pointer(root)
+    if name is None:
         return None
     path = os.path.join(root, name)
-    return path if name and os.path.isdir(path) else None
+    return path if os.path.isdir(path) else None
+
+
+def _vacuum_root(root: str, keep: set[str]) -> None:
+    """Remove every root entry except the pointer file and ``keep``."""
+    for entry in os.listdir(root):
+        if entry != CURRENT_MARKER and entry not in keep:
+            _rm_any(os.path.join(root, entry))
 
 
 def publish_version(root: str, staged: str) -> str:
@@ -111,28 +131,34 @@ def publish_version(root: str, staged: str) -> str:
     rename-aside gap (its two-rename swap left an instant with no root at
     all; the r08 advisory called it out twice):
 
-        <root>/_CURRENT     one line: the active version's directory name
+        <root>/_CURRENT     line 1: the active version's directory name;
+                            line 2 (optional): the version it superseded
         <root>/v-<uuid>/    a complete, immutable-once-published artifact set
 
     The flip is ONE ``os.replace`` of the pointer file — POSIX rename(2)
     atomicity — so a concurrent reader always resolves either the previous
     complete version or the new one; the root is never missing and never
-    partial. Everything else under the root (superseded versions, crashed
-    builds, pre-versioning flat-layout artifacts) is vacuumed AFTER the
-    flip; a reader that resolved the old version just before the flip may
-    still be scanning it — local-FS open handles survive the unlink, and
-    an object-store deployment (no atomic rename) would instead
-    conditional-put a manifest object and delay the vacuum by a
-    read-timeout grace period. Single publisher assumed, as with every
-    ensure_* build."""
+    partial. Vacuum policy (r09 advisory: an immediate unlink of the
+    superseded version races a reader that resolved it just before the
+    flip — Spark plans are lazy, files open at job execution, so "the OS
+    keeps unlinked files readable" does NOT protect a resolved-but-not-yet-
+    executed plan): the SUPERSEDED generation is KEPT for one publish cycle
+    (its name rides on the pointer's second line) and is vacuumed by the
+    NEXT publish; everything else — older generations, crashed ``v-*``
+    builds, pre-versioning flat layouts — is removed after the flip. An
+    object-store deployment (no atomic rename) would conditional-put the
+    manifest object and add a read-timeout grace before the vacuum. Single
+    publisher assumed, as with every ensure_* build."""
     name = os.path.basename(staged.rstrip("/"))
+    old_cur, _old_prev = _read_pointer(root)
     tmp = os.path.join(root, f".{CURRENT_MARKER}-{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as fh:
         fh.write(name + "\n")
+        if old_cur and old_cur != name:
+            fh.write(old_cur + "\n")
     os.replace(tmp, os.path.join(root, CURRENT_MARKER))
-    for entry in os.listdir(root):
-        if entry not in (CURRENT_MARKER, name):
-            _rm_any(os.path.join(root, entry))
+    keep = {name} | ({old_cur} if old_cur else set())
+    _vacuum_root(root, keep)
     return os.path.join(root, name)
 
 
@@ -149,22 +175,37 @@ def ensure_published(
     ``build(staging_dir)`` on a fresh ``<root>/v-<uuid>`` and
     :func:`publish_version` it. The shared skeleton of every index
     ensure_* (BM25 / MinHash / IVF×PQ): fingerprint guard, crash-marker
-    validity hook, staged build, one-atomic-rename publication."""
+    validity hook, staged build, one-atomic-rename publication.
+
+    Hygiene (r09 advisory): a build that THROWS removes its partial
+    staging dir before re-raising, and the fingerprint-match fast path
+    vacuums anything that is neither the active version nor the pointer-
+    recorded previous generation — so a hard-crashed build's ``v-<uuid>``
+    leftovers are reaped on the next successful call even when the
+    fingerprint keeps matching and no publish ever runs."""
     import json
 
     cur = resolve_published(root)
     if cur is not None and (consistent is None or consistent(cur)):
         try:
             with open(os.path.join(cur, meta_name)) as fh:
-                if json.load(fh) == fingerprint:
-                    return cur
+                match = json.load(fh) == fingerprint
         except (ValueError, OSError):
-            pass
+            match = False
+        if match:
+            cur_name, prev_name = _read_pointer(root)
+            keep = {cur_name} | ({prev_name} if prev_name else set())
+            _vacuum_root(root, keep)
+            return cur
     os.makedirs(root, exist_ok=True)
     staged = os.path.join(root, f"v-{uuid.uuid4().hex}")
-    build(staged)
-    with open(os.path.join(staged, meta_name), "w") as fh:
-        json.dump(fingerprint, fh)
+    try:
+        build(staged)
+        with open(os.path.join(staged, meta_name), "w") as fh:
+            json.dump(fingerprint, fh)
+    except BaseException:
+        _rm_any(staged)
+        raise
     return publish_version(root, staged)
 
 

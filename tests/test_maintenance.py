@@ -338,9 +338,17 @@ def test_publish_resolve_roundtrip_and_vacuum(tmp_path):
 
     v2 = publish_version(root, _stage_version(root, "two"))
     assert resolve_published(root) == v2
-    assert not os.path.exists(v1), "superseded version not vacuumed"
+    # keep-one-generation (r09 advisory): the superseded version survives
+    # one publish cycle so a reader that resolved it just before the flip
+    # can still execute its lazy plan; the NEXT publish reaps it.
+    assert os.path.exists(v1), "previous generation vacuumed too early"
     with open(os.path.join(v2, "data.txt")) as fh:
         assert fh.read() == "two"
+
+    v3 = publish_version(root, _stage_version(root, "three"))
+    assert resolve_published(root) == v3
+    assert not os.path.exists(v1), "generation N-2 not vacuumed"
+    assert os.path.exists(v2), "previous generation vacuumed too early"
 
 
 def test_ensure_published_guard_rebuild_and_consistency(tmp_path):
@@ -366,13 +374,51 @@ def test_ensure_published_guard_rebuild_and_consistency(tmp_path):
     assert ensure_published(root, fp, build) == v1
     assert len(builds) == 1
 
-    # changed fingerprint: rebuild into a NEW published version
+    # changed fingerprint: rebuild into a NEW published version; the
+    # superseded one is kept one generation (keep-one vacuum policy)
     v2 = ensure_published(root, {"mtime_ns": 2, "format": 1}, build)
     assert len(builds) == 2 and v2 != v1 and resolve_published(root) == v2
-    assert not os.path.exists(v1)
+    assert os.path.exists(v1)
 
     # a failing consistency hook forces a rebuild even on a matching print
     v3 = ensure_published(
         root, {"mtime_ns": 2, "format": 1}, build, consistent=lambda d: False
     )
     assert len(builds) == 3 and v3 != v2
+    assert not os.path.exists(v1) and os.path.exists(v2)
+
+
+def test_ensure_published_failure_and_fastpath_hygiene(tmp_path):
+    import os
+
+    import pytest
+
+    from csv_parquet_s3_spark.maintenance import ensure_published
+
+    root = str(tmp_path / "idx")
+
+    def build(staged):
+        os.makedirs(staged)
+
+    fp = {"mtime_ns": 1, "format": 1}
+    v1 = ensure_published(root, fp, build)
+
+    # a THROWING build removes its partial staging dir before re-raising
+    def bad_build(staged):
+        os.makedirs(staged)
+        with open(os.path.join(staged, "partial.parquet"), "w") as fh:
+            fh.write("x")
+        raise RuntimeError("executor lost")
+
+    with pytest.raises(RuntimeError):
+        ensure_published(root, {"mtime_ns": 2, "format": 1}, bad_build)
+    versions = [e for e in os.listdir(root) if e.startswith("v-")]
+    assert versions == [os.path.basename(v1)], "failed staging dir lingers"
+
+    # a HARD-crashed build (no exception path ran — simulate by planting
+    # the dir) is reaped by the fingerprint-match fast path, which keeps
+    # only the active version and the pointer-recorded previous generation
+    crashed = _stage_version(root, "crashed")
+    assert ensure_published(root, fp, build) == v1
+    assert not os.path.exists(crashed), "crashed build not reaped on fast path"
+    assert os.path.exists(v1)

@@ -57,9 +57,10 @@ class TestBM25FromIndex:
         with open(marker, "w") as fh:
             json.dump(meta, fh)
         root2 = ensure_bm25_index(spark, SF_SMOKE)
-        # a rebuild publishes a NEW version dir and vacuums the stale one
+        # a rebuild publishes a NEW version dir; the stale one is KEPT one
+        # generation (keep-one vacuum, r09 advisory) for in-flight readers
         assert root2 != root and os.path.dirname(root2) == os.path.dirname(root)
-        assert not os.path.exists(root), "superseded version not vacuumed"
+        assert os.path.exists(root), "previous generation vacuumed too early"
         with open(os.path.join(root2, "_INDEX_META.json")) as fh:
             assert json.load(fh)["mtime_ns"] != 0, "stale fingerprint not rebuilt"
 

@@ -131,8 +131,10 @@ class TestCrashDetectability:
             fh.write("crash\n")
         root2 = ensure_bm25_index(spark, SF_SMOKE)
         # the inconsistent version is replaced by a freshly published one
+        # (and lingers one generation under the keep-one vacuum policy —
+        # readers mid-scan on it keep working; the next publish reaps it)
         assert root2 != root and os.path.dirname(root2) == os.path.dirname(root)
-        assert not os.path.exists(root), "inconsistent version not vacuumed"
+        assert os.path.exists(root), "previous generation vacuumed too early"
         assert not os.path.exists(os.path.join(root2, _BM25_PENDING))
 
     def test_update_requires_layout3_stats(self, spark):
