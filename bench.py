@@ -11,7 +11,16 @@ in r06 to bound the ±24% environment drift the r05 verdict flagged) and the
 headline number is the per-query WARM MEDIAN (rep 1 excluded — see
 ``warm_median``); ``BENCH_DETAIL.json`` additionally commits each median
 normalized by the scan anchor, the only statistic round-over-round
-comparisons may use. Raw per-rep runs, per-query spread,
+comparisons may use.
+
+Soak guard (r09): each rep releases the RDD blocks its invocation
+localCheckpointed (``plans.materialize.released_after``), and after the
+bucketed pass the WHOLE headline set runs a SECOND pass in the same
+session; ``BENCH_DETAIL.json`` commits anchor-normalized pass2/pass1
+``soak_ratio`` per query (flat ≈ 1.0 proves no session-state
+accumulation — the r09 driver artifact's monotonic per-rep growth is the
+failure this detects). ``tests/test_bench_policy.py`` gates the committed
+ratios. Raw per-rep runs, per-query spread,
 and the bucketed-layout second pass go to ``BENCH_DETAIL.json`` beside this
 script (committed per round) — NOT into the stdout line: the r05 stdout JSON
 carried 21 queries x 3 runs plus the bucketed section and overflowed the
@@ -182,16 +191,31 @@ def main() -> None:
             out[f"{cname}_{tag}"] = warm_median(per_run)
         return out
 
+    # Release-what-you-pin: every query invocation localCheckpoints shared
+    # subframes (plans/materialize.py); those blocks are RDD-level persists
+    # the SQL CacheManager never frees, so a standing session accumulates
+    # them until GC — the r09 driver bench's monotonic per-rep growth
+    # signature. Each rep releases its own pins once its noop sink
+    # completes (safe: the next rep builds fresh frames from scratch).
+    from csv_parquet_s3_spark.plans.materialize import released_after
+
+    def run_set(names: list[str], into_runs: dict, into_medians: dict,
+                n_reps: int) -> None:
+        for name in names:
+            fn = QUERIES[name]
+            per_run: list[float] = []
+            for _ in range(n_reps):
+                t0 = time.perf_counter()
+                with released_after(spark):
+                    fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                per_run.append(round(time.perf_counter() - t0, 4))
+            into_runs[name] = per_run
+            into_medians[name] = warm_median(per_run)
+
     calib = calibrate("pre")
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        per_run: list[float] = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            per_run.append(round(time.perf_counter() - t0, 4))
-        runs[name] = per_run
-        medians[name] = warm_median(per_run)
+    run_set(HEADLINE, runs, medians, reps)
 
     total = round(sum(medians.values()), 4)
 
@@ -210,19 +234,35 @@ def main() -> None:
     bucketed_runs: dict[str, list[float]] = {}
     bucketed_medians: dict[str, float] = {}
     try:
-        for name in BUCKETED_SUBSET:
-            fn = QUERIES[name]
-            per_run = []
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                per_run.append(round(time.perf_counter() - t0, 4))
-            bucketed_runs[name] = per_run
-            bucketed_medians[name] = warm_median(per_run)
+        run_set(BUCKETED_SUBSET, bucketed_runs, bucketed_medians, reps)
     finally:
         release_bucketed_facts()
 
     calib.update(calibrate("post"))
+
+    # Soak guard (r09 verdict #1): re-run the whole headline set a SECOND
+    # pass in the SAME session, hours of session state later, and commit
+    # pass2/pass1 per-query ratios. A session-state accumulation defect
+    # (leaked checkpoint blocks, growing driver structures) shows as
+    # ratios drifting above 1; a healthy session is flat. Each pass is
+    # normalized by its own adjacent scan anchor so host-speed drift
+    # between the passes cancels (the anchors straddle each pass).
+    soak_reps = int(os.environ.get("SPARK_GRAFT_BENCH_SOAK_REPS", "3"))
+    soak_runs: dict[str, list[float]] = {}
+    soak_medians: dict[str, float] = {}
+    run_set(HEADLINE, soak_runs, soak_medians, soak_reps)
+    calib.update(calibrate("soak"))
+    runs.update({f"soak_{n}": r for n, r in soak_runs.items()})
+
+    anchor_pass1 = (calib["scan_pre"] + calib["scan_post"]) / 2
+    anchor_soak = (calib["scan_post"] + calib["scan_soak"]) / 2
+    soak_ratio = {
+        n: round(
+            (soak_medians[n] / anchor_soak) / (medians[n] / anchor_pass1), 4
+        )
+        for n in HEADLINE
+        if medians.get(n, 0) > 0 and anchor_soak > 0 and anchor_pass1 > 0
+    }
 
     # The round-over-round comparison statistic, computed HERE so NOTES
     # can't accidentally cherry-pick it (VERDICT r07 #2): each committed
@@ -257,10 +297,27 @@ def main() -> None:
         "calib": calib,
         "anchor_scan": anchor_scan,
         "normalized": normalized,
+        "queries_soak": soak_medians,
+        "soak_reps": soak_reps,
+        "soak_ratio": soak_ratio,
     }
     with open(os.path.join(REPO_DIR, "BENCH_DETAIL.json"), "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
         fh.write("\n")
+
+    import math
+
+    soak_geomean = (
+        round(
+            math.exp(
+                sum(math.log(r) for r in soak_ratio.values())
+                / len(soak_ratio)
+            ),
+            4,
+        )
+        if soak_ratio
+        else None
+    )
 
     sys.stdout.flush()
     print(
@@ -273,6 +330,7 @@ def main() -> None:
                 "reps": reps,
                 "bucketed_total": detail["bucketed_total"],
                 "calib": calib,
+                "soak_geomean": soak_geomean,
                 "sf": sf,
             }
         ),

