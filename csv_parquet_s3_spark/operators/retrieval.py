@@ -305,15 +305,11 @@ def _bm25_doc_tf(docs: DataFrame) -> DataFrame:
     return toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
 
 
-def _bm25_scored_topk(
-    doc_tf: DataFrame, dl: DataFrame, df: DataFrame, stats: DataFrame,
-    qterms: DataFrame,
-) -> DataFrame:
-    """BM25 scoring over the four index tables — shared between the
-    end-to-end entry (tables derived at query time) and the stored-index
-    serving entry (tables read off parquet). The bounded query-term set
-    broadcasts; per-term contributions partial-aggregate map-side; only
-    (query, doc, score) rows shuffle for the per-query top-k."""
+def _bm25_rank(enriched: DataFrame) -> DataFrame:
+    """The BM25 scoring + per-query top-k tail over rows that already carry
+    every needed quantity: (query_id, doc_id, tf, dl, df, n_docs, avgdl).
+    Per-term contributions partial-aggregate map-side; only (query, doc,
+    score) rows shuffle for the per-query top-k."""
     idf6 = F.round(
         F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)), 6
     )
@@ -323,14 +319,8 @@ def _bm25_scored_topk(
         / (F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
     )
     term_score = F.round(idf6 * tf_w, 6).cast("decimal(20,6)")
-    scored = (
-        doc_tf.join(F.broadcast(qterms), "token")
-        .filter(F.col("doc_id") != F.col("query_id"))
-        .join(df, "token")  # vocabulary-sized: AQE broadcasts, never hinted
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum(term_score).alias("score_sum"))
+    scored = enriched.groupBy("query_id", "doc_id").agg(
+        F.sum(term_score).alias("score_sum")
     )
     wq = W.partitionBy("query_id").orderBy(F.desc("score_sum"), F.asc("doc_id"))
     return (
@@ -343,6 +333,25 @@ def _bm25_scored_topk(
             "rn",
         )
     )
+
+
+def _bm25_scored_topk(
+    doc_tf: DataFrame, dl: DataFrame, df: DataFrame, stats: DataFrame,
+    qterms: DataFrame,
+) -> DataFrame:
+    """BM25 scoring over the four NORMALIZED index tables — the end-to-end
+    path, where everything is derived at query time. The bounded query-term
+    set broadcasts; dl joins per-doc; the 1-row stats frame cross-joins
+    broadcast. (The stored-index serving path skips the dl join and the
+    stats frame entirely — see :func:`_bm25_serve_from`.)"""
+    enriched = (
+        doc_tf.join(F.broadcast(qterms), "token")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(df, "token")  # vocabulary-sized: AQE broadcasts, never hinted
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    return _bm25_rank(enriched)
 
 
 @register(
@@ -456,16 +465,23 @@ def build_bm25_index(spark: SparkSession, docs: DataFrame, index_path: str) -> N
     RANGE-SORTED BY doc_id so the serving plan's bounded query-doc probe
     (``doc_id < N_QUERIES``) is file/row-group-pruned by parquet min/max
     stats instead of re-scanning the whole index — the scoring pass is the
-    only full read. ``dl`` is |docs| rows, ``df`` is vocabulary-sized,
+    only full read. Layout 4 DENORMALIZES the document length onto every
+    ``doc_tf`` row (one extra int column in the big table, paid once at
+    build): at 100 TB the per-doc ``dl`` table is corpus-sized, so joining
+    it at serve time was the one non-broadcast shuffle left in the serving
+    plan — storing dl in place removes it entirely. The normalized ``dl``
+    table (|docs| rows) is still written: maintenance pre-reads and the
+    stats re-aggregate want the per-doc view. ``df`` is vocabulary-sized,
     ``stats`` is one row."""
     doc_tf = _bm25_doc_tf(docs).transform(materialize)
+    dl = doc_tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")).transform(materialize)
     (
-        doc_tf.repartitionByRange("doc_id")
+        doc_tf.join(dl, "doc_id")  # build-time cost; serve never joins dl
+        .repartitionByRange("doc_id")
         .sortWithinPartitions("doc_id", "token")
         .write.mode("overwrite")
         .parquet(f"{index_path}/doc_tf")
     )
-    dl = doc_tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")).transform(materialize)
     dl.write.mode("overwrite").parquet(f"{index_path}/dl")
     doc_tf.groupBy("token").agg(F.count("*").alias("df")).write.mode(
         "overwrite"
@@ -502,10 +518,11 @@ def ensure_bm25_index(spark: SparkSession, sf_dir: str) -> str:
     from csv_parquet_s3_spark.maintenance import ensure_published
     from csv_parquet_s3_spark.operators.minhash_index import _documents_fingerprint
 
-    # layout version 3: doc_tf range-sorted by doc_id (probe pruning),
-    # stats carries exact sum_dl for monoidal incremental refresh — a bump
-    # forces indexes built with older layouts to rebuild
-    fp = {**_documents_fingerprint(sf_dir), "bm25_layout": 3}
+    # layout version 4: doc_tf carries a denormalized dl column (serving
+    # drops the per-doc join — the plan's one corpus-sized shuffle at
+    # scale); 3 added the doc_id range sort (probe pruning) and exact
+    # sum_dl stats — a bump forces older-layout indexes to rebuild
+    fp = {**_documents_fingerprint(sf_dir), "bm25_layout": 4}
     return ensure_published(
         _bm25_index_root(sf_dir),
         fp,
@@ -516,17 +533,54 @@ def ensure_bm25_index(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
+def _bm25_stats_scalars(spark: SparkSession, index_path: str) -> tuple[int, float]:
+    """``(n_docs, avgdl)`` off the 1-row stats artifact — a bounded
+    driver-side readout. Local roots read the parquet footer directly
+    (pyarrow — no Spark job at all); non-local roots fall back to one
+    tiny Spark collect. Folding these scalars into the serving expression
+    as literals removes the per-query stats scan + broadcast cross-join
+    (r09 verdict #4); the stored ``avgdl`` double is read exactly, so the
+    literal plan is bit-identical to the frame plan."""
+    path = f"{index_path}/stats"
+    try:
+        import pyarrow.parquet as papq
+
+        t = papq.read_table(path, columns=["n_docs", "avgdl"])
+        return int(t.column("n_docs")[0].as_py()), float(
+            t.column("avgdl")[0].as_py()
+        )
+    except (ImportError, OSError):
+        row = spark.read.parquet(path).select("n_docs", "avgdl").collect()[0]
+        return int(row["n_docs"]), float(row["avgdl"])
+
+
 def _bm25_serve_from(spark: SparkSession, index_path: str) -> DataFrame:
-    """The serving plan over a stored index root: probe the four parquet
-    tables, never the corpus."""
+    """The serving plan over a stored index root: probe the stored tables,
+    never the corpus. Layout 4 shape: ``doc_tf`` rows carry their doc's
+    ``dl`` (no per-doc join — at 100 TB that join was the plan's one
+    corpus-sized shuffle) and the collection statistics fold in as
+    literals (no stats scan, no cross-join) — the scoring pass reads
+    doc_tf once, probes it once for query terms, and broadcast-joins the
+    vocabulary-sized df table."""
     doc_tf = spark.read.parquet(f"{index_path}/doc_tf")
-    dl = spark.read.parquet(f"{index_path}/dl")
+    if "dl" not in doc_tf.columns:
+        raise ValueError(
+            f"{index_path}/doc_tf: no dl column — index predates bm25_layout"
+            " 4; run a full build (ensure_bm25_index rebuilds on the bump)"
+        )
     df = spark.read.parquet(f"{index_path}/df")
-    stats = spark.read.parquet(f"{index_path}/stats")
+    n_docs, avgdl = _bm25_stats_scalars(spark, index_path)
     qterms = doc_tf.filter(F.col("doc_id") < N_QUERIES).select(
         F.col("doc_id").alias("query_id"), "token"
     )
-    return _bm25_scored_topk(doc_tf, dl, df, stats, qterms)
+    enriched = (
+        doc_tf.join(F.broadcast(qterms), "token")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(df, "token")  # vocabulary-sized: AQE broadcasts, never hinted
+        .withColumn("n_docs", F.lit(n_docs))
+        .withColumn("avgdl", F.lit(avgdl))
+    )
+    return _bm25_rank(enriched)
 
 
 @register(
@@ -602,6 +656,13 @@ def update_bm25_index(
         )
     st = old_stats.collect()[0]
 
+    old_tf = spark.read.parquet(f"{index_path}/doc_tf")
+    if "dl" not in old_tf.columns:
+        raise ValueError(
+            f"{index_path}/doc_tf: no dl column — index predates bm25_layout"
+            " 4; run a full build (ensure_bm25_index rebuilds on the bump)"
+        )
+
     new_tf = _bm25_doc_tf(new_docs).transform(materialize)
     new_dl = (
         new_tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")).transform(materialize)
@@ -611,8 +672,7 @@ def update_bm25_index(
     # Batch-bounded pre-reads of everything the merge will replace — pinned
     # (materialize / collect) BEFORE the upserts rewrite the files they read.
     df_sub = (
-        spark.read.parquet(f"{index_path}/doc_tf")
-        .join(F.broadcast(new_ids), "doc_id", "left_semi")
+        old_tf.join(F.broadcast(new_ids), "doc_id", "left_semi")
         .groupBy("token")
         .agg(F.count("*").alias("sub"))
         .transform(materialize)
@@ -631,7 +691,10 @@ def update_bm25_index(
     with open(pending, "w") as fh:
         fh.write("update in flight — see bm25_index_consistent()\n")
 
-    upsert(spark, f"{index_path}/doc_tf", new_tf, key="doc_id")
+    # layout 4: the merged doc_tf rows carry their doc's dl (batch-bounded
+    # join — a re-ingested doc's rows are replaced wholesale, so the
+    # denormalized column stays exact per doc)
+    upsert(spark, f"{index_path}/doc_tf", new_tf.join(new_dl, "doc_id"), key="doc_id")
     upsert(spark, f"{index_path}/dl", new_dl, key="doc_id")
 
     df_add = new_tf.groupBy("token").agg(F.count("*").alias("add"))
