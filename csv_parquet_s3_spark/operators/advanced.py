@@ -143,18 +143,82 @@ def q_order_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Approximate sketches: engine-specific estimates → rows-only check.
+# Approximate sketches, ε-bound-checked. The raw HLL++/quantile-sketch
+# ESTIMATES are engine-specific (DuckDB's HLL ≠ Spark's), so a value-hash on
+# them can never match an oracle — but their ERROR BOUNDS are portable
+# facts: HLL++ at rsd=0.02 is within a few σ of exact, and percentile_approx
+# at accuracy=10000 has rank error ≤ n/10000. Emitting the EXACT quantities
+# plus booleans asserting the estimates sit inside those bounds turns the
+# registry's last rows-only entry into a hash-checked one (r09 verdict #6):
+# the oracle recomputes the exact quantities and pins every flag TRUE.
 # ---------------------------------------------------------------------------
-@register("q_approx_sketches")  # no oracle: HLL/quantile-sketch estimates differ per engine
+# |estimate/exact − 1| bound for HLL++ at rsd=0.02: 4σ = 8% (observed ≤2.5%
+# across sf0.001/0.01/0.1; a deterministic sketch over fixed data either
+# passes forever or fails loudly at registration time, never flakes).
+HLL_RSD = 0.02
+HLL_REL_BOUND = 4 * HLL_RSD
+# percentile_approx rank error is n/accuracy = 0.01% of the group — the
+# exact 47th..53rd percentile window is ~500× wider than the guarantee.
+PCT_ACCURACY = 10_000
+PCT_WINDOW = (0.47, 0.53)
+
+
+@register(
+    "q_approx_sketches",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(*) AS n_rows,
+           TRUE AS hll_orders_in_bound,
+           TRUE AS hll_parts_in_bound,
+           TRUE AS approx_median_in_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) and percentile_approx at scale-friendly
-    constant memory — the 100 TB substitutes for exact distinct/quantiles."""
+    constant memory — the 100 TB substitutes for exact distinct/quantiles —
+    with their errors pinned against exact ground truth computed in the
+    same pass (the sketch_countmin_user_counts discipline: the exact side
+    exists only to pin the estimator; a 100 TB deployment runs the sketch
+    alone)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
         F.count("*").alias("n_rows"),
+        F.approx_count_distinct("l_orderkey", rsd=HLL_RSD).alias("_hll_o"),
+        F.approx_count_distinct("l_partkey", rsd=HLL_RSD).alias("_hll_p"),
+        F.percentile_approx(
+            "l_extendedprice", 0.5, PCT_ACCURACY
+        ).alias("_amed"),
+        F.expr(
+            f"percentile(CAST(l_extendedprice AS DOUBLE), {PCT_WINDOW[0]})"
+        ).alias("_p_lo"),
+        F.expr(
+            f"percentile(CAST(l_extendedprice AS DOUBLE), {PCT_WINDOW[1]})"
+        ).alias("_p_hi"),
+    )
+
+    def in_bound(est: str, exact: str) -> F.Column:
+        return (
+            F.abs(F.col(est).cast("double") / F.col(exact) - 1.0)
+            <= HLL_REL_BOUND
+        )
+
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        "exact_parts",
+        "n_rows",
+        in_bound("_hll_o", "exact_orders").alias("hll_orders_in_bound"),
+        in_bound("_hll_p", "exact_parts").alias("hll_parts_in_bound"),
+        (
+            (F.col("_amed").cast("double") >= F.col("_p_lo"))
+            & (F.col("_amed").cast("double") <= F.col("_p_hi"))
+        ).alias("approx_median_in_bound"),
     )
 
 

@@ -1,17 +1,14 @@
-"""Property-pin the one permanently rows-only registry entry.
+"""Pin the ε-bound contract of ``q_approx_sketches``.
 
-``q_approx_sketches`` has no DuckDB oracle by design (HLL++/KLL estimates are
-engine-specific), so the driver only checks that it runs. These tests give it
-a falsifiable local contract instead: every estimate must sit within the
-THEORETICAL error bound of the exact value, computed cheaply at test SF.
-
-Bounds used:
-- ``approx_count_distinct(rsd=0.02)``: HLL++ relative standard deviation 2%;
-  we allow 5σ = 10% relative error (the estimator is deterministic for fixed
-  data, so this either always passes or reveals a real regression).
-- ``percentile_approx(0.5, accuracy=10000)``: Greenwald-Khanna style rank
-  error ≤ n/accuracy, so the returned value must lie between the exact
-  quantiles at 0.5 ± 1/10000 (padded to ±0.01 for interpolation slack).
+Since r10 the entry is oracle-checked, not rows-only: it emits the EXACT
+distinct counts / row counts plus booleans asserting the HLL++ and
+percentile_approx estimates sit inside their theoretical error bounds
+(|est/exact − 1| ≤ 4·rsd; median within the exact 47th..53rd percentile
+window, ~500× the accuracy=10000 rank-error guarantee), and the DuckDB
+oracle recomputes the exact side and pins every flag TRUE. These tests
+keep a local falsifiable pin of the same contract (the estimators are
+deterministic for fixed data — a failure is a real regression, never a
+flake) plus the tighter observed-error margin the oracle bound relaxes.
 """
 
 from __future__ import annotations
@@ -22,54 +19,69 @@ from tests.conftest import SF_CORRECTNESS
 
 
 @pytest.fixture(scope="module")
-def sketch_and_exact(spark):
+def sketch_rows(spark):
+    from csv_parquet_s3_spark.operators.advanced import q_approx_sketches
+
+    return {
+        r["l_returnflag"]: r.asDict()
+        for r in q_approx_sketches(spark, SF_CORRECTNESS).collect()
+    }
+
+
+def test_all_bound_flags_true(sketch_rows):
+    assert sketch_rows, "no groups returned"
+    for flag, row in sketch_rows.items():
+        for col in (
+            "hll_orders_in_bound",
+            "hll_parts_in_bound",
+            "approx_median_in_bound",
+        ):
+            assert row[col] is True, f"{col}[{flag}] is {row[col]}"
+
+
+def test_exact_side_matches_independent_aggregation(spark, sketch_rows):
     from pyspark.sql import functions as F
 
-    from csv_parquet_s3_spark.operators.advanced import q_approx_sketches
     from csv_parquet_s3_spark.sources.tables import load_table
 
-    approx = {r["l_returnflag"]: r.asDict() for r in q_approx_sketches(spark, SF_CORRECTNESS).collect()}
     li = load_table(spark, SF_CORRECTNESS, "lineitem")
     exact = {
         r["l_returnflag"]: r.asDict()
         for r in li.groupBy("l_returnflag")
         .agg(
-            F.countDistinct("l_orderkey").alias("orders"),
-            F.countDistinct("l_partkey").alias("parts"),
-            F.expr("percentile(l_extendedprice, 0.49)").alias("p49"),
-            F.expr("percentile(l_extendedprice, 0.51)").alias("p51"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
             F.count("*").alias("n_rows"),
         )
         .collect()
     }
-    assert set(approx) == set(exact)
-    return approx, exact
-
-
-def test_hll_distinct_within_5_sigma(sketch_and_exact):
-    approx, exact = sketch_and_exact
+    assert set(sketch_rows) == set(exact)
     for flag in exact:
-        for a_col, e_col in (("approx_orders", "orders"), ("approx_parts", "parts")):
-            est, true = approx[flag][a_col], exact[flag][e_col]
-            assert abs(est - true) <= max(0.10 * true, 5), (
-                f"{a_col}[{flag}]: HLL estimate {est} vs exact {true} "
-                f"exceeds 5x the configured 2% rsd"
-            )
+        for col in ("exact_orders", "exact_parts", "n_rows"):
+            assert sketch_rows[flag][col] == exact[flag][col], f"{col}[{flag}]"
 
 
-def test_approx_median_within_rank_error(sketch_and_exact):
-    approx, exact = sketch_and_exact
-    for flag in exact:
-        est = approx[flag]["approx_median_price"]
-        lo, hi = exact[flag]["p49"], exact[flag]["p51"]
-        assert lo <= est <= hi, (
-            f"approx_median_price[{flag}]={est} outside exact [p49, p51] = "
-            f"[{lo}, {hi}] — beyond the accuracy=10000 rank-error guarantee"
+def test_hll_observed_error_well_inside_bound(spark):
+    """The committed 4σ oracle bound must carry real margin: the observed
+    relative error at test SF stays under 2σ (= the rsd's nominal 95%
+    band), so the TRUE flags aren't sitting on the edge of the bound."""
+    from pyspark.sql import functions as F
+
+    from csv_parquet_s3_spark.operators.advanced import HLL_RSD
+    from csv_parquet_s3_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_CORRECTNESS, "lineitem")
+    rows = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("exact"),
+            F.approx_count_distinct("l_orderkey", rsd=HLL_RSD).alias("est"),
         )
-
-
-def test_exact_row_counts_pass_through(sketch_and_exact):
-    """n_rows is not an estimate — it must match exactly."""
-    approx, exact = sketch_and_exact
-    for flag in exact:
-        assert approx[flag]["n_rows"] == exact[flag]["n_rows"]
+        .collect()
+    )
+    for r in rows:
+        rel = abs(r["est"] / r["exact"] - 1.0)
+        assert rel <= 2 * HLL_RSD, (
+            f"HLL error {rel:.4f} for {r['l_returnflag']} exceeds 2σ — "
+            "the 4σ oracle bound is losing its margin"
+        )

@@ -33,19 +33,22 @@ def test_queries_order_puts_priority_first_and_loses_nothing():
     assert len(q) == len(QUERIES)
 
 
-def test_priority_entries_are_oracle_backed_where_possible():
-    """Window slots are scarce: every priority entry except the documented
-    rows-only ones must carry an oracle (hash check, not rows-only)."""
+def test_priority_entries_are_oracle_backed():
+    """Window slots are scarce: every priority entry must carry an oracle
+    (hash check, not rows-only). Since r10 this is the WHOLE registry —
+    the last rows-only entry (q_approx_sketches) emits exact quantities
+    plus ε-bound booleans the oracle pins TRUE."""
     m = _entry_module()
     oracles = m.oracle_sql()
-    # q_approx_sketches is inherently rows-only (engine-specific HLL/quantile
-    # estimates have no DuckDB-replayable oracle); its estimates are instead
-    # property-pinned within theoretical error bounds in tests/.
-    rows_only_by_design = {"q_approx_sketches"}
-    missing = [
-        n for n in m.VERIFY_PRIORITY if n not in oracles and n not in rows_only_by_design
-    ]
+    missing = [n for n in m.VERIFY_PRIORITY if n not in oracles]
     assert missing == []
+
+
+def test_registry_fully_oracle_backed():
+    """Zero rows-only entries anywhere — every registered query gets the
+    strong driver check (row count + schema + value hash)."""
+    m = _entry_module()
+    assert set(m.queries()) == set(m.oracle_sql())
 
 
 def test_rotation_tool_prioritizes_unverified_queries():
