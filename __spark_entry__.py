@@ -42,74 +42,79 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-robin verification window (see PARITY.md "Driver verification
 # rotation"): the driver's correctness check covers the FIRST 50 entries of
 # queries(), so each round the entries most in need of a fresh signal are
-# listed first. The r09 window = tools/rotate_window.py output against
-# CORRECTNESS_r01..r08 with the r08-verdict-ordered insertions:
-# (0a) the FIVE r08 closing-wave registrations that landed after the r08
-#      window filled (never driver-checked; locally 3-SF hash-green);
-# (0b) the THREE r03-stale greens the r08 verdict-demanded registrations
-#      displaced (rotation fronts them too);
-# (0c) FOUR re-pins for the stored-index serving entries whose PLANS
-#      changed in the r08 closing wave after that window was locked —
-#      and changed again in r09 (format-4 directory-per-list layout +
-#      collect-free DPP serving), so these slots earn their keep twice;
-# then the rows-only sketches and the stalest greens from the rotation
-# output verbatim, trimmed to the 50-slot window (the four entries the
-# 0c re-pins displace move to the r10 queue).
+# listed first. The r10 window = tools/rotate_window.py output against
+# CORRECTNESS_r01..r09 with the r09-verdict-ordered insertions:
+# (0a) FIVE re-pins for the BM25 stored-index entries whose artifacts and
+#      plans changed in r10 (bm25_layout 4: dl denormalized onto doc_tf,
+#      stats folded to literals — locally 3-SF hash-green on the new
+#      layout, but the slots must re-earn the driver row);
+# (0b) q_approx_sketches — converted this round from the registry's last
+#      rows-only entry to an ε-bound-checked one (exact quantities +
+#      in-bound booleans; oracle pins the flags TRUE): first hash row;
+# (0c) the FOUR sim entries the r09 re-pins displaced (the r09-verdict
+#      queue head, r04-stale);
+# (0d) the remaining ≤r04 tail from the rotation output;
+# then the rotation's r05 greens, trimmed to the 50-slot window (the five
+# entries the 0a/0b insertions displace move to the r11 queue:
+# q_table_profile_orders, q_orders_quality_rules,
+# stream_events_sliding_rollup, stream_scd1_upsert_priority,
+# stream_events_content_digest — recorded in NOTES/PARITY).
 VERIFY_PRIORITY: list[str] = [
-    # tier 0a: r08 closing-wave registrations (never driver-checked)
-    "sim_cosine_topk_ivf_incremental",
-    "sim_cosine_topk_ivf_after_delete",
-    "stream_ivf_index_maintenance",
-    "q_snapshot_diff_orders",
-    "graph_label_propagation",
-    # tier 0b: the three stale greens displaced by r08's registrations
-    "text_repetition_ratio",
-    "text_benchmark_contamination",
-    "pii_redact_customers",
-    # tier 0c: layout-v3 serving re-pins (plans changed post-window in r08)
-    "sim_cosine_topk_ivf_pq_from_index",
-    "sim_cosine_topk_ivf_sq8_from_index",
-    "sim_cosine_topk_ivf_pq_refine",
-    "sim_cosine_topk_ivf_trained",
-    # rotation output: rows-only sketches, then stalest greens (r04 tail)
+    # tier 0a: bm25_layout-4 re-pins (plans + stored artifacts changed r10)
+    "retrieval_bm25_from_index",
+    "retrieval_bm25_after_delete",
+    "retrieval_bm25_incremental",
+    "retrieval_bm25_compacted",
+    "stream_bm25_index_maintenance",
+    # tier 0b: rows-only → ε-bound oracle conversion (first hash row)
     "q_approx_sketches",
-    "text_bpe_token_stats",
-    "dedup_canonical_docs",
-    "q_events_user_ewma",
-    "dedup_minhash_incremental",
-    "mm_byte_histogram_features",
-    "q_events_sessionize",
-    "q_events_user_daily_activity",
-    "q_events_funnel",
-    "q_left_join_customer_order_counts",
-    "q_full_outer_nation_presence",
-    "q_window_lead_ntile",
-    "q_events_json_extract",
-    "pack_documents_greedy",
-    "pack_documents_efficiency",
-    "pack_documents_consolidated",
-    "split_documents_train_test",
-    "sample_documents_stratified",
-    "sample_documents_quality_weighted",
-    "rebalance_documents_by_lang",
-    "emb_random_projection",
-    "q_events_trailing_hour",
-    "q_unpivot_lineitem_metrics",
-    "q_null_safe_join",
-    "q_window_value_functions",
-    "q_string_agg_statuses",
-    "q_events_hourly_gapfill",
-    "q_events_weekly_retention",
-    "q_order_value_histogram",
-    "q_revenue_month_over_month",
-    "q_supplier_balance_zscore",
-    "q_priority_share_of_total",
-    "q_part_size_price_correlation",
-    "q_events_dau_wau_stickiness",
-    "q_customer_reorder_gaps",
-    "q_user_journey_paths",
-    "q_supplier_balance_mad",
-    "q_events_error_spikes",
+    # tier 0c: the r09-displaced sim entries (r04-stale, r09-verdict head)
+    "sim_cosine_topk_bruteforce",
+    "sim_cosine_topk_ivf_label",
+    "sim_cosine_topk_ivf_probe",
+    "sim_cosine_topk_ivf_pq_residual",
+    # tier 0d: the rest of the ≤r04 tail (rotation order)
+    "sim_cosine_topk_sq8",
+    "sim_cosine_topk_ivf_sq8",
+    "stream_events_hourly_rollup",
+    "stream_events_session_windows",
+    "stream_click_purchase_attribution",
+    "stream_user_lifetime_totals",
+    "text_unigram_perplexity",
+    # rotation output: the stalest r05 greens, registry order
+    "sketch_countmin_user_counts",
+    "q_open_orders_daily",
+    "q_table_content_digest",
+    "q_fk_orphan_audit",
+    "q_segment_user_bitmap_distinct",
+    "q_segment_bitmap_overlap",
+    "dedup_sorted_neighborhood_pairs",
+    "dedup_containment_pairs",
+    "dedup_prefix_filter_pairs",
+    "dedup_normalized_exact",
+    "graph_triangle_count",
+    "graph_common_neighbors",
+    "layout_zorder_zonemap",
+    "dedup_minhash_pairs_from_index",
+    "mm_wave_window_features",
+    "mm_payload_ahash",
+    "dedup_modality_agreement",
+    "batch_by_length_buckets",
+    "split_leakage_safe",
+    "cap_documents_per_source",
+    "sample_documents_weighted_noreplace",
+    "pipeline_corpus_training_set",
+    "pipeline_customer_feature_snapshot",
+    "sim_srp_hamming_topk",
+    "q_user_value_trend",
+    "q_join_key_skew_profile",
+    "q_incremental_hourly_rollup",
+    "q_events_value_winsorized",
+    "q_events_transition_matrix",
+    "q_events_cumulative_unique_users",
+    "emb_vector_qa_stats",
+    "emb_hard_negatives",
+    "scd2_point_in_time_join",
 ]
 
 

@@ -57,7 +57,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _drain(
     spark: SparkSession,
     df: DataFrame,
-    timeout_s: int = 180,
+    timeout_s: int = 420,
     mode: str = "complete",
     expect_input_batches: int | None = None,
 ) -> DataFrame:
@@ -282,7 +282,7 @@ def stream_bm25_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
             .parquet(staging)
         )
         q = stream_update_bm25_index(stream, idx, ckpt)
-        assert q.awaitTermination(180), "index-maintenance stream did not finish"
+        assert q.awaitTermination(420), "index-maintenance stream did not finish"
         n_batches = sum(1 for pr in q.recentProgress if pr["numInputRows"] > 0)
         if n_batches != 2:
             raise RuntimeError(
@@ -368,7 +368,7 @@ def stream_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(staging)
         )
         q = stream_update_ivf_index(stream, idx, ckpt)
-        assert q.awaitTermination(180), "index-maintenance stream did not finish"
+        assert q.awaitTermination(420), "index-maintenance stream did not finish"
         n_batches = sum(1 for pr in q.recentProgress if pr["numInputRows"] > 0)
         if n_batches != 2:
             raise RuntimeError(
@@ -818,7 +818,7 @@ def stream_scd1_upsert_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(180), "streaming upsert did not finish"
+    assert q.awaitTermination(420), "streaming upsert did not finish"
     return spark.read.parquet(target).select(
         "o_custkey",
         F.col("o_orderpriority").alias("current_priority"),
