@@ -54,18 +54,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # (0c) the FOUR sim entries the r09 re-pins displaced (the r09-verdict
 #      queue head, r04-stale);
 # (0d) the remaining ≤r04 tail from the rotation output;
-# then the rotation's r05 greens, trimmed to the 50-slot window (the five
+# then the rotation's r05 greens, trimmed to the 50-slot window (the six
 # entries the 0a/0b insertions displace move to the r11 queue:
 # q_table_profile_orders, q_orders_quality_rules,
 # stream_events_sliding_rollup, stream_scd1_upsert_priority,
-# stream_events_content_digest — recorded in NOTES/PARITY).
+# stream_events_content_digest, scd2_point_in_time_join — recorded in
+# NOTES/PARITY).
 VERIFY_PRIORITY: list[str] = [
-    # tier 0a: bm25_layout-4 re-pins (plans + stored artifacts changed r10)
+    # tier 0a: re-pins for entries whose stored artifacts/plans changed in
+    # r10 (bm25_layout 4: dl denormalized + literal stats; ANN format 5:
+    # wide sq8_codes + map-side array-fold serving)
     "retrieval_bm25_from_index",
     "retrieval_bm25_after_delete",
     "retrieval_bm25_incremental",
     "retrieval_bm25_compacted",
     "stream_bm25_index_maintenance",
+    "sim_cosine_topk_ivf_sq8_from_index",
     # tier 0b: rows-only → ε-bound oracle conversion (first hash row)
     "q_approx_sketches",
     # tier 0c: the r09-displaced sim entries (r04-stale, r09-verdict head)
@@ -114,7 +118,6 @@ VERIFY_PRIORITY: list[str] = [
     "q_events_cumulative_unique_users",
     "emb_vector_qa_stats",
     "emb_hard_negatives",
-    "scd2_point_in_time_join",
 ]
 
 

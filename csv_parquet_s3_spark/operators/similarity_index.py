@@ -1421,7 +1421,9 @@ def _embeddings_fingerprint(sf_dir: str) -> dict:
     # new datasets (e.g. the sq8_* additions), so an index from an older
     # build rebuilds instead of failing on a missing artifact.
     # format 4: hive-partitioned (directory-per-list) inverted-list layout
-    return {"path": p, "size": st.st_size, "mtime_ns": st.st_mtime_ns, "format": 4}
+    # format 5: sq8_codes stored WIDE (one array<int> row per vector, dim
+    #           order) instead of one row per (vector, dimension)
+    return {"path": p, "size": st.st_size, "mtime_ns": st.st_mtime_ns, "format": 5}
 
 
 def build_ivf_pq_index(spark: SparkSession, emb: DataFrame, index_path: str) -> None:
@@ -1465,13 +1467,18 @@ def build_ivf_pq_index(spark: SparkSession, emb: DataFrame, index_path: str) -> 
         pq_encode(emb, books_s).join(assign_s, "vec_id"), k, f"{index_path}/codes"
     )
     # SQ8 artifacts share the root (and the coarse quantizer): per-dimension
-    # corpus range + 1-byte-per-dim codes — the other compressed serving path.
+    # corpus range + 1-byte-per-dim codes — the other compressed serving
+    # path. Since format 5 the codes are stored WIDE (one array<int> row per
+    # vector, dimension order): a d-dim corpus is |corpus| index rows, not
+    # |corpus|·d — at 100 TB that is d× fewer rows shuffled/joined at serve
+    # time and the per-dimension scoring join disappears into a map-side
+    # array fold (`_sq8_rank_wide`).
     x = _unit_long(emb)
     stats = sq8_stats(x)
     stats.write.mode("overwrite").parquet(f"{index_path}/sq8_stats")
-    stats_s = spark.read.parquet(f"{index_path}/sq8_stats")
+    mn, mx = _sq8_stats_vectors(spark, index_path)
     _write_list_clustered(
-        _sq8_encode(x, stats_s).join(assign_s, "vec_id"),
+        _sq8_encode_wide(_unit(emb), mn, mx).join(assign_s, "vec_id"),
         k,
         f"{index_path}/sq8_codes",
     )
@@ -1573,27 +1580,112 @@ def sim_cosine_topk_ivf_pq_from_index(spark: SparkSession, sf_dir: str) -> DataF
     return ivf_pq_topk_from_index(spark, queries, root)
 
 
+def _sq8_stats_vectors(
+    spark: SparkSession, index_path: str
+) -> tuple[list[float], list[float]]:
+    """``(mn, mx)`` per-dimension range off the stored ``sq8_stats`` table,
+    dim order — a bounded DIMENSION-sized driver readout (64 rows here,
+    thousands at most in production; the bm25 `_bm25_stats_scalars`
+    discipline). pyarrow reads the footer directly when local (no Spark
+    job); non-local roots fall back to one tiny collect."""
+    path = f"{index_path}/sq8_stats"
+    try:
+        import pyarrow.parquet as papq
+
+        t = papq.read_table(path, columns=["dim", "mn", "mx"]).to_pydict()
+        order = sorted(range(len(t["dim"])), key=lambda i: t["dim"][i])
+        return [t["mn"][i] for i in order], [t["mx"][i] for i in order]
+    except (ImportError, OSError):
+        rows = spark.read.parquet(path).orderBy("dim").collect()
+        return [r["mn"] for r in rows], [r["mx"] for r in rows]
+
+
+def _with_range_arrays(df: DataFrame, mn: list[float], mx: list[float]) -> DataFrame:
+    """Attach the per-dimension range as array literals (read exactly off
+    the stored doubles, so literal plans stay bit-identical to joins
+    against the stats table)."""
+    return df.withColumn(
+        "mn_arr", F.array(*[F.lit(float(v)) for v in mn])
+    ).withColumn("mx_arr", F.array(*[F.lit(float(v)) for v in mx]))
+
+
+# SQL fragments over (codes, qv, mn_arr, mx_arr) columns — the WIDE form of
+# exactly the arithmetic `_sq8_encode`/`_sq8_decode`/`_sq8_rank` apply per
+# (vector, dimension) row: identical IEEE ops per element, per-dimension
+# terms rounded to 9 then summed as exact DECIMAL (order cannot matter), so
+# wide ≡ long bit-for-bit and the same oracle hash-checks both.
+_SQ8_XHAT = (
+    "(element_at(mn_arr, i + 1) + CAST(c AS DOUBLE) / {lv}"
+    " * (element_at(mx_arr, i + 1) - element_at(mn_arr, i + 1)))"
+).format(lv=SQ_LEVELS)
+_SQ8_DIST_WIDE = f"""
+    CAST(ROUND(CAST(aggregate(
+        transform(codes, (c, i) ->
+            CAST(round((element_at(qv, i + 1) - {_SQ8_XHAT})
+                       * (element_at(qv, i + 1) - {_SQ8_XHAT}), 9)
+                 AS DECIMAL(20, 9))),
+        CAST(0 AS DECIMAL(30, 9)),
+        (acc, t) -> CAST(acc + t AS DECIMAL(30, 9))) AS DOUBLE), 6)
+    AS DOUBLE)
+"""
+
+
+def _sq8_encode_wide(
+    unit: DataFrame, mn: list[float], mx: list[float]
+) -> DataFrame:
+    """(vec_id, codes): one array<int> row per unit vector — element i is
+    `_sq8_encode`'s code for dimension i (flat-range dims encode 0)."""
+    return _with_range_arrays(unit, mn, mx).select(
+        "vec_id",
+        F.expr(
+            f"""transform(vd, (x, i) ->
+                CASE WHEN element_at(mx_arr, i + 1) = element_at(mn_arr, i + 1)
+                     THEN 0
+                     ELSE CAST(round((x - element_at(mn_arr, i + 1))
+                               / (element_at(mx_arr, i + 1)
+                                  - element_at(mn_arr, i + 1))
+                               * {SQ_LEVELS}, 0) AS INT)
+                END)"""
+        ).alias("codes"),
+    )
+
+
 def sq8_topk_from_index(
     spark: SparkSession,
     queries: DataFrame,
     index_path: str,
     nprobe: int = N_PROBE,
 ) -> DataFrame:
-    """SQ8 serving from the STORED index: decode the probed lists' stored
-    byte codes against the stored per-dimension range and rank with the
-    shared ADC tail — no range re-computation, no corpus re-encoding."""
-    stats = spark.read.parquet(f"{index_path}/sq8_stats")
+    """SQ8 serving from the STORED index — the format-5 WIDE shape: the
+    probed lists' code ARRAYS join the bounded candidate set and the
+    broadcast query vectors, then decode + squared-L2 happen in ONE
+    map-side array fold per (query, candidate) pair. Versus the long
+    form, the per-dimension scoring join and its (query, cand, dim)
+    shuffle are gone entirely: the only shuffle left is the final
+    per-query top-k window, and the index holds |corpus| rows, not
+    |corpus|·d. The stored range folds in as array literals (bounded
+    dimension-sized readout, no stats scan per query)."""
+    mn, mx = _sq8_stats_vectors(spark, index_path)
     candidates, probes = _stored_coarse_candidates(spark, queries, index_path, nprobe)
     codes = _restrict_to_probed(
         _read_lists(spark, f"{index_path}/sq8_codes"), probes
     ).drop("list_id")
-    decoded = _sq8_decode(codes, stats).join(
-        candidates.withColumnRenamed("vec_id", "cand_id"), "cand_id"
+    q = _unit(queries).select(
+        F.col("vec_id").alias("query_id"), F.col("vd").alias("qv")
     )
-    q = _unit_long(queries).select(
-        F.col("vec_id").alias("query_id"), "dim", F.col("xv").alias("qv")
+    paired = (
+        codes.withColumnRenamed("vec_id", "cand_id")
+        .join(candidates.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+        .join(F.broadcast(q), "query_id")
+        .filter(F.col("cand_id") != F.col("query_id"))
     )
-    return _sq8_rank(decoded, q, restricted=True)
+    scored = _with_range_arrays(paired, mn, mx).select(
+        "query_id", "cand_id", F.expr(_SQ8_DIST_WIDE).alias("approx_dist")
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("cand_id"))
+    return scored.select("*", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= TOP_K
+    )
 
 
 # ---------------------------------------------------------------------------
