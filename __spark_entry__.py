@@ -42,82 +42,68 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-robin verification window (see PARITY.md "Driver verification
 # rotation"): the driver's correctness check covers the FIRST 50 entries of
 # queries(), so each round the entries most in need of a fresh signal are
-# listed first. The r10 window = tools/rotate_window.py output against
-# CORRECTNESS_r01..r09 with the r09-verdict-ordered insertions:
-# (0a) FIVE re-pins for the BM25 stored-index entries whose artifacts and
-#      plans changed in r10 (bm25_layout 4: dl denormalized onto doc_tf,
-#      stats folded to literals — locally 3-SF hash-green on the new
-#      layout, but the slots must re-earn the driver row);
-# (0b) q_approx_sketches — converted this round from the registry's last
-#      rows-only entry to an ε-bound-checked one (exact quantities +
-#      in-bound booleans; oracle pins the flags TRUE): first hash row;
-# (0c) the FOUR sim entries the r09 re-pins displaced (the r09-verdict
-#      queue head, r04-stale);
-# (0d) the remaining ≤r04 tail from the rotation output;
-# then the rotation's r05 greens, trimmed to the 50-slot window (the six
-# entries the 0a/0b insertions displace move to the r11 queue:
-# q_table_profile_orders, q_orders_quality_rules,
-# stream_events_sliding_rollup, stream_scd1_upsert_priority,
-# stream_events_content_digest, scd2_point_in_time_join — recorded in
-# NOTES/PARITY).
+# listed first. After the r10 window (50/50 hash-green, registry 236/236
+# oracle-backed, no entry staler than r05) the r11 window is the PLAIN
+# rotation output — no re-pins needed (no stored layout changed this
+# round) and no insertions: exactly the queue the r10 verdict recorded.
 VERIFY_PRIORITY: list[str] = [
-    # tier 0a: re-pins for entries whose stored artifacts/plans changed in
-    # r10 (bm25_layout 4: dl denormalized + literal stats; ANN format 5:
-    # wide sq8_codes + map-side array-fold serving)
-    "retrieval_bm25_from_index",
-    "retrieval_bm25_after_delete",
-    "retrieval_bm25_incremental",
-    "retrieval_bm25_compacted",
-    "stream_bm25_index_maintenance",
-    "sim_cosine_topk_ivf_sq8_from_index",
-    # tier 0b: rows-only → ε-bound oracle conversion (first hash row)
-    "q_approx_sketches",
-    # tier 0c: the r09-displaced sim entries (r04-stale, r09-verdict head)
-    "sim_cosine_topk_bruteforce",
-    "sim_cosine_topk_ivf_label",
-    "sim_cosine_topk_ivf_probe",
-    "sim_cosine_topk_ivf_pq_residual",
-    # tier 0d: the rest of the ≤r04 tail (rotation order)
-    "sim_cosine_topk_sq8",
-    "sim_cosine_topk_ivf_sq8",
-    "stream_events_hourly_rollup",
-    "stream_events_session_windows",
-    "stream_click_purchase_attribution",
-    "stream_user_lifetime_totals",
-    "text_unigram_perplexity",
-    # rotation output: the stalest r05 greens, registry order
-    "sketch_countmin_user_counts",
-    "q_open_orders_daily",
-    "q_table_content_digest",
-    "q_fk_orphan_audit",
-    "q_segment_user_bitmap_distinct",
-    "q_segment_bitmap_overlap",
-    "dedup_sorted_neighborhood_pairs",
-    "dedup_containment_pairs",
-    "dedup_prefix_filter_pairs",
-    "dedup_normalized_exact",
-    "graph_triangle_count",
-    "graph_common_neighbors",
-    "layout_zorder_zonemap",
-    "dedup_minhash_pairs_from_index",
-    "mm_wave_window_features",
-    "mm_payload_ahash",
-    "dedup_modality_agreement",
-    "batch_by_length_buckets",
-    "split_leakage_safe",
-    "cap_documents_per_source",
-    "sample_documents_weighted_noreplace",
-    "pipeline_corpus_training_set",
-    "pipeline_customer_feature_snapshot",
-    "sim_srp_hamming_topk",
-    "q_user_value_trend",
-    "q_join_key_skew_profile",
-    "q_incremental_hourly_rollup",
-    "q_events_value_winsorized",
-    "q_events_transition_matrix",
-    "q_events_cumulative_unique_users",
-    "emb_vector_qa_stats",
-    "emb_hard_negatives",
+    # r11 window: verbatim tools/rotate_window.py output against
+    # CORRECTNESS_r10 (r10 verdict #2) — queue head is the six entries
+    # the r10 tier-0a/0b insertions displaced (q_table_profile_orders,
+    # q_orders_quality_rules, stream_events_sliding_rollup,
+    # stream_scd1_upsert_priority, stream_events_content_digest,
+    # scd2_point_in_time_join), then the 12-entry r05-stale tail, then
+    # the stalest r06 greens in rotation order
+    "scd2_point_in_time_join",
+    "q_table_profile_orders",
+    "q_orders_quality_rules",
+    "stream_events_sliding_rollup",
+    "stream_scd1_upsert_priority",
+    "stream_events_content_digest",
+    "stream_segment_bitmap_distinct",
+    "text_quality_percentile_by_lang",
+    "text_winnowing_fingerprints",
+    "dedup_winnowing_pairs",
+    "text_gopher_quality_flags",
+    "text_bigram_pmi",
+    "dedup_exact_substring_spans",
+    "dedup_bloom_blocklist",
+    "dedup_eval_lsh_quality",
+    "q_bloom_semijoin_pruning",
+    "graph_pagerank_nation_trade",
+    "graph_kcore_docs",
+    "q_events_user_holt",
+    "mm_payload_entropy",
+    "q_salted_brand_revenue",
+    "curriculum_length_shards",
+    "sample_documents_temperature",
+    "split_documents_kfold",
+    "pipeline_user_rolling_features",
+    "q_kanonymity_quasi_id",
+    "q_dp_noisy_counts_by_nation",
+    "emb_top_principal_component",
+    "emb_remove_top_component",
+    "q_multitouch_attribution",
+    "q_user_activity_streaks",
+    "q_item_cf_neighbors",
+    "sim_label_centroid_distance",
+    "sim_cosine_topk_vectorized",
+    "sim_eval_recall_ivf_probe",
+    "scd2_customer_priority_history",
+    "scd1_current_customer_priority",
+    "q_hll_distinct_users",
+    "q_events_autocorrelation",
+    "q_events_dow_seasonality",
+    "q_chi_square_lang_source",
+    "q_mutual_information_lang_source",
+    "q_orders_benford_digits",
+    "q_ab_welch_t",
+    "q_revenue_bootstrap_ci",
+    "q_survival_reorder_km",
+    "stream_events_dedup_first_seen",
+    "stream_segment_hourly_rollup",
+    "stream_events_hll_distinct",
+    "text_langid_confusion",
 ]
 
 

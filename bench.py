@@ -20,7 +20,19 @@ session; ``BENCH_DETAIL.json`` commits anchor-normalized pass2/pass1
 ``soak_ratio`` per query (flat ≈ 1.0 proves no session-state
 accumulation — the r09 driver artifact's monotonic per-rep growth is the
 failure this detects). ``tests/test_bench_policy.py`` gates the committed
-ratios. Raw per-rep runs, per-query spread,
+ratios.
+
+THE COMPARISON STATISTIC (r10 verdict #1): rounds compare on the
+SOAK-PASS warm medians normalized by the soak-adjacent scan anchor
+(``queries_soak[q] / anchor_soak``), not on pass-1 medians. Five r10-era
+runs of identical code spanned 17.5→66 s on pass-1 totals while their
+soak passes converged on one level — pass 1 starts cold into whatever
+throughput window the host is in, the soak pass runs after ~10 min of
+in-session thermalization and is empirically the stable statistic. The
+stdout headline carries BOTH: ``value``/``queries`` stay pass-1 (so the
+r01–r10 series keeps its meaning and the soak_ratio stays interpretable),
+``soak_total``/``queries_soak``/``anchor_soak`` are the numbers
+NOTES/verdict comparisons must use, and ``compare_on`` names them. Raw per-rep runs, per-query spread,
 and the bucketed-layout second pass go to ``BENCH_DETAIL.json`` beside this
 script (committed per round) — NOT into the stdout line: the r05 stdout JSON
 carried 21 queries x 3 runs plus the bucketed section and overflowed the
@@ -300,6 +312,13 @@ def main() -> None:
         "queries_soak": soak_medians,
         "soak_reps": soak_reps,
         "soak_ratio": soak_ratio,
+        "anchor_soak": round(anchor_soak, 4),
+        "soak_total": round(sum(soak_medians.values()), 4),
+        # Which statistic round-over-round comparisons use (r10 verdict #1):
+        # pass-1 medians span ×4 across host windows on identical code; the
+        # soak pass (same session, ~10 min warm) converges. Normalize by
+        # anchor_soak, never compare raw seconds.
+        "compare_on": "queries_soak / anchor_soak",
     }
     with open(os.path.join(REPO_DIR, "BENCH_DETAIL.json"), "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
@@ -331,6 +350,13 @@ def main() -> None:
                 "bucketed_total": detail["bucketed_total"],
                 "calib": calib,
                 "soak_geomean": soak_geomean,
+                # the statistic rounds compare on (r10 verdict #1) — the
+                # same-session warm pass; pass-1 "queries"/"value" are kept
+                # for the soak_ratio and the r01-r10 series
+                "queries_soak": soak_medians,
+                "soak_total": detail["soak_total"],
+                "anchor_soak": detail["anchor_soak"],
+                "compare_on": detail["compare_on"],
                 "sf": sf,
             }
         ),

@@ -194,8 +194,12 @@ def ensure_published(
             match = False
         if match:
             cur_name, prev_name = _read_pointer(root)
-            keep = {cur_name} | ({prev_name} if prev_name else set())
-            _vacuum_root(root, keep)
+            # cur_name can be None if the pointer vanished between
+            # resolve_published and this re-read; vacuuming with keep={None}
+            # would reap EVERY version including the active one (r10
+            # advisory) — skip the fast-path vacuum in that window.
+            if cur_name:
+                _vacuum_root(root, {cur_name} | ({prev_name} if prev_name else set()))
             return cur
     os.makedirs(root, exist_ok=True)
     staged = os.path.join(root, f"v-{uuid.uuid4().hex}")

@@ -542,16 +542,21 @@ def _bm25_stats_scalars(spark: SparkSession, index_path: str) -> tuple[int, floa
     (r09 verdict #4); the stored ``avgdl`` double is read exactly, so the
     literal plan is bit-identical to the frame plan."""
     path = f"{index_path}/stats"
-    try:
-        import pyarrow.parquet as papq
+    # pyarrow only for plain local paths: an s3a://... root raises
+    # ArrowInvalid (a ValueError), not OSError, so gating beats guessing
+    # the exception taxonomy (r10 advisory); ValueError stays caught too.
+    if "://" not in path or path.startswith("file:"):
+        try:
+            import pyarrow.parquet as papq
 
-        t = papq.read_table(path, columns=["n_docs", "avgdl"])
-        return int(t.column("n_docs")[0].as_py()), float(
-            t.column("avgdl")[0].as_py()
-        )
-    except (ImportError, OSError):
-        row = spark.read.parquet(path).select("n_docs", "avgdl").collect()[0]
-        return int(row["n_docs"]), float(row["avgdl"])
+            t = papq.read_table(path, columns=["n_docs", "avgdl"])
+            return int(t.column("n_docs")[0].as_py()), float(
+                t.column("avgdl")[0].as_py()
+            )
+        except (ImportError, OSError, ValueError):
+            pass
+    row = spark.read.parquet(path).select("n_docs", "avgdl").collect()[0]
+    return int(row["n_docs"]), float(row["avgdl"])
 
 
 def _bm25_serve_from(spark: SparkSession, index_path: str) -> DataFrame:

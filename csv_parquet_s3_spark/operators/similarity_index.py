@@ -1589,15 +1589,20 @@ def _sq8_stats_vectors(
     discipline). pyarrow reads the footer directly when local (no Spark
     job); non-local roots fall back to one tiny collect."""
     path = f"{index_path}/sq8_stats"
-    try:
-        import pyarrow.parquet as papq
+    # pyarrow only for plain local paths: an s3a://... root raises
+    # ArrowInvalid (a ValueError), not OSError, so gating beats guessing
+    # the exception taxonomy (r10 advisory); ValueError stays caught too.
+    if "://" not in path or path.startswith("file:"):
+        try:
+            import pyarrow.parquet as papq
 
-        t = papq.read_table(path, columns=["dim", "mn", "mx"]).to_pydict()
-        order = sorted(range(len(t["dim"])), key=lambda i: t["dim"][i])
-        return [t["mn"][i] for i in order], [t["mx"][i] for i in order]
-    except (ImportError, OSError):
-        rows = spark.read.parquet(path).orderBy("dim").collect()
-        return [r["mn"] for r in rows], [r["mx"] for r in rows]
+            t = papq.read_table(path, columns=["dim", "mn", "mx"]).to_pydict()
+            order = sorted(range(len(t["dim"])), key=lambda i: t["dim"][i])
+            return [t["mn"][i] for i in order], [t["mx"][i] for i in order]
+        except (ImportError, OSError, ValueError):
+            pass
+    rows = spark.read.parquet(path).orderBy("dim").collect()
+    return [r["mn"] for r in rows], [r["mx"] for r in rows]
 
 
 def _with_range_arrays(df: DataFrame, mn: list[float], mx: list[float]) -> DataFrame:

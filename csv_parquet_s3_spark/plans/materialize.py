@@ -29,7 +29,9 @@ it without re-importing the package.
 from __future__ import annotations
 
 import contextlib
+import itertools
 import os
+import threading
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -81,17 +83,31 @@ def materialize(df: DataFrame) -> DataFrame:
         from csv_parquet_s3_spark.plans.explain import analyze
 
         _RECORDER.append(analyze(df))
+    if mode == "none":
+        return df
+    # Invocation-scoped pin tracking (r10 advisory): only snapshot/diff the
+    # JVM registry when a released_after bracket is open on THIS thread —
+    # the unbracketed path pays nothing.
+    track = bool(getattr(_TLS, "stack", None))
+    before = persistent_rdd_ids(df.sparkSession) if track else None
     if mode == "local":
-        return df.localCheckpoint(eager=True)
-    if mode == "reliable":
-        return df.checkpoint(eager=True)
-    if mode == "persist":
+        out = df.localCheckpoint(eager=True)
+    elif mode == "reliable":
+        out = df.checkpoint(eager=True)
+    else:  # persist
         from pyspark.storagelevel import StorageLevel
 
-        df = df.persist(StorageLevel.MEMORY_AND_DISK)
-        df.count()  # eager, matching the checkpoint modes
-        return df
-    return df
+        out = df.persist(StorageLevel.MEMORY_AND_DISK)
+        out.count()  # eager, matching the checkpoint modes
+    if track:
+        new = persistent_rdd_ids(df.sparkSession) - before
+        if new:
+            with _BRACKET_LOCK:
+                # record into the INNERMOST bracket only: when it exits and
+                # releases these ids, an enclosing bracket must not try to
+                # release (or be credited with) them again
+                _BRACKETS.get(_TLS.stack[-1], set()).update(new)
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -109,7 +125,24 @@ def materialize(df: DataFrame) -> DataFrame:
 # (its lineage is truncated) — release only after ALL actions on frames
 # derived from the invocation have run, never between an operator returning
 # a DataFrame and the caller's collect/write of it.
+#
+# Scoping (r10 advisory): release is INVOCATION-scoped, not a global diff.
+# ``materialize()`` records the RDD ids each call pins into the innermost
+# ``released_after`` bracket open on the calling thread; bracket exit
+# unpersists exactly its own recorded ids. Two concurrent invocations in
+# one session (e.g. both index-maintenance streams' foreachBatch merges, or
+# a standing query beside a stream) therefore cannot release each other's
+# in-flight checkpoint blocks — under the old global before/after diff, one
+# batch's exit would truncate the other's lineage mid-job and fail it.
+# Pins created WITHOUT going through materialize()/pin() are not tracked
+# (in-package there are none that outlive their operator: the few direct
+# .persist() calls keep lineage and unpersist locally).
 # --------------------------------------------------------------------------
+
+_BRACKET_LOCK = threading.Lock()
+_BRACKETS: dict[int, set[int]] = {}  # bracket id -> RDD ids it pinned
+_BRACKET_IDS = itertools.count(1)
+_TLS = threading.local()  # per-thread stack of open bracket ids
 
 
 def persistent_rdd_ids(spark) -> set[int]:
@@ -119,33 +152,60 @@ def persistent_rdd_ids(spark) -> set[int]:
     return {int(k) for k in jmap.keySet().toArray()}
 
 
-def release_persistents(spark, keep: set[int] | None = None) -> int:
-    """Unpersist every persisted RDD not in ``keep`` (non-blocking); returns
-    how many were released. ``keep`` is the :func:`persistent_rdd_ids`
-    snapshot taken BEFORE the bracketed work — anything newer was pinned by
-    that work and is garbage once its terminal action completed (each
-    operator invocation builds fresh frames; checkpoint blocks are never
-    shared across invocations)."""
-    keep = keep or set()
+def release_ids(spark, ids: set[int]) -> int:
+    """Unpersist exactly ``ids`` (non-blocking); ids no longer in the
+    registry are skipped. Returns how many were released."""
+    if not ids:
+        return 0
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     released = 0
     for key in jmap.keySet().toArray():
-        if int(key) not in keep:
+        if int(key) in ids:
             jmap.get(key).unpersist(False)
             released += 1
     return released
 
 
+def release_persistents(spark, keep: set[int] | None = None) -> int:
+    """Unpersist every persisted RDD not in ``keep`` (non-blocking); returns
+    how many were released. This is the GLOBAL sweep — correct only when
+    the caller knows no other invocation is in flight (test teardown, a
+    sequential harness draining leftovers). Bracketed per-invocation
+    release is :func:`released_after`, which tracks its own pins and never
+    touches a concurrent invocation's."""
+    keep = keep or set()
+    return release_ids(spark, persistent_rdd_ids(spark) - keep)
+
+
 @contextlib.contextmanager
 def released_after(spark, keep_preexisting: bool = True) -> Iterator[None]:
-    """Context manager: on exit, unpersist every RDD pinned inside the
+    """Context manager: on exit, unpersist exactly the RDDs that
+    ``materialize()``/``pin()`` calls on THIS thread pinned inside the
     block (see the release-ordering constraint above — the block must
-    contain the terminal action, not just the plan construction)."""
-    before = persistent_rdd_ids(spark) if keep_preexisting else set()
+    contain the terminal action, not just the plan construction).
+    Concurrent brackets on other threads are untouched.
+
+    ``keep_preexisting=False`` additionally sweeps every pin no OTHER open
+    bracket claims (the old global-diff behavior, for harnesses that want
+    leftover-draining exits)."""
+    bid = next(_BRACKET_IDS)
+    stack = getattr(_TLS, "stack", None)
+    if stack is None:
+        stack = _TLS.stack = []
+    with _BRACKET_LOCK:
+        _BRACKETS[bid] = set()
+    stack.append(bid)
     try:
         yield
     finally:
-        release_persistents(spark, keep=before)
+        stack.pop()
+        with _BRACKET_LOCK:
+            mine = _BRACKETS.pop(bid)
+            others: set[int] = set().union(*_BRACKETS.values()) if _BRACKETS else set()
+        if keep_preexisting:
+            release_ids(spark, mine - others)
+        else:
+            release_ids(spark, persistent_rdd_ids(spark) - others)
 
 
 def pin(df: DataFrame) -> DataFrame:

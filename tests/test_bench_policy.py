@@ -99,6 +99,106 @@ def test_released_after_keeps_preexisting_pins(spark):
     release_persistents(spark)
 
 
+def test_released_after_is_invocation_scoped(spark):
+    """r10 advisory (medium): one bracket's exit must not release a
+    CONCURRENT bracket's in-flight pins. Two index-maintenance streams (or
+    a standing query beside a stream) share one session in a multi-week
+    deployment; under the old global before/after diff, whichever batch
+    finished first would unpersist the other's localCheckpoint blocks —
+    truncated lineage cannot recompute, so the surviving job would FAIL.
+    Sequenced with events so the interleaving is deterministic: A pins,
+    B enters+exits, A's blocks must survive and its frame still action."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from csv_parquet_s3_spark.plans.materialize import (
+        materialize,
+        persistent_rdd_ids,
+        release_persistents,
+        released_after,
+    )
+
+    release_persistents(spark)
+    a_pinned: dict = {}
+    a_entered = threading.Event()
+    a_may_exit = threading.Event()
+    errors: list = []
+
+    def worker_a():
+        try:
+            with released_after(spark):
+                before = persistent_rdd_ids(spark)
+                df = materialize(
+                    spark.range(20_000).select(
+                        F.col("id"), (F.col("id") * 3).alias("v")
+                    )
+                )
+                assert df.count() == 20_000
+                a_pinned["ids"] = persistent_rdd_ids(spark) - before
+                a_entered.set()
+                assert a_may_exit.wait(120), "sequencing timeout"
+                # the critical assertion: the checkpointed frame (truncated
+                # lineage) must still be actionable AFTER B's bracket exited
+                assert df.count() == 20_000
+        except BaseException as e:  # surface failures to the main thread
+            errors.append(e)
+            a_entered.set()
+
+    t = threading.Thread(target=worker_a, daemon=True)
+    t.start()
+    assert a_entered.wait(120), "worker A never pinned"
+    assert not errors, errors
+    assert a_pinned["ids"], "worker A should have pinned blocks"
+
+    with released_after(spark):
+        materialize(spark.range(50).select(F.col("id"))).count()
+
+    assert a_pinned["ids"] <= persistent_rdd_ids(spark), (
+        "B's bracket exit released A's in-flight pins (global-diff bug)"
+    )
+
+    a_may_exit.set()
+    t.join(120)
+    assert not errors, errors
+    assert not (a_pinned["ids"] & persistent_rdd_ids(spark)), (
+        "A's own exit should release exactly its own pins"
+    )
+
+
+def test_released_after_nested_brackets(spark):
+    """Nesting: materialize records into the INNERMOST bracket only, so the
+    inner exit releases its own pins and the outer exit releases the rest —
+    no double-release, no leak."""
+    from pyspark.sql import functions as F
+
+    from csv_parquet_s3_spark.plans.materialize import (
+        materialize,
+        persistent_rdd_ids,
+        release_persistents,
+        released_after,
+    )
+
+    release_persistents(spark)
+    base = persistent_rdd_ids(spark)
+    with released_after(spark):
+        outer = materialize(spark.range(1_000).select(F.col("id")))
+        assert outer.count() == 1_000
+        outer_ids = persistent_rdd_ids(spark) - base
+        with released_after(spark):
+            inner = materialize(
+                spark.range(2_000).select((F.col("id") + 1).alias("j"))
+            )
+            assert inner.count() == 2_000
+            inner_ids = persistent_rdd_ids(spark) - base - outer_ids
+            assert inner_ids
+        now = persistent_rdd_ids(spark)
+        assert not (inner_ids & now), "inner exit must release inner pins"
+        assert outer_ids <= now, "inner exit must not touch outer pins"
+        assert outer.count() == 1_000
+    assert not ((outer_ids | inner_ids) & persistent_rdd_ids(spark))
+
+
 def _detail() -> dict:
     path = os.path.join(REPO, "BENCH_DETAIL.json")
     if not os.path.exists(path):

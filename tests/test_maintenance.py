@@ -388,6 +388,84 @@ def test_ensure_published_guard_rebuild_and_consistency(tmp_path):
     assert not os.path.exists(v1) and os.path.exists(v2)
 
 
+def test_publish_concurrent_reader_replay(spark, tmp_path):
+    """The ACTUAL reader guarantee behind keep-one-generation (r10 verdict
+    #6): a lazy DataFrame resolved against generation N-1 still EXECUTES
+    after generation N publishes and N-2 is reaped. Spark captures the file
+    listing at ``read.parquet`` time but opens the files at job execution —
+    so the superseded version's directory must physically survive one
+    publish cycle, which is exactly what the pointer's second line buys."""
+    import os
+
+    from csv_parquet_s3_spark.maintenance import (
+        publish_version,
+        resolve_published,
+    )
+
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+
+    def stage(tag: str, n: int) -> str:
+        staged = os.path.join(root, f"v-{tag}")
+        (
+            spark.range(n)
+            .selectExpr("id", f"'{tag}' AS tag")
+            .write.parquet(os.path.join(staged, "data"))
+        )
+        return staged
+
+    v1 = publish_version(root, stage("one", 10))
+    v2 = publish_version(root, stage("two", 20))
+
+    # a reader resolves the then-current generation (v2) and builds a lazy
+    # plan — no action yet (the pre-flip reader of the r09 advisory)
+    reader = spark.read.parquet(os.path.join(resolve_published(root), "data"))
+
+    # generation N publishes: v2 becomes N-1 (kept), v1 is N-2 (reaped)
+    v3 = publish_version(root, stage("three", 30))
+    assert resolve_published(root) == v3
+    assert not os.path.exists(v1), "generation N-2 should be reaped"
+    assert os.path.exists(v2), "generation N-1 must survive one cycle"
+
+    # the pre-flip reader's lazy plan still executes, against v2's files
+    rows = reader.collect()
+    assert len(rows) == 20
+    assert {r["tag"] for r in rows} == {"two"}
+
+
+def test_ensure_published_fastpath_pointer_vanished(tmp_path, monkeypatch):
+    """r10 advisory (low): the fingerprint-match fast path re-reads the
+    pointer before vacuuming; if that second read comes back empty (pointer
+    removed between the two reads), keep would be ``{None}`` and the vacuum
+    would reap EVERY generation including the active one. The guard skips
+    the vacuum in that window instead."""
+    import os
+
+    import csv_parquet_s3_spark.maintenance as m
+
+    root = str(tmp_path / "idx")
+
+    def build(staged):
+        os.makedirs(staged)
+
+    fp = {"mtime_ns": 1}
+    v1 = m.ensure_published(root, fp, build)
+
+    real = m._read_pointer
+    calls: list = []
+
+    def flaky(r):
+        calls.append(r)
+        if len(calls) >= 2:  # the fast path's re-read: pointer vanished
+            return None, None
+        return real(r)
+
+    monkeypatch.setattr(m, "_read_pointer", flaky)
+    got = m.ensure_published(root, fp, build)
+    assert got == v1
+    assert os.path.exists(v1), "fast-path vacuum reaped the active version"
+
+
 def test_ensure_published_failure_and_fastpath_hygiene(tmp_path):
     import os
 

@@ -16,7 +16,14 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_BENCH_REPS (default 5). Prints one JSON line:
 {"anchor_scan": ..., "anchor_spread": ..., "stable": bool,
  "queries": {name: median}, "normalized": {name: median/anchor},
- "runs": {...}}.
+ "queries_soak": {...}, "normalized_soak": {...}, "runs": {...}}.
+
+r11: a SOAK second pass (same session, own adjacent anchor) mirrors
+bench.py — ``normalized_soak`` is the statistic the standing
+refine/bm25 matched-anchor watch (r10 verdict #4) compares across
+rounds, for the same reason bench.py promoted it: pass-1 medians span
+the host's ×2-5 throughput windows; the warm pass converges. Each rep
+runs under ``released_after`` so checkpoint pins never accumulate.
 """
 
 from __future__ import annotations
@@ -68,20 +75,32 @@ def main() -> None:
         runs[f"calib_scan_{tag}"] = per_run
         return warm_median(per_run)
 
+    from csv_parquet_s3_spark.plans.materialize import released_after
+
+    def run_set(tag: str) -> dict[str, float]:
+        meds: dict[str, float] = {}
+        for name in names:
+            fn = QUERIES[name]
+            per_run = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                with released_after(spark):
+                    fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                per_run.append(round(time.perf_counter() - t0, 4))
+            runs[f"{tag}{name}"] = per_run
+            meds[name] = warm_median(per_run)
+        return meds
+
     pre = scan_anchor("pre")
-    medians: dict[str, float] = {}
-    for name in names:
-        fn = QUERIES[name]
-        per_run = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            per_run.append(round(time.perf_counter() - t0, 4))
-        runs[name] = per_run
-        medians[name] = warm_median(per_run)
+    medians = run_set("")
     post = scan_anchor("post")
+    soak_medians = run_set("soak_")
+    soak_post = scan_anchor("soak")
 
     anchor = round((pre + post) / 2, 4)
+    anchor_soak = round((post + soak_post) / 2, 4)
     spread = round(abs(pre - post) / max(pre, post), 4) if max(pre, post) else 0.0
     print(
         json.dumps(
@@ -98,6 +117,14 @@ def main() -> None:
                     n: round(m / anchor, 4) for n, m in medians.items()
                 }
                 if anchor > 0
+                else {},
+                "anchor_soak": anchor_soak,
+                "queries_soak": soak_medians,
+                "normalized_soak": {
+                    n: round(m / anchor_soak, 4)
+                    for n, m in soak_medians.items()
+                }
+                if anchor_soak > 0
                 else {},
                 "runs": runs,
             }
