@@ -225,3 +225,20 @@ def test_committed_soak_ratios_not_uniformly_drifting():
         f"(> {ELEVATED_RATIO}) with geomean {geomean:.4f} — every query "
         "slowing together is session-state accumulation, not host wobble"
     )
+
+
+def test_committed_detail_carries_the_comparison_statistic():
+    """r10 verdict #1: rounds compare on the soak-pass warm medians
+    (queries_soak / anchor_soak), declared via compare_on — a committed
+    detail file missing them would silently revert comparisons to the
+    host-window-dominated pass-1 numbers."""
+    detail = _detail()
+    if "soak_ratio" not in detail:
+        pytest.skip("BENCH_DETAIL.json predates the soak-guard schema")
+    assert detail.get("compare_on") == "queries_soak / anchor_soak"
+    assert detail.get("anchor_soak", 0) > 0
+    soak = detail.get("queries_soak") or {}
+    assert set(soak) == set(detail["queries"]), (
+        "queries_soak must cover exactly the headline set"
+    )
+    assert detail.get("soak_total", 0) > 0
