@@ -174,3 +174,116 @@ def test_bm25_maintenance_ten_batches_bounded_storage(spark, tmp_path):
     finally:
         shutil.rmtree(staging, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_concurrent_maintenance_streams_do_not_release_each_other(
+    spark, tmp_path
+):
+    """The r10 advisory's exact scenario: BOTH index-maintenance streams
+    run CONCURRENTLY in one session (a standing multi-week deployment).
+    Their foreachBatch merges run on separate streaming threads, so the
+    ``released_after`` brackets overlap in time — under the old global
+    before/after diff, whichever batch finished first would unpersist the
+    other stream's in-flight localCheckpoint blocks (truncated lineage:
+    cannot recompute → the surviving merge FAILS or corrupts). With
+    invocation-scoped pins each bracket releases only what its own thread
+    materialized. Asserts both drains complete, zero leaked RDDs, and both
+    streamed indexes serve exactly what full builds serve."""
+    from csv_parquet_s3_spark.operators.retrieval import (
+        _bm25_serve_from,
+        build_bm25_index,
+    )
+    from csv_parquet_s3_spark.operators.similarity_index import (
+        _SEEDS,
+        _TAIL_START,
+        _serve_plain_ivf,
+        build_ivf_index,
+    )
+    from csv_parquet_s3_spark.plans.materialize import (
+        persistent_rdd_ids,
+        release_persistents,
+    )
+    from csv_parquet_s3_spark.sources.tables import load_table
+    from csv_parquet_s3_spark.streaming.index_stream import (
+        stream_update_bm25_index,
+        stream_update_ivf_index,
+    )
+
+    n_batches = 6
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    docs = load_table(spark, SF_SMOKE, "documents")
+    tail = (F.col("vec_id") % 2 == 1) & (F.col("vec_id") >= _TAIL_START)
+
+    ivf_idx = str(tmp_path / "ivf_idx")
+    build_ivf_index(spark, emb.filter(~tail), _SEEDS, ivf_idx)
+    ivf_full = str(tmp_path / "ivf_full")
+    build_ivf_index(spark, emb, _SEEDS, ivf_full)
+
+    bm25_idx = str(tmp_path / "bm25_idx")
+    build_bm25_index(spark, docs.filter(F.col("doc_id") % 2 == 0), bm25_idx)
+    bm25_full = str(tmp_path / "bm25_full")
+    build_bm25_index(spark, docs, bm25_full)
+
+    ivf_src = tempfile.mkdtemp(prefix="ivf_conc_src_")
+    ivf_ckpt = tempfile.mkdtemp(prefix="ivf_conc_ckpt_")
+    bm25_src = tempfile.mkdtemp(prefix="bm25_conc_src_")
+    bm25_ckpt = tempfile.mkdtemp(prefix="bm25_conc_ckpt_")
+    try:
+        late = emb.filter(tail)
+        _stage_files(
+            ivf_src,
+            [
+                late.filter((F.col("vec_id") % 12) == (2 * i + 1))
+                for i in range(n_batches)
+            ],
+        )
+        odd = docs.filter(F.col("doc_id") % 2 == 1)
+        _stage_files(
+            bm25_src,
+            [
+                odd.filter((F.col("doc_id") % 12) == (2 * i + 1))
+                for i in range(n_batches)
+            ],
+        )
+
+        release_persistents(spark)
+        before = persistent_rdd_ids(spark)
+
+        def file_stream(staging: str):
+            schema = spark.read.parquet(
+                os.path.join(staging, "00_batch.parquet")
+            ).schema
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("pathGlobFilter", "*.parquet")
+                .parquet(staging)
+            )
+
+        # start BOTH, then await both — the drains interleave
+        q_ivf = stream_update_ivf_index(
+            file_stream(ivf_src), ivf_idx, ivf_ckpt
+        )
+        q_bm25 = stream_update_bm25_index(
+            file_stream(bm25_src), bm25_idx, bm25_ckpt
+        )
+        assert q_ivf.awaitTermination(900), "ivf stream did not finish"
+        assert q_bm25.awaitTermination(900), "bm25 stream did not finish"
+        for q, want in ((q_ivf, n_batches), (q_bm25, n_batches)):
+            n = sum(1 for pr in q.recentProgress if pr["numInputRows"] > 0)
+            assert n == want, f"expected {want} micro-batches, saw {n}"
+
+        leaked = persistent_rdd_ids(spark) - before
+        assert not leaked, (
+            f"{len(leaked)} RDDs left persisted after the concurrent "
+            f"drains: {leaked}"
+        )
+        assert _rows(_serve_plain_ivf(spark, emb, ivf_idx)) == _rows(
+            _serve_plain_ivf(spark, emb, ivf_full)
+        ), "concurrent ivf maintenance diverged from a full build"
+        assert _rows(_bm25_serve_from(spark, bm25_idx)) == _rows(
+            _bm25_serve_from(spark, bm25_full)
+        ), "concurrent bm25 maintenance diverged from a full build"
+    finally:
+        for d in (ivf_src, ivf_ckpt, bm25_src, bm25_ckpt):
+            shutil.rmtree(d, ignore_errors=True)

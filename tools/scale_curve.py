@@ -83,7 +83,9 @@ SHIFT_COLS = {
 # Expected-class annotations for the analysis (not enforced — context for
 # reading the ratios): "linear" ≈ factor, "overhead" ≈ flat serving probes,
 # "group" = per-entity groups scale, per-group work constant.
-SUPERLINEAR_FLAG = 12.0  # for factor 10; > this after normalization → defect
+# A normalized ratio above 1.2 × factor (i.e. >20% past linear) is a scale
+# defect to root-cause; below that is linear-or-better.
+SUPERLINEAR_MARGIN = 1.2
 
 
 def _copy_expr(i: int):
@@ -251,9 +253,8 @@ def main() -> None:
         for n in HEADLINE
         if base_meds.get(n, 0) > 0 and anchor_base > 0 and anchor_synth > 0
     }
-    flagged = sorted(
-        n for n, r in norm_ratio.items() if r > SUPERLINEAR_FLAG
-    )
+    flag_at = SUPERLINEAR_MARGIN * factor
+    flagged = sorted(n for n, r in norm_ratio.items() if r > flag_at)
 
     result = {
         "factor": factor,
@@ -276,6 +277,7 @@ def main() -> None:
         "queries_synth": synth_meds,
         "ratio_raw": raw_ratio,
         "ratio_normalized": norm_ratio,
+        "flag_at": flag_at,
         "superlinear_flagged": flagged,
         "runs": runs,
     }
