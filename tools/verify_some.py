@@ -3,7 +3,17 @@
 Usage:  python tools/verify_some.py <sf_dir> name1 name2 ...
 
 Same hash discipline as tools/verify_local.py, restricted to the named
-queries — the fast loop while developing a new operator.
+queries — the fast loop while developing a new operator. Tables may be
+single parquet files (the driver's layout) or Spark-written directories
+(e.g. the scale-curve synth dirs), so differentials run at any derived
+scale.
+
+The session is deliberately VANILLA (driver fidelity), which means the
+1 GiB default JVM heap: at 10×-sf0.1-and-up dirs, queries that pin
+estimators against exact ground truth (q_approx_sketches' countDistinct +
+exact percentile side) can OOM the default heap — run with
+PYSPARK_SUBMIT_ARGS="--driver-memory 8g pyspark-shell" there. The sketch
+side alone is constant-memory; the exact side exists only for the pin.
 """
 
 from __future__ import annotations
@@ -40,9 +50,15 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    import os
+
     duck = duckdb.connect()
     for t in TABLES:
-        duck.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        path = f"{sf}/{t}.parquet"
+        # the driver's tables are single files; Spark-written derivations
+        # (e.g. the scale-curve synth dirs) are DIRECTORIES of part files
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        duck.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     queries, oracles = mod.queries(), mod.oracle_sql()
     bad = 0
