@@ -42,68 +42,71 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-robin verification window (see PARITY.md "Driver verification
 # rotation"): the driver's correctness check covers the FIRST 50 entries of
 # queries(), so each round the entries most in need of a fresh signal are
-# listed first. After the r10 window (50/50 hash-green, registry 236/236
-# oracle-backed, no entry staler than r05) the r11 window is the PLAIN
-# rotation output — no re-pins needed (no stored layout changed this
-# round) and no insertions: exactly the queue the r10 verdict recorded.
+# listed first. After the r11 window (50/50 hash-green, registry 236/236
+# oracle-backed, no entry staler than r06) the r12 window is the rotation
+# output PLUS re-pins at the head for the queries whose physical plans
+# changed this round (the broadcast-gate fix, r11 verdict #1).
 VERIFY_PRIORITY: list[str] = [
-    # r11 window: verbatim tools/rotate_window.py output against
-    # CORRECTNESS_r10 (r10 verdict #2) — queue head is the six entries
-    # the r10 tier-0a/0b insertions displaced (q_table_profile_orders,
-    # q_orders_quality_rules, stream_events_sliding_rollup,
-    # stream_scd1_upsert_priority, stream_events_content_digest,
-    # scd2_point_in_time_join), then the 12-entry r05-stale tail, then
-    # the stalest r06 greens in rotation order
-    "scd2_point_in_time_join",
-    "q_table_profile_orders",
-    "q_orders_quality_rules",
-    "stream_events_sliding_rollup",
-    "stream_scd1_upsert_priority",
-    "stream_events_content_digest",
-    "stream_segment_bitmap_distinct",
-    "text_quality_percentile_by_lang",
-    "text_winnowing_fingerprints",
-    "dedup_winnowing_pairs",
-    "text_gopher_quality_flags",
-    "text_bigram_pmi",
-    "dedup_exact_substring_spans",
-    "dedup_bloom_blocklist",
-    "dedup_eval_lsh_quality",
-    "q_bloom_semijoin_pruning",
+    # r12 window: RE-PINS FIRST — the 11 queries whose join plans
+    # changed this round (forced F.broadcast hints on SF-scaling
+    # part/supplier/part_avg replaced by the size-gated
+    # sources.tables.broadcast_if_small; r11 verdict #1) need fresh
+    # driver hash rows against the new plans. Then the verbatim
+    # tools/rotate_window.py output against CORRECTNESS_r11 in its
+    # printed order (queue head = the five r06-stale text entries,
+    # Zipf/chunk/RAKE/BPE-learn/BPE-apply), minus the 10 changed
+    # queries it already contained; the single displaced tail entry
+    # is mm_frame_samples (hash-green r10).
+    "q07_nation_trade_volume",
+    "q08_market_share",
+    "q09_profit_by_nation_year",
+    "q11_brand_value_concentration",
+    "q14_promo_revenue_share",
+    "q16_supplier_diversity",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_bulk_small_part_suppliers",
+    "q21_last_shipper_counts",
     "graph_pagerank_nation_trade",
-    "graph_kcore_docs",
-    "q_events_user_holt",
-    "mm_payload_entropy",
-    "q_salted_brand_revenue",
-    "curriculum_length_shards",
-    "sample_documents_temperature",
-    "split_documents_kfold",
-    "pipeline_user_rolling_features",
-    "q_kanonymity_quasi_id",
-    "q_dp_noisy_counts_by_nation",
-    "emb_top_principal_component",
-    "emb_remove_top_component",
-    "q_multitouch_attribution",
-    "q_user_activity_streaks",
-    "q_item_cf_neighbors",
-    "sim_label_centroid_distance",
-    "sim_cosine_topk_vectorized",
-    "sim_eval_recall_ivf_probe",
-    "scd2_customer_priority_history",
-    "scd1_current_customer_priority",
-    "q_hll_distinct_users",
-    "q_events_autocorrelation",
-    "q_events_dow_seasonality",
-    "q_chi_square_lang_source",
-    "q_mutual_information_lang_source",
-    "q_orders_benford_digits",
-    "q_ab_welch_t",
-    "q_revenue_bootstrap_ci",
-    "q_survival_reorder_km",
-    "stream_events_dedup_first_seen",
-    "stream_segment_hourly_rollup",
-    "stream_events_hll_distinct",
-    "text_langid_confusion",
+    "text_zipf_fit",
+    "text_chunk_documents",
+    "text_rake_keywords",
+    "text_bpe_learn_merges",
+    "text_bpe_apply_merges",
+    "q_asof_error_to_purchase",
+    "q_range_join_price_bands",
+    "q_order_value_quantiles",
+    "q_grouping_sets_revenue",
+    "q_kmv_distinct_users",
+    "q_kmv_cohort_overlap",
+    "dedup_exact_documents",
+    "dedup_keep_first_events",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_signatures",
+    "dedup_minhash_batch_vs_index",
+    "retrieval_hybrid_rrf",
+    "retrieval_hybrid_rrf_topn",
+    "retrieval_bm25_topk",
+    "stream_events_late_data_drop",
+    "text_token_counts",
+    "text_doc_stats",
+    "text_langid_heuristic",
+    "text_fingerprint",
+    "text_lang_distribution",
+    "text_langid_ngram",
+    "text_feature_hash_embedding",
+    "text_tfidf_top_terms",
+    "q02_cheapest_supplier_per_part",
+    "q12_priority_by_returnflag",
+    "q13_order_count_distribution",
+    "q18_large_volume_orders",
+    "q22_idle_rich_customers",
+    "q15_top_supplier",
+    "q_customer_gini_concentration",
+    "dedup_simhash_buckets",
+    "dedup_simhash_hamming_pairs",
+    "dedup_cluster_components",
+    "mm_payload_stats",
 ]
 
 

@@ -125,6 +125,18 @@ HEADLINE = [
 ]
 
 
+def detail_path() -> str:
+    """Where the full bench detail JSON lands. Defaults to the gitignored
+    ``BENCH_DETAIL.latest.json`` so ad-hoc/driver/judge runs never clobber
+    the committed calm-window ``BENCH_DETAIL.json`` (r11 verdict #7);
+    promote a trusted run explicitly with
+    ``SPARK_GRAFT_BENCH_DETAIL=BENCH_DETAIL.json``."""
+    return os.path.join(
+        REPO_DIR,
+        os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.latest.json"),
+    )
+
+
 def warm_median(per_run: list[float]) -> float:
     """THE pinned bench statistic: median of the WARM reps (rep 1 excluded).
 
@@ -320,7 +332,12 @@ def main() -> None:
         # anchor_soak, never compare raw seconds.
         "compare_on": "queries_soak / anchor_soak",
     }
-    with open(os.path.join(REPO_DIR, "BENCH_DETAIL.json"), "w") as fh:
+    # Default to a gitignored scratch name so ad-hoc/driver/judge runs stop
+    # clobbering the committed calm-window detail (r11 verdict #7 — a judge
+    # restored the committed file twice). Promote a run you TRUST to the
+    # committed name explicitly with SPARK_GRAFT_BENCH_DETAIL=BENCH_DETAIL.json
+    # (any path accepted, resolved against the repo root).
+    with open(detail_path(), "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
         fh.write("\n")
 

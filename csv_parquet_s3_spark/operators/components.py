@@ -278,7 +278,7 @@ def graph_pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``localCheckpoint`` lineage truncation so round k never replays rounds
     1..k-1 (same discipline as ``connected_components`` above).
     """
-    from csv_parquet_s3_spark.sources.tables import load_table
+    from csv_parquet_s3_spark.sources.tables import broadcast_if_small, load_table
 
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -296,7 +296,7 @@ def graph_pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(broadcast_if_small(supp, sf_dir, "supplier"), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
         .filter(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")

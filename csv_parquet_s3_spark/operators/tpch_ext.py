@@ -33,7 +33,7 @@ from csv_parquet_s3_spark.operators.relational import (
     REVENUE,
     money_sum,
 )
-from csv_parquet_s3_spark.sources.tables import load_table
+from csv_parquet_s3_spark.sources.tables import broadcast_if_small, load_table
 
 
 # ---------------------------------------------------------------------------
@@ -118,7 +118,9 @@ def q02_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFram
 )
 def q07_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snowflake with two independent nation legs (supplier vs customer side);
-    both legs broadcast — only the orders⋈lineitem join shuffles."""
+    nation legs broadcast unconditionally, the supplier leg size-gated
+    (``broadcast_if_small`` — SF-scaling) — only the orders⋈lineitem join
+    must shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     supp = load_table(spark, sf_dir, "supplier")
@@ -132,7 +134,7 @@ def q07_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shipping = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(broadcast_if_small(supp, sf_dir, "supplier"), li.l_suppkey == supp.s_suppkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
@@ -183,7 +185,7 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     all_sales = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(broadcast_if_small(supp, sf_dir, "supplier"), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
         .select(
             F.year("o_orderdate").alias("o_year"),
@@ -239,8 +241,8 @@ def q09_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     profit = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(broadcast_if_small(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
+        .join(broadcast_if_small(supp, sf_dir, "supplier"), li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
         .select(
@@ -274,7 +276,7 @@ def q11_brand_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     per_brand = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(broadcast_if_small(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(F.expr(f"SUM({DEC_PRICE})").alias("_sum"))
     )
@@ -378,7 +380,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE CAST(0 AS DECIMAL(12,2)) END)"
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(broadcast_if_small(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
         .groupBy(F.year("l_shipdate").alias("l_year"))
         .agg(
             F.round(
@@ -414,16 +416,17 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated per-group average joined back to the fact (TPC-H Q17 shape):
-    the per-part aggregate is tiny relative to the fact → broadcast; decimal
-    sum/count keeps the average order-independent."""
+    the per-part aggregate is tiny relative to the fact → size-gated
+    broadcast (|part| rows — scales with SF, so the hint needs the gate);
+    decimal sum/count keeps the average order-independent."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     part_avg = li.groupBy(F.col("l_partkey").alias("pa_key")).agg(
         (F.expr(f"CAST(SUM({DEC_QTY}) AS DOUBLE)") / F.count("*")).alias("avg_qty")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(part_avg), li.l_partkey == F.col("pa_key"))
+        li.join(broadcast_if_small(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
+        .join(broadcast_if_small(part_avg, sf_dir, "part"), li.l_partkey == F.col("pa_key"))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .groupBy("p_brand")
         .agg(
@@ -509,7 +512,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(broadcast_if_small(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
         .filter(F.expr(_Q19_PRED))
         .groupBy("l_returnflag")
         .agg(
@@ -617,8 +620,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT IN as a left-anti join against the (small, broadcast) exclusion
-    set, then a distinct-count aggregate per part attribute triple."""
+    """NOT IN as a left-anti join against the exclusion set (size-gated
+    broadcast — it is a subset of the SF-scaling supplier table), then a
+    distinct-count aggregate per part attribute triple."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_type") != "PROMO")
     excluded = (
@@ -627,8 +631,8 @@ def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        li.join(F.broadcast(excluded), li.l_suppkey == excluded.s_suppkey, "left_anti")
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(broadcast_if_small(excluded, sf_dir, "supplier"), li.l_suppkey == excluded.s_suppkey, "left_anti")
+        .join(broadcast_if_small(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -660,7 +664,7 @@ def q20_bulk_small_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame
     part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
     supp = load_table(spark, sf_dir, "supplier")
     qualifying = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(broadcast_if_small(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 100.0)
@@ -712,7 +716,7 @@ def q21_last_shipper_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         order_supp.join(multi, "l_orderkey")
         .filter(F.col("last_ship") == F.col("order_last"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(broadcast_if_small(supp, sf_dir, "supplier"), F.col("l_suppkey") == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("n_orders_last_shipper"))
     )

@@ -85,9 +85,9 @@ def materialize(df: DataFrame) -> DataFrame:
         _RECORDER.append(analyze(df))
     if mode == "none":
         return df
-    # Invocation-scoped pin tracking (r10 advisory): only snapshot/diff the
-    # JVM registry when a released_after bracket is open on THIS thread —
-    # the unbracketed path pays nothing.
+    # Invocation-scoped pin tracking (r10 advisory; attribution made EXACT
+    # r12 per the r11 advisory): only track when a released_after bracket is
+    # open on THIS thread — the unbracketed path pays nothing.
     track = bool(getattr(_TLS, "stack", None))
     before = persistent_rdd_ids(df.sparkSession) if track else None
     if mode == "local":
@@ -100,14 +100,47 @@ def materialize(df: DataFrame) -> DataFrame:
         out = df.persist(StorageLevel.MEMORY_AND_DISK)
         out.count()  # eager, matching the checkpoint modes
     if track:
-        new = persistent_rdd_ids(df.sparkSession) - before
-        if new:
-            with _BRACKET_LOCK:
-                # record into the INNERMOST bracket only: when it exits and
-                # releases these ids, an enclosing bracket must not try to
-                # release (or be credited with) them again
-                _BRACKETS.get(_TLS.stack[-1], set()).update(new)
+        with _BRACKET_LOCK:
+            # record into the INNERMOST bracket only: when it exits and
+            # releases these pins, an enclosing bracket must not try to
+            # release (or be credited with) them again
+            rec = _BRACKETS.get(_TLS.stack[-1])
+            if rec is not None:
+                if mode == "persist":
+                    # exact: CacheManager keys the entry by the frame; exit
+                    # calls out.unpersist(). The registry diff is kept only
+                    # as a SHIELD set (protects this pin from other
+                    # brackets' global sweeps; never used to release).
+                    rec.frames.append(out)
+                    rec.shield.update(persistent_rdd_ids(df.sparkSession) - before)
+                else:
+                    rid = _pinned_rdd_id(out)
+                    if rid is not None:
+                        # exact: the id read from OUT's own LogicalRDD node
+                        # — a concurrent thread's pin landing inside this
+                        # window can no longer be mis-attributed to (and
+                        # freed by) this bracket.
+                        rec.ids.add(rid)
+                    else:
+                        # plan-introspection fallback (internal API moved):
+                        # registry diff, which can over-attribute a
+                        # concurrent unbracketed pin — documented residual.
+                        rec.ids.update(persistent_rdd_ids(df.sparkSession) - before)
     return out
+
+
+def _pinned_rdd_id(out: DataFrame) -> int | None:
+    """The RDD id a checkpoint-returned frame pinned, read from the frame's
+    own plan: ``Dataset.checkpoint``/``localCheckpoint`` return a Dataset
+    over a ``LogicalRDD`` wrapping exactly the internal RDD that was
+    checkpointed (and, for localCheckpoint, persisted). Reading the id off
+    the returned frame makes pin attribution exact — no before/after
+    registry diff, no concurrent-thread mis-attribution. Returns None if the
+    (internal, py4j-reached) plan shape ever changes."""
+    try:
+        return int(out._jdf.queryExecution().analyzed().rdd().id())
+    except Exception:
+        return None
 
 
 # --------------------------------------------------------------------------
@@ -126,21 +159,41 @@ def materialize(df: DataFrame) -> DataFrame:
 # derived from the invocation have run, never between an operator returning
 # a DataFrame and the caller's collect/write of it.
 #
-# Scoping (r10 advisory): release is INVOCATION-scoped, not a global diff.
-# ``materialize()`` records the RDD ids each call pins into the innermost
-# ``released_after`` bracket open on the calling thread; bracket exit
-# unpersists exactly its own recorded ids. Two concurrent invocations in
-# one session (e.g. both index-maintenance streams' foreachBatch merges, or
-# a standing query beside a stream) therefore cannot release each other's
-# in-flight checkpoint blocks — under the old global before/after diff, one
-# batch's exit would truncate the other's lineage mid-job and fail it.
+# Scoping (r10 advisory; attribution made exact r12 per the r11 advisory):
+# release is INVOCATION-scoped. ``materialize()`` attributes each pin FROM
+# THE RETURNED FRAME ITSELF — checkpoint modes read the pinned RDD id off
+# the returned Dataset's LogicalRDD node, persist mode records the frame
+# and exits via ``DataFrame.unpersist`` — into the innermost
+# ``released_after`` bracket open on the calling thread; bracket exit frees
+# exactly its own recorded pins. Because attribution no longer diffs the
+# session-global registry, a concurrent thread's pin landing inside this
+# call's window can NOT be credited to (and later freed by) this bracket —
+# the r11-advisory race. The registry diff survives only as (a) a fallback
+# if the internal plan introspection ever breaks, and (b) a shield set
+# protecting persist-mode pins from ``keep_preexisting=False`` sweeps.
 # Pins created WITHOUT going through materialize()/pin() are not tracked
 # (in-package there are none that outlive their operator: the few direct
 # .persist() calls keep lineage and unpersist locally).
 # --------------------------------------------------------------------------
 
+class _BracketPins:
+    """What one released_after bracket pinned. ``ids``: RDD ids attributed
+    exactly from the checkpoint-returned frames (released by id at exit).
+    ``frames``: persist-mode frames (released via ``DataFrame.unpersist``,
+    which the SQL CacheManager resolves exactly). ``shield``: registry-diff
+    ids recorded ONLY to protect persist-mode pins from another bracket's
+    ``keep_preexisting=False`` global sweep — never released from."""
+
+    __slots__ = ("ids", "frames", "shield")
+
+    def __init__(self) -> None:
+        self.ids: set[int] = set()
+        self.frames: list[DataFrame] = []
+        self.shield: set[int] = set()
+
+
 _BRACKET_LOCK = threading.Lock()
-_BRACKETS: dict[int, set[int]] = {}  # bracket id -> RDD ids it pinned
+_BRACKETS: dict[int, _BracketPins] = {}  # bracket id -> its pins
 _BRACKET_IDS = itertools.count(1)
 _TLS = threading.local()  # per-thread stack of open bracket ids
 
@@ -193,7 +246,7 @@ def released_after(spark, keep_preexisting: bool = True) -> Iterator[None]:
     if stack is None:
         stack = _TLS.stack = []
     with _BRACKET_LOCK:
-        _BRACKETS[bid] = set()
+        _BRACKETS[bid] = _BracketPins()
     stack.append(bid)
     try:
         yield
@@ -201,9 +254,17 @@ def released_after(spark, keep_preexisting: bool = True) -> Iterator[None]:
         stack.pop()
         with _BRACKET_LOCK:
             mine = _BRACKETS.pop(bid)
-            others: set[int] = set().union(*_BRACKETS.values()) if _BRACKETS else set()
+            others: set[int] = set()
+            for rec in _BRACKETS.values():
+                others |= rec.ids
+                others |= rec.shield
+        for frame in mine.frames:
+            try:
+                frame.unpersist(False)
+            except Exception:
+                pass  # session already stopped — nothing left to free
         if keep_preexisting:
-            release_ids(spark, mine - others)
+            release_ids(spark, mine.ids - others)
         else:
             release_ids(spark, persistent_rdd_ids(spark) - others)
 

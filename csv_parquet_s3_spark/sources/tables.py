@@ -38,6 +38,62 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Size gate for broadcast hints on SF-scaling tables (supplier/part/customer
+# and frames derived from them). A Spark broadcast *hint* is honored
+# unconditionally — there is no AQE size fallback once the hint is attached —
+# so hinting a table that grows with SF OOMs the driver/executors at the
+# 100 TB design point even though it is harmless at bench scale. The gate
+# measures the table's on-disk parquet bytes and only attaches the hint when
+# the source is provably small *for this dataset*; above the gate (or when
+# the size cannot be measured locally, e.g. an s3a:// root) the join is left
+# to CBO/AQE, which flips SMJ->BHJ at runtime when the build side really is
+# small (DEPLOYMENT.md "AQE conversion" policy). 64 MiB of snappy parquet is
+# ~200-400 MB of in-memory rows — inside the executor comfort zone
+# DEPLOYMENT.md sizes for, and far above every SF this repo benches.
+BROADCAST_GATE_BYTES = 64 << 20
+
+_TABLE_BYTES_CACHE: dict[tuple[str, str], int] = {}
+
+
+def source_table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk parquet bytes of a table (file or directory); cached per
+    (sf_dir, table). Returns a huge sentinel for paths that cannot be
+    statted locally (remote roots) so callers fail toward *not* hinting."""
+    key = (os.path.normpath(sf_dir), name)
+    cached = _TABLE_BYTES_CACHE.get(key)
+    if cached is None:
+        path = table_path(sf_dir, name)
+        if os.path.isfile(path):
+            cached = os.path.getsize(path)
+        elif os.path.isdir(path):
+            from csv_parquet_s3_spark.maintenance import dataset_bytes
+
+            cached = dataset_bytes(path)
+        else:  # remote / unstattable: never claim small
+            cached = 1 << 62
+        _TABLE_BYTES_CACHE[key] = cached
+    return cached
+
+
+def broadcast_if_small(
+    df: DataFrame,
+    sf_dir: str,
+    source_table: str,
+    threshold_bytes: int = BROADCAST_GATE_BYTES,
+) -> DataFrame:
+    """Attach ``F.broadcast`` only when ``source_table``'s measured bytes
+    clear the gate. ``df`` may be a projection/filter/aggregate *derived*
+    from ``source_table`` (e.g. a per-part average): derived frames are no
+    larger than their source per key, so gating on the source is
+    conservative-safe. Constant-size dimensions (region/nation) always hint.
+    """
+    if source_table in BROADCAST_TABLES:
+        return F.broadcast(df)
+    if source_table_bytes(sf_dir, source_table) <= threshold_bytes:
+        return F.broadcast(df)
+    return df
+
+
 # (sf_dir, name) → catalog table name. When a bucketed copy of a table has
 # been materialized (sources/bucketed.py), load_table serves the catalog
 # table instead of the raw parquet: its bucket metadata lets the planner

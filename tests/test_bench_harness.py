@@ -64,3 +64,19 @@ def test_warm_median_excludes_cold_first_rep():
     assert bench.warm_median([0.978, 0.3, 0.3, 0.3, 0.3]) == 0.3
     # degenerate single-rep runs fall back to the only rep
     assert bench.warm_median([2.5]) == 2.5
+
+
+def test_detail_defaults_to_uncommitted_scratch_path(monkeypatch):
+    """r11 verdict #7: a plain bench run (driver, judge, ad-hoc) must not
+    overwrite the committed calm-window BENCH_DETAIL.json — the default
+    detail target is the gitignored .latest name; promotion to the
+    committed name is explicit via SPARK_GRAFT_BENCH_DETAIL."""
+    import os
+
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_DETAIL", raising=False)
+    assert os.path.basename(bench.detail_path()) == "BENCH_DETAIL.latest.json"
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    assert os.path.basename(bench.detail_path()) == "BENCH_DETAIL.json"
+    # and the scratch name is actually gitignored
+    with open(os.path.join(os.path.dirname(bench.__file__), ".gitignore")) as fh:
+        assert "BENCH_DETAIL.latest.json" in fh.read()

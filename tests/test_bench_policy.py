@@ -166,6 +166,89 @@ def test_released_after_is_invocation_scoped(spark):
     )
 
 
+def test_bracket_attribution_is_exact_under_concurrent_unbracketed_pin(
+    spark, monkeypatch
+):
+    """r11 advisory (medium): a pin landing on ANOTHER (unbracketed) thread
+    strictly inside this thread's materialize() window must not be
+    attributed to — and later freed by — the open bracket. The old
+    before/after registry diff had exactly that race (unbracketed threads
+    never record, so the mine-minus-others guard could not protect them);
+    attribution now reads the pinned RDD id off the RETURNED frame's own
+    LogicalRDD node, which cannot see another thread's pin at all. The
+    interleaving is forced deterministically: A's localCheckpoint is patched
+    to run B's pin to completion after the real checkpoint but BEFORE A's
+    bracket records — the precise window the advisory flagged."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from csv_parquet_s3_spark.plans import materialize as M
+
+    M.release_persistents(spark)
+    b_pinned: dict = {}
+    b_done = threading.Event()
+    fired = threading.Event()
+    # patch the CONCRETE class (pyspark.sql.classic.dataframe.DataFrame):
+    # Spark 4's classic/connect split means the abstract pyspark.sql
+    # .DataFrame's method is overridden and patching it would be a no-op
+    df_cls = type(spark.range(1))
+    orig = df_cls.localCheckpoint
+
+    def b_worker():
+        # a plain operator on another thread: no bracket, direct checkpoint
+        df = orig(spark.range(7_777).select((F.col("id") * 2).alias("w")))
+        b_pinned["df"] = df
+        b_pinned["rid"] = M._pinned_rdd_id(df)
+        b_done.set()
+
+    def patched(self, *args, **kwargs):
+        out = orig(self, *args, **kwargs)
+        if not fired.is_set():  # only A's first (bracketed) checkpoint
+            fired.set()
+            threading.Thread(target=b_worker, daemon=True).start()
+            assert b_done.wait(120), "worker B never pinned"
+        return out
+
+    monkeypatch.setattr(df_cls, "localCheckpoint", patched)
+    with M.released_after(spark):
+        a = M.materialize(spark.range(11_000).select(F.col("id")))
+        assert a.count() == 11_000
+
+    # exactness regression canary: the plan introspection must keep working,
+    # otherwise attribution silently degrades to the racy diff fallback
+    assert b_pinned["rid"] is not None, "_pinned_rdd_id introspection broke"
+    # the critical assertions: B's in-flight pin survived A's bracket exit
+    # and B's truncated-lineage frame still actions
+    assert b_pinned["rid"] in M.persistent_rdd_ids(spark), (
+        "A's bracket exit released concurrent unbracketed pin (diff race)"
+    )
+    assert b_pinned["df"].count() == 7_777
+    M.release_persistents(spark)
+
+
+def test_released_after_persist_mode_releases_via_frame(spark, monkeypatch):
+    """persist-mode pins go through the SQL CacheManager, so the bracket
+    releases them via ``DataFrame.unpersist`` on the recorded frame (exact),
+    not by registry-id diff; the cache entry must be gone after exit and the
+    lineage-keeping frame must still recompute."""
+    from pyspark.sql import functions as F
+
+    from csv_parquet_s3_spark.plans import materialize as M
+
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "persist")
+    M.release_persistents(spark)
+    base = M.persistent_rdd_ids(spark)
+    with M.released_after(spark):
+        df = M.materialize(spark.range(5_000).select((F.col("id") + 7).alias("v")))
+        assert df.count() == 5_000
+        assert M.persistent_rdd_ids(spark) - base, "persist should register"
+    assert not (M.persistent_rdd_ids(spark) - base), (
+        "bracket exit must drop the persist-mode cache entry"
+    )
+    assert df.count() == 5_000  # persist keeps lineage: recompute works
+
+
 def test_released_after_nested_brackets(spark):
     """Nesting: materialize records into the INNERMOST bracket only, so the
     inner exit releases its own pins and the outer exit releases the rest —

@@ -42,3 +42,72 @@ def test_topk_compiles_to_take_ordered(spark):
     plan = analyze(QUERIES["q_topk_orders_by_value"](spark, SF)).plan
     assert "TakeOrderedAndProject" in plan
     assert "GlobalSort" not in plan
+
+
+def test_broadcast_gate_hints_only_measured_small_tables(spark):
+    """r11 verdict #1: a broadcast *hint* is honored unconditionally (no AQE
+    size fallback), so SF-scaling tables (part/supplier) may only be hinted
+    through the size gate. Under the gate the hint must appear; above it
+    (threshold forced to 0) the plan must carry NO broadcast hint from us;
+    an unstattable (remote-looking) root must also fail toward no-hint."""
+    from csv_parquet_s3_spark.sources import tables as T
+
+    sf = SF
+    part = T.load_table(spark, sf, "part")
+    li = T.load_table(spark, sf, "lineitem")
+
+    hinted = li.join(
+        T.broadcast_if_small(part, sf, "part"), li.l_partkey == part.p_partkey
+    )
+    assert "UnresolvedHint" in hinted._jdf.queryExecution().logical().toString() or (
+        "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+    ), "under the gate, the hint must be attached"
+
+    unhinted = li.join(
+        T.broadcast_if_small(part, sf, "part", threshold_bytes=0),
+        li.l_partkey == part.p_partkey,
+    )
+    assert "ResolvedHint" not in unhinted._jdf.queryExecution().analyzed().toString(), (
+        "above the gate no hint may be attached — CBO/AQE decide"
+    )
+
+    # constant-size dims always hint, regardless of threshold
+    nation = T.load_table(spark, sf, "nation")
+    always = li.join(
+        T.broadcast_if_small(nation, sf, "nation", threshold_bytes=0),
+        li.l_suppkey == nation.n_nationkey,
+    )
+    assert "ResolvedHint" in always._jdf.queryExecution().analyzed().toString()
+
+
+def test_broadcast_gate_unstattable_root_never_claims_small(tmp_path):
+    """A root we cannot stat locally (s3a://-style) must report a huge size
+    so no hint is ever attached on unmeasured data."""
+    from csv_parquet_s3_spark.sources import tables as T
+
+    assert T.source_table_bytes("s3a://bucket/prefix", "part") >= (1 << 62)
+    # and a real local file reports its true size
+    import os
+
+    real = T.source_table_bytes("/root/testdata/sf0.001", "part")
+    assert real == os.path.getsize("/root/testdata/sf0.001/part.parquet")
+
+
+def test_sf_scaling_dims_not_force_broadcast_in_source():
+    """Policy gate (DEPLOYMENT.md fact⋈dim row): no bare ``F.broadcast`` on
+    frames loaded from the SF-scaling tables inside the TPC-H surface or the
+    graph module — every such hint must go through ``broadcast_if_small``.
+    Grep-level, so a regression cannot slip in as an innocent-looking edit."""
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scaling_vars = r"(supp|part|part_avg|excluded|cust)\b"
+    offenders = []
+    for fname in ("tpch_ext.py", "components.py"):
+        path = os.path.join(repo, "csv_parquet_s3_spark", "operators", fname)
+        with open(path) as fh:
+            for i, line in enumerate(fh, 1):
+                if re.search(rf"F\.broadcast\(\s*{scaling_vars}", line):
+                    offenders.append(f"{fname}:{i}: {line.strip()}")
+    assert not offenders, "\n".join(offenders)

@@ -102,6 +102,15 @@ def main() -> None:
     anchor = round((pre + post) / 2, 4)
     anchor_soak = round((post + soak_post) / 2, 4)
     spread = round(abs(pre - post) / max(pre, post), 4) if max(pre, post) else 0.0
+    # r11 advisory: the soak pass is the round-comparison statistic, so it
+    # needs its own drift gate — a host throughput shift between post and
+    # soak_post would skew normalized_soak while the pass-1 spread still
+    # read stable.
+    spread_soak = (
+        round(abs(post - soak_post) / max(post, soak_post), 4)
+        if max(post, soak_post)
+        else 0.0
+    )
     print(
         json.dumps(
             {
@@ -111,7 +120,8 @@ def main() -> None:
                 "anchor_pre": pre,
                 "anchor_post": post,
                 "anchor_spread": spread,
-                "stable": spread <= 0.15,
+                "anchor_spread_soak": spread_soak,
+                "stable": spread <= 0.15 and spread_soak <= 0.15,
                 "queries": medians,
                 "normalized": {
                     n: round(m / anchor, 4) for n, m in medians.items()

@@ -65,6 +65,17 @@ if REPO_DIR not in sys.path:
 
 from bench import HEADLINE, warm_median  # the pinned statistic
 
+# r11 verdict #5: the headline set under-represents the iterative operators
+# (per-iteration localCheckpoint loops) and the heavy text path, so the curve
+# carries them explicitly — graph closure + weighted PageRank (checkpointed
+# iteration cost must scale with |edges|, not iterations × corpus) and BPE
+# merge learning (vocabulary-sized driver loop over map-side bigram counts).
+EXTRA_SCALE_QUERIES = [
+    "dedup_cluster_components",
+    "graph_pagerank_nation_trade",
+    "text_bpe_learn_merges",
+]
+
 KEY_SHIFT = 10_000_000
 DERIVATION_VERSION = 2
 
@@ -86,12 +97,6 @@ SHIFT_COLS = {
 # A normalized ratio above 1.2 × factor (i.e. >20% past linear) is a scale
 # defect to root-cause; below that is linear-or-better.
 SUPERLINEAR_MARGIN = 1.2
-
-
-def _copy_expr(i: int):
-    from pyspark.sql import functions as F
-
-    return F.lit(i)
 
 
 def build_synth(spark, base: str, out: str, factor: int) -> None:
@@ -212,9 +217,13 @@ def main() -> None:
         runs[f"calib_scan_{tag}"] = per_run
         return warm_median(per_run)
 
+    curve_queries = HEADLINE + [
+        n for n in EXTRA_SCALE_QUERIES if n not in HEADLINE
+    ]
+
     def run_set(sf_dir: str, tag: str) -> dict[str, float]:
         meds: dict[str, float] = {}
-        for name in HEADLINE:
+        for name in curve_queries:
             fn = QUERIES[name]
             per_run: list[float] = []
             for _ in range(reps):
@@ -243,14 +252,14 @@ def main() -> None:
     anchor_synth = (mid + post) / 2
     raw_ratio = {
         n: round(synth_meds[n] / base_meds[n], 3)
-        for n in HEADLINE
+        for n in curve_queries
         if base_meds.get(n, 0) > 0
     }
     norm_ratio = {
         n: round(
             (synth_meds[n] / anchor_synth) / (base_meds[n] / anchor_base), 3
         )
-        for n in HEADLINE
+        for n in curve_queries
         if base_meds.get(n, 0) > 0 and anchor_base > 0 and anchor_synth > 0
     }
     flag_at = SUPERLINEAR_MARGIN * factor
