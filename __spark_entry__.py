@@ -47,16 +47,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # output PLUS re-pins at the head for the queries whose physical plans
 # changed this round (the broadcast-gate fix, r11 verdict #1).
 VERIFY_PRIORITY: list[str] = [
-    # r12 window: RE-PINS FIRST — the 11 queries whose join plans
-    # changed this round (forced F.broadcast hints on SF-scaling
-    # part/supplier/part_avg replaced by the size-gated
-    # sources.tables.broadcast_if_small; r11 verdict #1) need fresh
-    # driver hash rows against the new plans. Then the verbatim
-    # tools/rotate_window.py output against CORRECTNESS_r11 in its
-    # printed order (queue head = the five r06-stale text entries,
-    # Zipf/chunk/RAKE/BPE-learn/BPE-apply), minus the 10 changed
-    # queries it already contained; the single displaced tail entry
-    # is mm_frame_samples (hash-green r10).
+    # r12 window: RE-PINS FIRST — the 13 queries whose plans changed
+    # this round: text_bigram_kn_perplexity (ctx+fanout fused into one
+    # w1-keyed aggregate) and text_repetition_ratio (map-only rewrite,
+    # shuffle removed), then the 11 queries whose join plans changed
+    # (forced F.broadcast hints on SF-scaling part/supplier/part_avg
+    # replaced by the size-gated sources.tables.broadcast_if_small;
+    # r11 verdict #1) — all need fresh driver hash rows against the
+    # new plans. Then the verbatim tools/rotate_window.py output
+    # against CORRECTNESS_r11 in its printed order (queue head = the
+    # five r06-stale text entries, Zipf/chunk/RAKE/BPE-learn/
+    # BPE-apply), minus the 10 changed queries it already contained;
+    # displaced tail entries: mm_frame_samples (hash-green r10), and
+    # for the two textstats re-pins dedup_cluster_components +
+    # mm_payload_stats (both hash-green r08 — still inside the r13
+    # staleness target).
+    "text_bigram_kn_perplexity",
+    "text_repetition_ratio",
     "q07_nation_trade_volume",
     "q08_market_share",
     "q09_profit_by_nation_year",
@@ -105,8 +112,6 @@ VERIFY_PRIORITY: list[str] = [
     "q_customer_gini_concentration",
     "dedup_simhash_buckets",
     "dedup_simhash_hamming_pairs",
-    "dedup_cluster_components",
-    "mm_payload_stats",
 ]
 
 

@@ -415,20 +415,28 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same document. High ratio → boilerplate/spam → filtered before
     training.
 
-    Map-side explode + one doc_id-keyed aggregation; the duplicate fraction
-    is exact integer arithmetic + one IEEE division, so the oracle matches
-    bit-for-bit.
+    MAP-ONLY (r12): a document's n-grams all live in its own token array, so
+    total and distinct counts fold inside the array (``size`` /
+    ``size(array_distinct(...))``) with no explode, no shuffle — the former
+    explode + doc_id-keyed distinct aggregation shuffled the per-partition-
+    distinct (doc_id, gram) stream, corpus-sized at 100 TB (guide §2.4).
+    ``concat_ws`` never yields NULL and ``countDistinct`` saw no NULLs, so
+    the counts are identical; the duplicate fraction stays exact integer
+    arithmetic + one IEEE division, so the oracle matches bit-for-bit.
     """
     docs = load_table(spark, sf_dir, "documents")
     grams = (
         docs.select("doc_id", F.split("text", " ").alias("toks"))
         .filter(F.size("toks") >= REPETITION_NGRAM)
-        .select("doc_id", F.explode(F.expr(_NGRAMS_SQL)).alias("g"))
+        .select("doc_id", F.expr(_NGRAMS_SQL).alias("garr"))
     )
-    dup_ratio = F.lit(1.0) - F.countDistinct("g").cast("double") / F.count("*")
-    return grams.groupBy("doc_id").agg(
-        F.count("*").alias("n_ngrams"),
-        F.countDistinct("g").alias("n_distinct"),
+    n_ngrams = F.size("garr").cast("long")
+    n_distinct = F.size(F.array_distinct("garr")).cast("long")
+    dup_ratio = F.lit(1.0) - n_distinct.cast("double") / n_ngrams
+    return grams.select(
+        "doc_id",
+        n_ngrams.alias("n_ngrams"),
+        n_distinct.alias("n_distinct"),
         dup_ratio.cast("double").alias("dup_ratio"),
         (dup_ratio > REPETITION_THRESHOLD).alias("is_repetitive"),
     )
@@ -1489,8 +1497,9 @@ def text_bigram_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines' ln agree well past 6 digits; the DOUBLE expression text
     is identical so evaluation order is too).
 
-    Scale shape: identical to :func:`text_bigram_perplexity` — the four LM
-    tables (bigram, context, fan-out, continuation) are vocabulary²-bounded
+    Scale shape: identical to :func:`text_bigram_perplexity` — the LM
+    tables (bigram; context+fan-out fused into one w1-keyed aggregate, r12;
+    continuation) are vocabulary²-bounded
     aggregates with map-side combine, the scoring join is keyed on (w1,w2)
     with no broadcast hint (AQE decides while the LM fits), and the only
     corpus-sized shuffle is the per-doc fold — bigrams assemble map-side
@@ -1503,15 +1512,20 @@ def text_bigram_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bigrams = _doc_bigrams(docs)
     bg = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12")).transform(materialize)
-    ctx = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    fanout = bg.groupBy("w1").agg(F.count("*").alias("nf"))
+    # context total and fan-out share the w1 grouping: ONE aggregation (one
+    # exchange over bg, one join in the scoring plan) computes both — the
+    # values are identical to the former separate ctx/fanout aggregates, so
+    # every downstream number (and the oracle hash) is unchanged (r12;
+    # guide §2.4: operations keyed the same way share one exchange).
+    ctx_nf = bg.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("nf")
+    )
     cont = bg.groupBy("w2").agg(F.count("*").alias("np"))
     types = bg.agg(F.count("*").alias("tt"))
     doc_bg = bigrams.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("tf"))
     nll = (
         doc_bg.join(bg, ["w1", "w2"])
-        .join(ctx, "w1")
-        .join(fanout, "w1")
+        .join(ctx_nf, "w1")
         .join(cont, "w2")
         .crossJoin(F.broadcast(types))
         .groupBy("doc_id")

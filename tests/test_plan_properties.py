@@ -111,3 +111,23 @@ def test_sf_scaling_dims_not_force_broadcast_in_source():
                 if re.search(rf"F\.broadcast\(\s*{scaling_vars}", line):
                     offenders.append(f"{fname}:{i}: {line.strip()}")
     assert not offenders, "\n".join(offenders)
+
+
+def test_repetition_ratio_is_map_only(spark):
+    """r12: duplicate-n-gram counts fold inside each document's own gram
+    array (``size``/``size(array_distinct(...))``), so the plan must carry
+    ZERO exchanges — the former explode + doc_id-keyed countDistinct
+    shuffled a corpus-sized (doc_id, gram) stream (guide §2.4)."""
+    stats = analyze(QUERIES["text_repetition_ratio"](spark, SF))
+    assert stats.n_exchanges == 0, stats.summary()
+
+
+def test_kn_perplexity_context_fanout_share_one_aggregate(spark):
+    """r12: the KN context total (sum c12) and fan-out (count) are grouped
+    by the same key (w1) and must be computed by ONE aggregation — two
+    HashAggregate pairs over bg keyed w1 would pay an extra exchange and an
+    extra join in the scoring plan (guide §2.4). The plan may contain at
+    most one shuffle keyed on w1 alone."""
+    plan = analyze(QUERIES["text_bigram_kn_perplexity"](spark, SF)).plan
+    w1_exchanges = re.findall(r"Exchange hashpartitioning\(w1#\d+[^,)]*\)", plan)
+    assert len(w1_exchanges) <= 1, plan
