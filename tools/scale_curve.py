@@ -184,6 +184,10 @@ def main() -> None:
     )
     factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # Optional comma-separated subset (r12): re-probe a flagged/suspect query
+    # at more reps without paying for the whole curve — same derivation, same
+    # base-dir anchors, same normalization as the full run.
+    only = os.environ.get("SPARK_GRAFT_SCALE_QUERIES", "").strip()
 
     from csv_parquet_s3_spark.operators import QUERIES
     from csv_parquet_s3_spark.plans.materialize import released_after
@@ -220,6 +224,12 @@ def main() -> None:
     curve_queries = HEADLINE + [
         n for n in EXTRA_SCALE_QUERIES if n not in HEADLINE
     ]
+    if only:
+        subset = [n for n in only.split(",") if n]
+        unknown = [n for n in subset if n not in QUERIES]
+        if unknown:
+            sys.exit(f"unknown queries in SPARK_GRAFT_SCALE_QUERIES: {unknown}")
+        curve_queries = subset
 
     def run_set(sf_dir: str, tag: str) -> dict[str, float]:
         meds: dict[str, float] = {}
