@@ -47,8 +47,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # output PLUS re-pins at the head for the queries whose physical plans
 # changed this round (the broadcast-gate fix, r11 verdict #1).
 VERIFY_PRIORITY: list[str] = [
-    # r12 window: RE-PINS FIRST — the 13 queries whose plans changed
-    # this round: text_bigram_kn_perplexity (ctx+fanout fused into one
+    # r12 window: RE-PINS FIRST — the 14 queries whose plans changed
+    # this round: dedup_canonical_docs (survivorship pick+assignment
+    # fused into one cluster-partitioned window pass, late r12; the
+    # displaced tail entry dedup_simhash_hamming_pairs is hash-green
+    # r08, inside the r13 staleness target),
+    # text_bigram_kn_perplexity (ctx+fanout fused into one
     # w1-keyed aggregate) and text_repetition_ratio (map-only rewrite,
     # shuffle removed), then the 11 queries whose join plans changed
     # (forced F.broadcast hints on SF-scaling part/supplier/part_avg
@@ -62,6 +66,7 @@ VERIFY_PRIORITY: list[str] = [
     # for the two textstats re-pins dedup_cluster_components +
     # mm_payload_stats (both hash-green r08 — still inside the r13
     # staleness target).
+    "dedup_canonical_docs",
     "text_bigram_kn_perplexity",
     "text_repetition_ratio",
     "q07_nation_trade_volume",
@@ -111,7 +116,6 @@ VERIFY_PRIORITY: list[str] = [
     "q15_top_supplier",
     "q_customer_gini_concentration",
     "dedup_simhash_buckets",
-    "dedup_simhash_hamming_pairs",
 ]
 
 

@@ -168,9 +168,18 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical. Downstream keeps ``is_canonical`` rows and rewrites references
     through ``canonical_id``.
 
-    Scale shape: clusters from min-label propagation (bounded by |edges|),
-    survivor choice is one ``max_by`` aggregation keyed by cluster — no
-    window over the corpus, no collect."""
+    Scale shape: clusters from min-label propagation (bounded by |edges|);
+    survivor pick AND assignment happen in ONE cluster-partitioned window
+    pass (r12; guide §2.4) — the former ``max_by`` aggregate + join-back
+    consumed the corpus-sized ``all_docs`` frame twice, re-deriving its
+    lineage (two ``documents`` scans, two doc_id-keyed joins against the
+    checkpointed closure) and shuffling the corpus by cluster_id twice.
+    ``first(doc_id)`` over (n_chars DESC, doc_id ASC) is exactly
+    ``max_by(doc_id, struct(n_chars, -doc_id))``, and the window partitions
+    are near-dup clusters (bounded small; singletons are their own
+    partition key), so no skewed window task exists. No collect."""
+    from pyspark.sql import Window
+
     from csv_parquet_s3_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
@@ -180,12 +189,16 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
     )
-    canon = all_docs.groupBy("cluster_id").agg(
-        F.max_by(
-            "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg"))
-        ).alias("canonical_id")
+    w = (
+        Window.partitionBy("cluster_id")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    return all_docs.join(canon, "cluster_id").select(
+    return all_docs.select(
+        "doc_id",
+        "cluster_id",
+        F.first("doc_id").over(w).alias("canonical_id"),
+    ).select(
         "doc_id",
         "cluster_id",
         "canonical_id",

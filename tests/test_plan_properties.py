@@ -122,6 +122,20 @@ def test_repetition_ratio_is_map_only(spark):
     assert stats.n_exchanges == 0, stats.summary()
 
 
+def test_canonical_docs_single_cluster_shuffle(spark):
+    """r12: survivor pick and assignment share ONE cluster-partitioned
+    window pass — the former max_by aggregate + join-back consumed the
+    corpus-sized all_docs frame twice (two documents scans, two cluster_id
+    exchanges, SMJ join-back; guide §2.4). The plan must carry exactly one
+    cluster_id-keyed exchange, one Window, and a single documents scan."""
+    stats = analyze(QUERIES["dedup_canonical_docs"](spark, SF))
+    plan = stats.plan
+    # formatted plans put the partitioning on a detail "Arguments:" line
+    assert len(re.findall(r"hashpartitioning\(cluster_id#\d+", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    assert len(re.findall(r"Location:.*documents", plan)) == 1, plan
+
+
 def test_kn_perplexity_context_fanout_share_one_aggregate(spark):
     """r12: the KN context total (sum c12) and fan-out (count) are grouped
     by the same key (w1) and must be computed by ONE aggregation — two
