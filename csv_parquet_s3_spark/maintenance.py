@@ -222,19 +222,25 @@ def delete_rows(
     """DELETE-by-key from a parquet dataset: the keep-the-anti-set rewrite
     the purge module applies to tables (`AutoPurge.sql:171-174`), as a
     reusable primitive for per-entity index tables (BM25 doc_tf/dl, IVF
-    inverted lists). One broadcast anti-join keyed on ``key``, staged-swap
+    inverted lists). One anti-join keyed on ``key``, staged-swap
     atomic like :func:`compact`/:func:`upsert`; keys absent from the
     target are ignored (DELETE semantics). A no-op delete (no key matches —
     e.g. a caller probing with possibly-absent ids) skips the staging write
     and swap entirely, so it costs one semi-join count, not a whole-dataset
-    rewrite. Returns rows removed."""
+    rewrite. Returns rows removed.
+
+    The victim set is CALLER-SUPPLIED and unbounded — a bulk retention
+    purge can pass millions of keys — so it is never force-broadcast (a
+    hint has no AQE size fallback and would OOM the driver); CBO/AQE pick
+    broadcast whenever the distinct key set genuinely fits, and degrade to
+    a shuffled semi/anti join above that (r12 verdict #3)."""
     keys = [key] if isinstance(key, str) else list(key)
     vic = victims.select(*keys).distinct()
     target = spark.read.parquet(path)
-    n_gone = target.join(F.broadcast(vic), keys, "left_semi").count()
+    n_gone = target.join(vic, keys, "left_semi").count()
     if n_gone == 0:
         return 0
-    kept = target.join(F.broadcast(vic), keys, "left_anti")
+    kept = target.join(vic, keys, "left_anti")
     _staged_overwrite(kept, path, "._delete-")
     return n_gone
 

@@ -175,7 +175,12 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage (two ``documents`` scans, two doc_id-keyed joins against the
     checkpointed closure) and shuffling the corpus by cluster_id twice.
     ``first(doc_id)`` over (n_chars DESC, doc_id ASC) is exactly
-    ``max_by(doc_id, struct(n_chars, -doc_id))``, and the window partitions
+    ``max_by(doc_id, struct(n_chars, -doc_id))`` — relying on
+    ``documents.n_chars`` being NON-NULL (it is ``length(text)`` at ingest;
+    with NULLs, Spark's DESC NULLS LAST default and the max_by struct order
+    would still agree with each other and with DuckDB's default null order,
+    but the equivalence claim assumes the non-null column) — and the window
+    partitions
     are near-dup clusters (bounded small; singletons are their own
     partition key), so no skewed window task exists. No collect."""
     from pyspark.sql import Window

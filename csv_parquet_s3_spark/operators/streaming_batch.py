@@ -735,7 +735,9 @@ def stream_segment_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers = load_table(spark, sf_dir, "customer")
     return _drain(
         spark,
-        segment_hourly_rollup(_events_stream(spark, sf_dir), customers),
+        segment_hourly_rollup(
+            _events_stream(spark, sf_dir), customers, sf_dir=sf_dir
+        ),
     )
 
 

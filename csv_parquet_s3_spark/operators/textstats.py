@@ -330,9 +330,10 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     {TFIDF_TOP} per doc.
 
     Scale shape: tf is one aggregate keyed (doc, token); df is one keyed
-    (token); the df table is vocabulary-sized → broadcast back onto tf, so
-    scoring is map-side. The doc count is a one-row broadcast. The final
-    per-doc window shuffles only the scored tf rows.
+    (token); the df table is vocabulary-sized and joins back onto tf with
+    no forced hint (AQE broadcasts while it fits, so scoring is map-side
+    at any realistic vocab; r13 vocab audit). The doc count is a one-row
+    broadcast. The final per-doc window shuffles only the scored tf rows.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
@@ -351,7 +352,13 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tf.groupBy("token").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "token")
+        # No broadcast hint on df (r13 vocab audit, tools/vocab_audit_r13.json):
+        # "vocabulary-sized" is not a constant on an unnormalized web corpus,
+        # and a hint has no AQE size fallback. CBO/AQE still pick broadcast
+        # at any realistic vocab size (df derives from the materialized tf,
+        # so runtime sizes are exact); at the pathological tail the join
+        # degrades to a shuffle instead of an OOM.
+        tf.join(df, "token")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -472,10 +479,11 @@ def text_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     its distinct {REPETITION_NGRAM}-grams that also occur in a held-out
     benchmark set (stand-in: doc_id % {BENCHMARK_MOD} == 0).
 
-    The benchmark n-gram set is bounded (benchmarks are small), so the
-    membership probe is a broadcast semi-join against every training shard —
-    at 100 TB the corpus streams map-side, nothing shuffles but the per-doc
-    counts.
+    The benchmark n-gram set is bounded (real benchmarks are small), so
+    the membership probe broadcasts in practice — but the frame is not
+    hinted (r13 vocab audit): AQE picks broadcast while it fits and the
+    corpus streams map-side, nothing shuffling but the per-doc counts; an
+    oversized gram set degrades to a shuffled join instead of an OOM.
     """
     docs = load_table(spark, sf_dir, "documents")
     # localCheckpoint: the distinct gram set feeds the benchmark side and
@@ -492,7 +500,13 @@ def text_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = doc_grams.filter(is_bench).select("g").distinct()
     train = doc_grams.filter(~is_bench)
     hits = (
-        train.join(F.broadcast(bench), "g")
+        # No broadcast hint on bench (r13 vocab audit): a REAL benchmark
+        # suite is MB-bounded, but this stand-in derives from the corpus's
+        # own gram space — measured 362→2397 distinct grams for a 100×
+        # corpus (tools/vocab_audit_r13.json). AQE picks broadcast while it
+        # fits (bench derives from the materialized doc_grams, so runtime
+        # sizes are exact) and degrades to a shuffled semi-join above.
+        train.join(bench, "g")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_contaminated"))
     )
@@ -638,21 +652,27 @@ def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocab and total each replay the tokenization pass.
     vocab = toks.groupBy("token").agg(F.count("*").alias("cnt")).transform(materialize)
     total = vocab.agg(F.sum("cnt").cast("bigint").alias("n_total"))
-    doc_tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     tok_nll = F.round(
         F.log(F.col("n_total").cast("double") / F.col("cnt")), 6
     ).cast("decimal(20,6)")
-    nll = (
+    # r13: same term-table restructure as the bigram family — fold the LM
+    # into a vocabulary-sized (token, __term) table and score each token
+    # occurrence map-side, so the former corpus-sized (doc_id, token) doc_tf
+    # exchange disappears; sum(tf·term) == sum(term per occurrence) exactly
+    # (DECIMAL), count(*) == sum(tf) — bit-identical values.
+    term_tbl = (
         # No broadcast hint on vocab: a web-scale vocabulary (unbounded
         # distinct tokens) need not fit in executor memory. AQE still picks
         # broadcast at any realistic vocab size; at the pathological tail it
         # degrades to a shuffled join instead of OOMing.
-        doc_tf.join(vocab, "token")
-        .crossJoin(F.broadcast(total))
+        vocab.crossJoin(F.broadcast(total)).select("token", tok_nll.alias("__term"))
+    )
+    nll = (
+        toks.join(term_tbl, "token")
         .groupBy("doc_id")
         .agg(
-            F.sum("tf").cast("bigint").alias("n_tokens"),
-            F.sum(F.col("tf") * tok_nll).alias("nll_sum"),
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("__term").alias("nll_sum"),
         )
     )
     # tie-proof average (see text_bigram_kn_perplexity): a DECIMAL(,6) sum
@@ -1300,7 +1320,6 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.countDistinct("tok").alias("v"))
     bg = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12")).transform(materialize)
     ctx = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    doc_bg = bigrams.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("tf"))
     term = F.round(
         F.log(
             (F.col("c1").cast("double") + BG_ALPHA * F.col("v"))
@@ -1308,14 +1327,22 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     ).cast("decimal(20,6)")
-    nll = (
-        doc_bg.join(bg, ["w1", "w2"])
-        .join(ctx, "w1")
+    # r13: same term-table restructure as the KN sibling — the LM folds into
+    # a vocab²-bounded (w1, w2, term) table and the corpus pass is one join
+    # + one doc_id fold; sum(tf·term) == sum(term per occurrence) exactly
+    # (DECIMAL), count(*) == sum(tf), so values are bit-identical while the
+    # corpus-sized (doc_id, w1, w2) doc_bg exchange disappears.
+    term_tbl = (
+        bg.join(ctx, "w1")
         .crossJoin(F.broadcast(vocab))
+        .select("w1", "w2", term.alias("__term"))
+    )
+    nll = (
+        bigrams.join(term_tbl, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
-            F.sum("tf").cast("bigint").alias("n_bigrams"),
-            F.sum(F.col("tf") * term).alias("nll_sum"),
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("__term").alias("nll_sum"),
         )
     )
     # tie-proof average — same integer half-up division as the KN sibling.
@@ -1499,16 +1526,18 @@ def text_bigram_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: identical to :func:`text_bigram_perplexity` — the LM
     tables (bigram; context+fan-out fused into one w1-keyed aggregate, r12;
-    continuation) are vocabulary²-bounded
-    aggregates with map-side combine, the scoring join is keyed on (w1,w2)
-    with no broadcast hint (AQE decides while the LM fits), and the only
-    corpus-sized shuffle is the per-doc fold — bigrams assemble map-side
-    (`_doc_bigrams`; the r07-era tokenize-position self-join is gone), so
-    the bigram stream is map-only lineage its two consumers re-derive from
-    the scan instead of checkpointing corpus-sized bytes. The vocab²-sized
-    bg table stays materialized (referenced by all four LM aggregates and
-    the scoring join: the r06 plan audit measured 12 scans / 14 exchanges
-    from the compounded replays)."""
+    continuation) are vocabulary²-bounded aggregates with map-side combine,
+    pre-joined into ONE per-bigram term table (r13) so the corpus-sized
+    scoring pass is a single (w1,w2)-keyed join (no broadcast hint — AQE
+    decides while the LM fits) feeding the per-doc fold, whose exchange
+    carries only (doc_id, partial count, partial DECIMAL sum) after
+    map-side combine. Bigrams assemble map-side (`_doc_bigrams`; the
+    r07-era tokenize-position self-join is gone), so the bigram stream is
+    map-only lineage its two consumers re-derive from the scan instead of
+    checkpointing corpus-sized bytes. The vocab²-sized bg table stays
+    materialized (referenced by all four LM aggregates and the term table:
+    the r06 plan audit measured 12 scans / 14 exchanges from the
+    compounded replays)."""
     docs = load_table(spark, sf_dir, "documents")
     bigrams = _doc_bigrams(docs)
     bg = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12")).transform(materialize)
@@ -1522,18 +1551,29 @@ def text_bigram_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cont = bg.groupBy("w2").agg(F.count("*").alias("np"))
     types = bg.agg(F.count("*").alias("tt"))
-    doc_bg = bigrams.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("tf"))
-    nll = (
-        doc_bg.join(bg, ["w1", "w2"])
-        .join(ctx_nf, "w1")
+    # r13: the whole LM folds into one vocab²-bounded per-bigram term table;
+    # the corpus-sized pass is then a single join + one doc_id fold. The
+    # former doc_bg aggregate shuffled the corpus-sized (doc_id, w1, w2)
+    # STRING stream just to weight the same per-bigram term by tf — but
+    # sum(tf · term) over distinct (doc, w1, w2) == sum(term) over raw
+    # occurrences (DECIMAL addition is exact and order-free, and tf·term IS
+    # term added tf times), and count(*) == sum(tf); so scoring each
+    # occurrence map-side and folding once by doc_id is bit-identical while
+    # the only corpus-sized exchange now carries (doc_id, partial count,
+    # partial DECIMAL sum) after map-side combine — narrower bytes and one
+    # corpus exchange fewer (guide §2.3/§2.4).
+    term_tbl = (
+        bg.join(ctx_nf, "w1")
         .join(cont, "w2")
         .crossJoin(F.broadcast(types))
+        .select("w1", "w2", F.expr(_KN_TERM).cast("decimal(20,6)").alias("__term"))
+    )
+    nll = (
+        bigrams.join(term_tbl, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
-            F.sum("tf").cast("bigint").alias("n_bigrams"),
-            F.sum(
-                F.col("tf") * F.expr(_KN_TERM).cast("decimal(20,6)")
-            ).alias("nll_sum"),
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("__term").alias("nll_sum"),
         )
     )
     # avg = half-up integer division in micro-nats: the 6-digit DECIMAL sum
@@ -1653,11 +1693,6 @@ def text_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = tr_docs.select(
         F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("tok")
     ).agg(F.countDistinct("tok").alias("v"))
-    doc_bg = (
-        _doc_bigrams(te_docs)
-        .groupBy("doc_id", "w1", "w2")
-        .agg(F.count("*").alias("tf"))
-    )
     term = F.round(
         F.log(
             (F.coalesce(F.col("c1"), F.lit(0)).cast("double") + BG_ALPHA * F.col("v"))
@@ -1665,14 +1700,23 @@ def text_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     ).cast("decimal(20,6)")
+    # r13: score each TEST bigram occurrence directly instead of first
+    # aggregating a (doc_id, w1, w2, tf) frame — the term is a pure function
+    # of (c12, c1, v) so it is identical for every occurrence of a bigram,
+    # and sum(tf·term) == sum(term per occurrence) exactly (DECIMAL),
+    # count(*) == sum(tf); the corpus-scaled doc_bg exchange disappears.
+    # The two LEFT joins stay keyed apart (bg on (w1,w2), ctx on w1): an
+    # unseen test bigram with a SEEN context must smooth against its real
+    # c1, which a single (w1, w2) term table cannot represent.
     nll = (
-        doc_bg.join(bg, ["w1", "w2"], "left")
+        _doc_bigrams(te_docs)
+        .join(bg, ["w1", "w2"], "left")
         .join(ctx, "w1", "left")
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(
-            F.sum("tf").cast("bigint").alias("n_bigrams"),
-            F.sum(F.col("tf") * term).alias("nll_sum"),
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum(term).alias("nll_sum"),
         )
     )
     # tie-proof average: see text_bigram_kn_perplexity (integer half-up

@@ -50,7 +50,10 @@ def table_path(sf_dir: str, name: str) -> str:
 # small (DEPLOYMENT.md "AQE conversion" policy). 64 MiB of snappy parquet is
 # ~200-400 MB of in-memory rows — inside the executor comfort zone
 # DEPLOYMENT.md sizes for, and far above every SF this repo benches.
-BROADCAST_GATE_BYTES = 64 << 20
+# Production knob: SPARK_GRAFT_GATE_BYTES overrides the default (read once
+# at import, like every deployment env knob here) — size it to the
+# cluster's broadcast budget per DEPLOYMENT.md; 0 disables all gated hints.
+BROADCAST_GATE_BYTES = int(os.environ.get("SPARK_GRAFT_GATE_BYTES", 64 << 20))
 
 _TABLE_BYTES_CACHE: dict[tuple[str, str], int] = {}
 

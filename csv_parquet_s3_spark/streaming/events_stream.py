@@ -109,23 +109,36 @@ def sliding_event_rollup(
 
 
 def segment_hourly_rollup(
-    events: DataFrame, customers: DataFrame, watermark: str = "30 minutes"
+    events: DataFrame,
+    customers: DataFrame,
+    watermark: str = "30 minutes",
+    sf_dir: str | None = None,
 ) -> DataFrame:
     """Stream-static enrichment join + tumbling rollup: the event stream
     joins the (batch) customer dimension on user_id and aggregates value by
     market segment per hour — the canonical "enrich a stream against a
     slowly-refreshed dim table" pipeline stage. The static side re-plans per
-    micro-batch (Spark re-reads it each trigger, picking up dim refreshes);
-    the broadcast hint keeps the join shuffle-free, which is the right call
-    for any dimension that fits an executor (customer at 100 TB fact scale
-    is still dimension-sized relative to events).
+    micro-batch (Spark re-reads it each trigger, picking up dim refreshes).
+
+    Broadcast policy (r12 verdict #2): customer is an SF-SCALING table, so
+    the hint goes through the ``broadcast_if_small`` size gate when the
+    caller passes ``sf_dir`` — under the gate the join stays shuffle-free;
+    above it (or with no ``sf_dir`` to measure against) the strategy is
+    left to CBO/AQE, which re-sizes the static side per micro-batch and
+    still picks broadcast whenever the dim genuinely fits an executor. A
+    forced hint has no AQE fallback and would OOM at the 100 TB design
+    point.
     """
+    from csv_parquet_s3_spark.sources.tables import broadcast_if_small
+
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
     dim = customers.select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
+    if sf_dir is not None:
+        dim = broadcast_if_small(dim, sf_dir, "customer")
     return (
-        src.join(F.broadcast(dim), "user_id")
+        src.join(dim, "user_id")
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("c_mktsegment"))
         .agg(
             F.count("*").alias("n_events"),

@@ -80,6 +80,24 @@ def test_broadcast_gate_hints_only_measured_small_tables(spark):
     assert "ResolvedHint" in always._jdf.queryExecution().analyzed().toString()
 
 
+def test_broadcast_gate_env_override(monkeypatch):
+    """`SPARK_GRAFT_GATE_BYTES` is the production broadcast-budget knob
+    (DEPLOYMENT.md): it must override both the module constant AND the
+    def-time default of ``broadcast_if_small`` (which binds the constant)."""
+    import importlib
+
+    from csv_parquet_s3_spark.sources import tables as T
+
+    monkeypatch.setenv("SPARK_GRAFT_GATE_BYTES", "12345")
+    try:
+        mod = importlib.reload(T)
+        assert mod.BROADCAST_GATE_BYTES == 12345
+        assert (mod.broadcast_if_small.__defaults__ or ())[-1] == 12345
+    finally:
+        monkeypatch.delenv("SPARK_GRAFT_GATE_BYTES")
+        importlib.reload(T)
+
+
 def test_broadcast_gate_unstattable_root_never_claims_small(tmp_path):
     """A root we cannot stat locally (s3a://-style) must report a huge size
     so no hint is ever attached on unmeasured data."""
@@ -101,11 +119,24 @@ def test_sf_scaling_dims_not_force_broadcast_in_source():
     import os
     import re
 
+    import glob
+    import os
+
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    scaling_vars = r"(supp|part|part_avg|excluded|cust)\b"
+    pkg = os.path.join(repo, "csv_parquet_s3_spark")
+    # r13: the grep also covers streaming/ (the r12 verdict's residual
+    # forced customer-dim broadcast) and maintenance.py (the caller-supplied
+    # unbounded victim set), plus frames named for them (dim/vic/victims).
+    scaling_vars = r"(supp|part|part_avg|excluded|cust|dim|vic|victims)\b"
+    paths = [
+        os.path.join(pkg, "operators", "tpch_ext.py"),
+        os.path.join(pkg, "operators", "components.py"),
+        os.path.join(pkg, "maintenance.py"),
+        *glob.glob(os.path.join(pkg, "streaming", "*.py")),
+    ]
     offenders = []
-    for fname in ("tpch_ext.py", "components.py"):
-        path = os.path.join(repo, "csv_parquet_s3_spark", "operators", fname)
+    for path in paths:
+        fname = os.path.relpath(path, pkg)
         with open(path) as fh:
             for i, line in enumerate(fh, 1):
                 if re.search(rf"F\.broadcast\(\s*{scaling_vars}", line):
@@ -145,3 +176,23 @@ def test_kn_perplexity_context_fanout_share_one_aggregate(spark):
     plan = analyze(QUERIES["text_bigram_kn_perplexity"](spark, SF)).plan
     w1_exchanges = re.findall(r"Exchange hashpartitioning\(w1#\d+[^,)]*\)", plan)
     assert len(w1_exchanges) <= 1, plan
+
+
+def test_perplexity_scoring_folds_occurrences_directly(spark):
+    """r13: each perplexity query folds the LM into a per-key term table and
+    scores token/bigram OCCURRENCES map-side, so the only doc-keyed exchange
+    is the final fold on doc_id ALONE (carrying partial count + DECIMAL sum
+    after map-side combine). The former corpus-sized (doc_id, w1, w2) /
+    (doc_id, token) pre-aggregation exchange must never come back — it
+    shuffled the full string key stream just to weight the same per-key term
+    by tf (guide §2.3/§2.4; sum(tf·term) == sum(term per occurrence) in
+    exact DECIMAL arithmetic, so the rewrite is bit-identical)."""
+    for name in (
+        "text_bigram_kn_perplexity",
+        "text_bigram_perplexity",
+        "text_unigram_perplexity",
+        "text_heldout_perplexity",
+    ):
+        plan = analyze(QUERIES[name](spark, SF)).plan
+        bad = re.findall(r"Exchange hashpartitioning\(doc_id#\d+L?, \w+#", plan)
+        assert not bad, f"{name}: corpus-sized doc-keyed exchange is back: {bad}"

@@ -111,40 +111,6 @@ def main() -> None:
     )
     load_table(spark, sf_dir, "documents").count()  # warm listing
 
-    if stage_mode:
-        # pin the closure ONCE outside the timed region; time only the tail
-        comp = (
-            dedup_cluster_components(spark, sf_dir)
-            .select("doc_id", "cluster_id")
-            .localCheckpoint()
-        )
-        all_docs = _all_docs(spark, sf_dir, comp=comp)
-        per = {"old": [], "new": []}
-        for _ in range(reps):
-            for tag, df in (
-                ("old", _old_tail(all_docs, F)),
-                ("new", _new_tail(all_docs, F, Window)),
-            ):
-                t0 = time.perf_counter()
-                df.write.format("noop").mode("overwrite").save()
-                per[tag].append(round(time.perf_counter() - t0, 4))
-        med = {k: warm_median(v) for k, v in per.items()}
-        out = {
-            "mode": "stage",
-            "sf_dir": sf_dir,
-            "reps": reps,
-            "runs": per,
-            "median": med,
-            "delta_pct": round(100 * (med["new"] - med["old"]) / med["old"], 2)
-            if med["old"]
-            else None,
-        }
-        with open(out_path, "w") as fh:
-            json.dump(out, fh, indent=1, sort_keys=True)
-            fh.write("\n")
-        print(json.dumps({k: out[k] for k in ("median", "delta_pct")}))
-        return
-
     def anchor(tag, runs):
         per = []
         for _ in range(reps):
@@ -155,6 +121,55 @@ def main() -> None:
             per.append(round(time.perf_counter() - t0, 4))
         runs[f"calib_{tag}"] = per
         return warm_median(per)
+
+    if stage_mode:
+        # pin the closure ONCE outside the timed region; time only the tail.
+        # r12-advisor low: stage mode carries the SAME pre/post anchor
+        # calibration as end-to-end mode, so the calmness of a committed
+        # stage window is machine-checkable (anchor_spread).
+        comp = (
+            dedup_cluster_components(spark, sf_dir)
+            .select("doc_id", "cluster_id")
+            .localCheckpoint()
+        )
+        all_docs = _all_docs(spark, sf_dir, comp=comp)
+        runs: dict[str, list[float]] = {}
+        pre = anchor("pre", runs)
+        per = {"old": [], "new": []}
+        for _ in range(reps):
+            for tag, df in (
+                ("old", _old_tail(all_docs, F)),
+                ("new", _new_tail(all_docs, F, Window)),
+            ):
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                per[tag].append(round(time.perf_counter() - t0, 4))
+        post = anchor("post", runs)
+        runs.update(per)
+        a = round((pre + post) / 2, 4)
+        med = {k: warm_median(v) for k, v in per.items()}
+        out = {
+            "mode": "stage",
+            "sf_dir": sf_dir,
+            "reps": reps,
+            "anchor_pre": pre,
+            "anchor_post": post,
+            "anchor": a,
+            "anchor_spread": round(abs(pre - post) / max(pre, post), 4)
+            if max(pre, post)
+            else 0.0,
+            "runs": runs,
+            "median": med,
+            "normalized": {k: round(v / a, 4) for k, v in med.items()} if a else {},
+            "delta_pct": round(100 * (med["new"] - med["old"]) / med["old"], 2)
+            if med["old"]
+            else None,
+        }
+        with open(out_path, "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        print(json.dumps({k: out[k] for k in ("median", "delta_pct", "anchor", "anchor_spread")}))
+        return
 
     runs: dict[str, list[float]] = {}
     pre = anchor("pre", runs)

@@ -225,7 +225,7 @@ def main() -> None:
         n for n in EXTRA_SCALE_QUERIES if n not in HEADLINE
     ]
     if only:
-        subset = [n for n in only.split(",") if n]
+        subset = [n.strip() for n in only.split(",") if n.strip()]
         unknown = [n for n in subset if n not in QUERIES]
         if unknown:
             sys.exit(f"unknown queries in SPARK_GRAFT_SCALE_QUERIES: {unknown}")
