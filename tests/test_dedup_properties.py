@@ -13,6 +13,8 @@ sub-shingle documents). Invariants, per generated corpus:
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -48,6 +50,7 @@ def _true_jaccard(a: str, b: str) -> float:
     texts=st.lists(doc_texts, min_size=2, max_size=12),
     dup_of=st.integers(min_value=0, max_value=3),
 )
+@pytest.mark.slow
 def test_lsh_pipeline_invariants(spark, texts, dup_of):
     # plant one exact duplicate of an existing doc
     texts = list(texts) + [texts[dup_of % len(texts)]]
@@ -141,6 +144,7 @@ def test_prefix_filter_pairs_superset_of_lsh(spark):
     texts=st.lists(doc_texts, min_size=2, max_size=10),
     dup_of=st.integers(min_value=0, max_value=3),
 )
+@pytest.mark.slow
 def test_prefix_filter_is_exact_on_random_corpora(spark, texts, dup_of):
     """Prefix filtering must return EXACTLY the brute-force Jaccard-≥-τ pair
     set — no false negatives (the pigeonhole guarantee) and no false

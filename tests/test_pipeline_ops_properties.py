@@ -108,6 +108,7 @@ def _graph(spark, nodes, edges):
     return n, e
 
 
+@pytest.mark.slow
 def test_pagerank_mass_conserved(spark):
     n, e = _graph(
         spark,
@@ -119,6 +120,7 @@ def test_pagerank_mass_conserved(spark):
     assert total == pytest.approx(1.0, abs=1e-9)
 
 
+@pytest.mark.slow
 def test_pagerank_symmetric_cycle_is_uniform(spark):
     """A symmetric ring (everyone passes all mass to the next node) has the
     uniform distribution as its fixed point — iteration must preserve it."""
@@ -132,6 +134,7 @@ def test_pagerank_symmetric_cycle_is_uniform(spark):
         assert r["rank"] == pytest.approx(1.0 / len(nodes), abs=1e-12)
 
 
+@pytest.mark.slow
 def test_pagerank_sink_attracts_mass(spark):
     """In a -> b -> c (c dangling), rank must be increasing along the chain
     after enough iterations with damping < 1? No — c re-emits uniformly; the

@@ -179,6 +179,7 @@ class TestMaterializeModes:
         assert df.count() == 10
         assert any((tmp_path / "ckpt").rglob("*")), "no checkpoint files written"
 
+    @pytest.mark.slow
     def test_modes_are_result_equivalent_on_an_iterative_operator(
         self, spark, monkeypatch
     ):

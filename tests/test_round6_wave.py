@@ -20,6 +20,8 @@ oracle can't express (it proves Spark==DuckDB, not that either is RIGHT).
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 import pyspark.sql.functions as F
@@ -30,6 +32,7 @@ SF = "/root/testdata/sf0.001"
 # ---------------------------------------------------------------------------
 # Late-data watermark semantics
 # ---------------------------------------------------------------------------
+@pytest.mark.slow
 def test_late_data_probe_dropped_and_cutoff_exact(spark):
     from csv_parquet_s3_spark.operators.streaming_batch import (
         stream_events_late_data_drop,

@@ -64,6 +64,7 @@ class TestBM25FromIndex:
         with open(os.path.join(root2, "_INDEX_META.json")) as fh:
             assert json.load(fh)["mtime_ns"] != 0, "stale fingerprint not rebuilt"
 
+    @pytest.mark.slow
     def test_incremental_equals_full_build(self, spark):
         """update_bm25_index merging the odd half into an even-half index
         must serve exactly the full-corpus ranking (and exercise both the
@@ -139,6 +140,7 @@ class TestMinhashBatchVsIndex:
 
 
 class TestStreamLeftOuter:
+    @pytest.mark.slow
     def test_null_rows_and_eviction_cutoff(self, spark):
         """The drained outer join must contain NULL-padded unconverted
         clicks, no sentinel rows, and — the semantics under test — NO

@@ -77,6 +77,7 @@ class TestCompaction:
         for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
             assert hi_prev <= lo_next, f"overlapping doc_id ranges: {ranges}"
 
+    @pytest.mark.slow
     def test_compaction_preserves_served_ranking(self, spark):
         from csv_parquet_s3_spark.operators.retrieval import (
             _bm25_serve_from,
@@ -88,6 +89,7 @@ class TestCompaction:
         compact_bm25_index(spark, idx)
         assert _rows(_bm25_serve_from(spark, idx)) == before
 
+    @pytest.mark.slow
     def test_compaction_exact_stats_equal_monoidal_stats(self, spark):
         """The per-batch monoidal df/stats deltas must land exactly what the
         compaction-time full re-aggregate computes — if these ever diverge,
@@ -222,6 +224,7 @@ class TestMapOnlyBigrams:
 
 
 class TestIndexDelete:
+    @pytest.mark.slow
     def test_delete_absent_ids_is_noop(self, spark):
         from csv_parquet_s3_spark.operators.retrieval import delete_from_bm25_index
 
@@ -306,6 +309,7 @@ class TestStreamOuterJoinCutoffs:
         df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
         return str(tmp_path)
 
+    @pytest.mark.slow
     def test_right_outer_cutoff_is_strict_at_purchase_ts(
         self, spark, synth_sf_dir
     ):
@@ -323,6 +327,7 @@ class TestStreamOuterJoinCutoffs:
             "cutoff turned strict on this build; flip the oracle back to <"
         )
 
+    @pytest.mark.slow
     def test_full_outer_emits_both_null_populations(self, spark, synth_sf_dir):
         from csv_parquet_s3_spark.operators.streaming_batch import (
             stream_click_purchase_full_outer,
@@ -631,6 +636,7 @@ class TestIvfPqIndexLayout:
     written directory-per-list, and serving prunes EVERY per-list artifact
     scan to the probed lists — codes live INSIDE the inverted lists."""
 
+    @pytest.mark.slow
     def test_codes_clustered_and_probe_pruning(self, spark, tmp_path, monkeypatch):
         from csv_parquet_s3_spark.operators.similarity import N_QUERIES
         from csv_parquet_s3_spark.operators.similarity_index import (

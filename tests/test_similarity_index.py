@@ -3,6 +3,8 @@ ivf_probe operator (same seeds, same nprobe)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from csv_parquet_s3_spark.operators.similarity import (
@@ -102,6 +104,7 @@ def test_trained_index_serves_topk(spark, tmp_path):
     assert err_trained <= err_seeded
 
 
+@pytest.mark.slow
 def test_kmeans_parallel_seeding_not_worse_than_fixed(spark):
     """k-means|| seeds must reach a quantization error at least as good as
     the fixed low-vec_id seeds after identical Lloyd refinement (judge item
@@ -128,6 +131,7 @@ def test_kmeans_parallel_seeding_not_worse_than_fixed(spark):
     assert kmeans_parallel_seed_ids(spark, emb, k=K_LISTS) == pp_seeds
 
 
+@pytest.mark.slow
 def test_streaming_index_updates_match_full_build(spark, tmp_path):
     """Vectors streamed in after the initial build (foreachBatch -> MERGE
     against the stored quantizer) yield the same search results as a full
@@ -167,6 +171,7 @@ def test_streaming_index_updates_match_full_build(spark, tmp_path):
     assert _key(topk_from_index(spark, queries, inc_idx, N_PROBE)) == want
 
 
+@pytest.mark.slow
 def test_pq_adc_search_recall_and_shape(spark):
     """Product quantization: codes table is M small ints per vector, ADC
     top-k reaches usable recall vs exact cosine search, and the whole
@@ -229,6 +234,7 @@ def test_pq_adc_search_recall_and_shape(spark):
     assert a2 == a
 
 
+@pytest.mark.slow
 def test_ivf_pq_composition_prunes_to_probed_lists(spark):
     """IVF×PQ: every returned candidate must live in one of its query's
     nprobe probed lists (pruning is real, not decorative), results are
@@ -323,6 +329,7 @@ def _recall_at_10(df, exact):
     return sum(len(got.get(q, set()) & exact[q]) for q in exact) / (len(exact) * 10)
 
 
+@pytest.mark.slow
 def test_residual_encoding_quantizes_strictly_better(spark):
     """Core residual claim: same Lloyd budget, strictly lower MSE."""
     from pyspark.sql import Window as W
@@ -361,6 +368,7 @@ def test_residual_encoding_quantizes_strictly_better(spark):
     )
 
 
+@pytest.mark.slow
 def test_residual_ivf_pq_recall_not_below_plain_pq(spark):
     from csv_parquet_s3_spark.operators.similarity_index import (
         _residual_frames,

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from csv_parquet_s3_spark.streaming.stateful import user_lifetime_totals
@@ -13,6 +14,7 @@ def _write_batch(spark, path, rows):
     ).parquet(path)
 
 
+@pytest.mark.slow
 def test_stateful_totals_accumulate_across_batches(spark, tmp_path):
     # state ops create one state-store partition per shuffle partition per
     # micro-batch; keep the test's state plumbing small
@@ -68,6 +70,7 @@ def _run_stateful_scenario(spark, tmp_path):
     assert b == got2
 
 
+@pytest.mark.slow
 def test_idle_timeout_evicts_state(spark, tmp_path):
     """ProcessingTimeTimeout eviction (NOTES #3 retest: works on this build):
     a key idle past the timeout loses its state, so its next event restarts
@@ -173,6 +176,7 @@ def test_transform_with_state_matches_apply_in_pandas_with_state(spark, tmp_path
             )
 
 
+@pytest.mark.slow
 def test_tws_batch_fallback_and_gating(spark, tmp_path):
     """Runs everywhere: the batch fallback of the modern-API operator equals
     the applyInPandasWithState operator's batch fallback, and the streaming

@@ -110,6 +110,7 @@ def test_streaming_session_windows_match_batch(spark, tmp_path):
     assert stream_sessions == batch_sessions
 
 
+@pytest.mark.slow
 def test_watermark_bounds_streaming_state(spark, tmp_path):
     """The watermark's scale guarantee is STATE EVICTION: windows whose end
     falls below the watermark leave the state store, so a windowed stream
@@ -161,6 +162,7 @@ def test_watermark_bounds_streaming_state(spark, tmp_path):
     assert wms[-1] == "2024-03-01T13:10:00.000Z"
 
 
+@pytest.mark.slow
 def test_stream_upsert_sink(spark, tmp_path):
     """foreachBatch upsert: later batches update matching keys in place and
     append new ones — a mutable keyed target fed by a stream."""
@@ -215,6 +217,7 @@ def test_streaming_dedup_drops_replayed_events(spark, tmp_path):
     assert len(got) == 500  # each replayed event emitted exactly once
 
 
+@pytest.mark.slow
 def test_streaming_sliding_windows_match_batch(spark, tmp_path):
     from csv_parquet_s3_spark.streaming.events_stream import sliding_event_rollup
 

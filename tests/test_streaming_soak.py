@@ -21,10 +21,14 @@ import os
 import shutil
 import tempfile
 
+import pytest
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
+
+# slow tier (r13): ten-micro-batch soaks, ~2 min of the suite.
+pytestmark = pytest.mark.slow
 
 N_BATCHES = 10
 
