@@ -42,80 +42,79 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-robin verification window (see PARITY.md "Driver verification
 # rotation"): the driver's correctness check covers the FIRST 50 entries of
 # queries(), so each round the entries most in need of a fresh signal are
-# listed first. After the r11 window (50/50 hash-green, registry 236/236
-# oracle-backed, no entry staler than r06) the r12 window is the rotation
-# output PLUS re-pins at the head for the queries whose physical plans
-# changed this round (the broadcast-gate fix, r11 verdict #1).
+# listed first. After the r12 window (50/50 hash-green, registry 236/236
+# oracle-backed, no entry staler than r08) the r13 window is the rotation
+# output PLUS re-pins at the head for the queries this round changed.
 VERIFY_PRIORITY: list[str] = [
-    # r12 window: RE-PINS FIRST — the 14 queries whose plans changed
-    # this round: dedup_canonical_docs (survivorship pick+assignment
-    # fused into one cluster-partitioned window pass, late r12; the
-    # displaced tail entry dedup_simhash_hamming_pairs is hash-green
-    # r08, inside the r13 staleness target),
-    # text_bigram_kn_perplexity (ctx+fanout fused into one
-    # w1-keyed aggregate) and text_repetition_ratio (map-only rewrite,
-    # shuffle removed), then the 11 queries whose join plans changed
-    # (forced F.broadcast hints on SF-scaling part/supplier/part_avg
-    # replaced by the size-gated sources.tables.broadcast_if_small;
-    # r11 verdict #1) — all need fresh driver hash rows against the
-    # new plans. Then the verbatim tools/rotate_window.py output
-    # against CORRECTNESS_r11 in its printed order (queue head = the
-    # five r06-stale text entries, Zipf/chunk/RAKE/BPE-learn/
-    # BPE-apply), minus the 10 changed queries it already contained;
-    # displaced tail entries: mm_frame_samples (hash-green r10), and
-    # for the two textstats re-pins dedup_cluster_components +
-    # mm_payload_stats (both hash-green r08 — still inside the r13
-    # staleness target).
-    "dedup_canonical_docs",
+    # r13 window: RE-PINS FIRST — the 9 queries r13 touched: the four
+    # perplexity rewrites (LM folded into a per-key term table, the
+    # corpus-sized doc-keyed pre-aggregation exchange removed — kn /
+    # add-k / unigram / held-out), the two vocab-hint drops
+    # (tfidf df, contamination bench grams — sf0.1 plans unchanged,
+    # re-pinned anyway), the gated streaming enrichment dim
+    # (stream_segment_hourly_rollup), and the two delete-path entries
+    # exercising the un-hinted delete_rows victim join. Then the
+    # verbatim tools/rotate_window.py output against CORRECTNESS_r12
+    # in its printed order (queue head = the r12-displaced tail
+    # entries dedup_simhash_hamming_pairs / dedup_cluster_components /
+    # mm_payload_stats / mm_frame_samples), minus the two re-pins it
+    # already contained (text_bigram_perplexity,
+    # text_heldout_perplexity); displaced tail entries
+    # (dedup_minhash_incremental, mm_byte_histogram_features,
+    # q_events_sessionize, q_events_user_daily_activity,
+    # q_events_funnel, q_left_join_customer_order_counts,
+    # q_full_outer_nation_presence) are all hash-green r09 — inside
+    # the "no entry older than r08" staleness target.
     "text_bigram_kn_perplexity",
-    "text_repetition_ratio",
-    "q07_nation_trade_volume",
-    "q08_market_share",
-    "q09_profit_by_nation_year",
-    "q11_brand_value_concentration",
-    "q14_promo_revenue_share",
-    "q16_supplier_diversity",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_bulk_small_part_suppliers",
-    "q21_last_shipper_counts",
-    "graph_pagerank_nation_trade",
-    "text_zipf_fit",
-    "text_chunk_documents",
-    "text_rake_keywords",
-    "text_bpe_learn_merges",
-    "text_bpe_apply_merges",
-    "q_asof_error_to_purchase",
-    "q_range_join_price_bands",
-    "q_order_value_quantiles",
-    "q_grouping_sets_revenue",
-    "q_kmv_distinct_users",
-    "q_kmv_cohort_overlap",
-    "dedup_exact_documents",
-    "dedup_keep_first_events",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash_signatures",
-    "dedup_minhash_batch_vs_index",
-    "retrieval_hybrid_rrf",
-    "retrieval_hybrid_rrf_topn",
-    "retrieval_bm25_topk",
-    "stream_events_late_data_drop",
-    "text_token_counts",
-    "text_doc_stats",
-    "text_langid_heuristic",
-    "text_fingerprint",
-    "text_lang_distribution",
-    "text_langid_ngram",
-    "text_feature_hash_embedding",
+    "text_bigram_perplexity",
+    "text_unigram_perplexity",
+    "text_heldout_perplexity",
     "text_tfidf_top_terms",
-    "q02_cheapest_supplier_per_part",
-    "q12_priority_by_returnflag",
-    "q13_order_count_distribution",
-    "q18_large_volume_orders",
-    "q22_idle_rich_customers",
-    "q15_top_supplier",
-    "q_customer_gini_concentration",
-    "dedup_simhash_buckets",
+    "text_benchmark_contamination",
+    "stream_segment_hourly_rollup",
+    "retrieval_bm25_after_delete",
+    "sim_cosine_topk_ivf_after_delete",
+    "dedup_simhash_hamming_pairs",
+    "dedup_cluster_components",
+    "mm_payload_stats",
+    "mm_frame_samples",
+    "dedup_embedding_cosine_pairs",
+    "dedup_ngram_jaccard_blocked",
+    "dedup_embedding_ivf_blocked",
+    "q01_pricing_summary",
+    "q03_top_unshipped",
+    "q04_order_priority",
+    "q05_regional_revenue",
+    "q06_forecast_revenue",
+    "q10_top_customers",
+    "q_semi_customers_with_open_orders",
+    "q_anti_customers_without_open_orders",
+    "q_window_top3_parts_per_brand",
+    "q_window_supplier_rank",
+    "q_window_running_revenue",
+    "q_rollup_revenue",
+    "q_cube_order_status",
+    "q_pivot_revenue_by_status",
+    "q_union_active_parties",
+    "q_except_only_open_customers",
+    "q_intersect_both_status_customers",
+    "q_distinct_agg",
+    "q_filter_predicates",
+    "q_topk_orders_by_value",
+    "q_scalar_string_funcs",
+    "q_scalar_date_math_funcs",
+    "q_events_hourly",
+    "q_customer_value_deciles",
+    "q_event_type_affinity",
+    "sim_cosine_topk_pq",
+    "sim_cosine_topk_ivf_pq",
+    "q_customer_rfm_segments",
+    "q_model_gains_table",
+    "stream_click_purchase_left_outer",
+    "stream_click_purchase_right_outer",
+    "stream_click_purchase_full_outer",
+    "graph_label_propagation",
+    "q_events_user_ewma",
 ]
 
 
